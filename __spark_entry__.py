@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every operator in SURVEY.md §2 to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB twin.
+Column names are aliased identically on both sides (driver hash-compares
+sorted columns). Rows-only operators (hash-family / ANN internals that are
+not SQL-portable) intentionally have no oracle entry.
 """
 
 from __future__ import annotations
@@ -13,26 +13,50 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_schema_spark.operators import relational, rollups, views_layer
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the unified-view pipeline (raw → extended → unified),
+    the reference's headline surface (views/ndt/unified_downloads.sql)."""
+    return views_layer.unified_view(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2A view-layer engine
+        "raw_view_events": views_layer.raw_view,
+        "extended_view_events": views_layer.extended_view,
+        "unified_view_events": views_layer.unified_view,
+        "dedup_best_per_user": rollups.dedup_best_per_user,
+        "hourly_rollup": rollups.hourly_rollup,
+        "daily_deciles": rollups.daily_deciles,
+        "log_pdf_cdf": rollups.log_pdf_cdf,
+        "geomean_by_type": rollups.geomean_by_type,
+        "switch_utilization": rollups.switch_utilization,
+        "sidestream_view": rollups.sidestream_view,
+        "wildcard_union": rollups.wildcard_union,
+        # §2B relational core
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier": relational.q5_local_supplier,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "raw_view_events": views_layer.raw_view_oracle(),
+        "extended_view_events": views_layer.extended_view_oracle(),
+        "unified_view_events": views_layer.unified_view_oracle(),
+        "dedup_best_per_user": rollups.dedup_best_per_user_oracle(),
+        "hourly_rollup": rollups.hourly_rollup_oracle(),
+        "daily_deciles": rollups.daily_deciles_oracle(),
+        "log_pdf_cdf": rollups.log_pdf_cdf_oracle(),
+        "geomean_by_type": rollups.geomean_by_type_oracle(),
+        "switch_utilization": rollups.switch_utilization_oracle(),
+        "sidestream_view": rollups.sidestream_view_oracle(),
+        "wildcard_union": rollups.wildcard_union_oracle(),
+        "q1_pricing_summary": relational.q1_oracle(),
+        "q3_shipping_priority": relational.q3_oracle(),
+        "q5_local_supplier": relational.q5_oracle(),
+    }

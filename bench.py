@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced through the noop sink (`format("noop")`) so the full
+plan executes — a bare .count() would let Catalyst prune the projections and
+under-report the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_schema_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "unified_view_events",
+    "dedup_best_per_user",
+    "hourly_rollup",
+    "daily_deciles",
+    "log_pdf_cdf",
+    "geomean_by_type",
+    "switch_utilization",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with one throwaway pass
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

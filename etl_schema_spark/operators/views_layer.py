@@ -1,0 +1,193 @@
+"""Layered view engine: raw → extended → unified.
+
+Parity map (events stands in for the NDT measurement stream, §3 of SURVEY.md):
+
+  raw view            views/utilization/switch_legacy.sql — pass-through +
+                      ``_PARTITIONTIME → partition_date`` cast.
+  extended view       views/ndt_intermediate/extended_ndt7_downloads.sql —
+                      derived metrics + classification + boolean filter flags:
+                        protocol CONCAT/CASE          (lines 40-46)
+                        IsOAM client-list membership  (lines 49-57)
+                        IsProduction regex            (lines 68-69)
+                        IsSmall/IsShort/IsLong        (filter struct, 108-119)
+                        _IsCongested/_IsBloated       (lines 72-75)
+  unified view        views/ndt/unified_downloads.sql — UNION ALL over
+                      per-protocol extended views, composed IsValidBest
+                      (lines 45-58), final ``SELECT * EXCEPT(filter)
+                      WHERE IsValidBest`` (lines 100-104).
+
+All flags are plain columns (not a struct) so the DuckDB oracle compares
+value-for-value; the composition logic is identical.
+
+Scale: each view is a narrow projection over the scan — no shuffle at all.
+Catalyst collapses the three layers into a single stage with the validity
+predicate pushed into the parquet scan where deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# Stand-in for the reference's OAM client-IP list
+# (extended_ndt7_downloads.sql lines 49-57).
+OAM_USER_IDS = (7, 13, 42, 99)
+
+# "download"-direction vs "upload"-direction event classes for the unified
+# union (unified_downloads.sql unions ndt7/ndt5/web100 sources).
+DOWNLOAD_TYPES = ("click", "view")
+UPLOAD_TYPES = ("purchase", "signup")
+
+
+def raw_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw pass-through view with partition_date.
+
+    Parity: views/utilization/switch_legacy.sql, views/ndt_raw/*.sql.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.col("ts").cast("date").alias("partition_date"), "*")
+
+
+def extended_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended view: derived metric/protocol/flag columns.
+
+    Parity: views/ndt_intermediate/extended_ndt7_downloads.sql (see module
+    docstring for the line map). `k_value` plays FinalSnapshot.TCPInfo.MinRTT,
+    `value` plays MeanThroughputMbps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k_value = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("bigint")
+    return ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("partition_date"),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        k_value.alias("k_value"),
+        # Protocol classification (CONCAT + CASE), ndt7 lines 40-46
+        F.concat(
+            F.lit("evt"),
+            F.when(F.col("user_id") % 2 == 0, "-IPv4").otherwise("-IPv6"),
+            F.when(F.col("event_type").isin(*DOWNLOAD_TYPES), "-WSS")
+            .when(F.col("event_type").isin(*UPLOAD_TYPES), "-WS")
+            .otherwise("-unknown"),
+        ).alias("protocol"),
+        F.col("value").isNotNull().alias("is_complete"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.col("user_id").isin(*OAM_USER_IDS).alias("is_oam"),
+        # IsProduction regex (ndt7 lines 68-69: mlab[1-3]-[a-z]{3}[0-9]{2})
+        F.col("props").rlike(r'"k": \d\d}').alias("is_production"),
+        (F.col("value") < 1.0).alias("is_small"),
+        (F.col("value") < 5.0).alias("is_short"),
+        (F.col("value") > 300.0).alias("is_long"),
+        (k_value % 3 == 0).alias("is_congested"),
+        ((F.col("value") > 2 * k_value) & (F.col("value") > 100.0)).alias("is_bloated"),
+    )
+
+
+def is_valid_best() -> Column:
+    """Composed validity predicate.
+
+    Parity: unified_downloads.sql lines 45-58 (IsValidBest).
+    """
+    return (
+        F.col("is_complete")
+        & F.col("is_production")
+        & ~F.col("is_error")
+        & ~F.col("is_oam")
+        & ~F.col("is_small")
+        & ~F.col("is_short")
+        & ~F.col("is_long")
+    )
+
+
+def is_valid_2021() -> Column:
+    """Parity: unified_downloads.sql lines 74-87 (IsValid2021: additionally
+    requires congestion or bloat signal)."""
+    return is_valid_best() & (F.col("is_congested") | F.col("is_bloated"))
+
+
+def unified_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified view: UNION ALL over direction-split extended views, validity
+    composition, filter, and flag projection-out.
+
+    Parity: views/ndt/unified_downloads.sql lines 42-104.
+    """
+    ext = extended_view(spark, sf_dir)
+    downloads = ext.filter(F.col("event_type").isin(*DOWNLOAD_TYPES)).withColumn(
+        "direction", F.lit("Download")
+    )
+    uploads = ext.filter(F.col("event_type").isin(*UPLOAD_TYPES)).withColumn(
+        "direction", F.lit("Upload")
+    )
+    unified = downloads.unionByName(uploads).withColumn("is_valid_best", is_valid_best())
+    return unified.filter(F.col("is_valid_best")).select(
+        "event_id",
+        "partition_date",
+        "ts",
+        "user_id",
+        "event_type",
+        "direction",
+        "protocol",
+        "value",
+        "k_value",
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------
+
+_EXTENDED_SQL = r"""
+    SELECT
+      event_id,
+      CAST(ts AS DATE) AS partition_date,
+      ts,
+      user_id,
+      event_type,
+      value,
+      CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_value,
+      'evt'
+        || CASE WHEN user_id % 2 = 0 THEN '-IPv4' ELSE '-IPv6' END
+        || CASE WHEN event_type IN ('click','view') THEN '-WSS'
+                WHEN event_type IN ('purchase','signup') THEN '-WS'
+                ELSE '-unknown' END AS protocol,
+      value IS NOT NULL AS is_complete,
+      event_type = 'error' AS is_error,
+      user_id IN (7, 13, 42, 99) AS is_oam,
+      regexp_matches(props, '"k": \d\d}') AS is_production,
+      value < 1.0 AS is_small,
+      value < 5.0 AS is_short,
+      value > 300.0 AS is_long,
+      (CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) % 3 = 0) AS is_congested,
+      (value > 2 * CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)
+        AND value > 100.0) AS is_bloated
+    FROM events
+"""
+
+
+def raw_view_oracle() -> str:
+    return "SELECT CAST(ts AS DATE) AS partition_date, * FROM events"
+
+
+def extended_view_oracle() -> str:
+    return _EXTENDED_SQL
+
+
+def unified_view_oracle() -> str:
+    return f"""
+        WITH extended AS ({_EXTENDED_SQL}),
+        unioned AS (
+          SELECT *, 'Download' AS direction FROM extended
+          WHERE event_type IN ('click','view')
+          UNION ALL
+          SELECT *, 'Upload' AS direction FROM extended
+          WHERE event_type IN ('purchase','signup')
+        )
+        SELECT event_id, partition_date, ts, user_id, event_type, direction,
+               protocol, value, k_value
+        FROM unioned
+        WHERE is_complete AND is_production AND NOT is_error AND NOT is_oam
+          AND NOT is_small AND NOT is_short AND NOT is_long
+    """

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB / 1000-executor target):
+  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+    and local-mode shuffle avoidance replace hand-tuned partition counts.
+  - ``spark.sql.shuffle.partitions`` is a *ceiling* under AQE; on a real
+    cluster set it to ~2-3x total cores (e.g. 8000 for 1000 executors x 4
+    cores) via `extra_conf` — AQE coalesces down.
+  - Broadcast threshold raised to 64 MB: every dimension table in the star
+    schema (region/nation/customer/supplier/part at any SF) and the bin /
+    centroid tables our rollup + ANN operators build stay broadcast-able,
+    keeping the big fact scans shuffle-free on the dimension side.
+  - Session timezone pinned to UTC so timestamp semantics match the ANSI
+    oracle (and are deterministic across cluster nodes).
+  - ``maxPartitionBytes`` left at default 128 MB: at 100 TB that is ~800k
+    input splits, the right granularity for dynamic allocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Whole-stage codegen stays on (default); Python round-trips are confined
+    # to the few Pandas-UDF operators (multimodal decode), Arrow-batched.
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "etl_schema_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` for tests; on a
+    cluster pass None and rely on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,76 @@
+"""Parquet source catalog.
+
+Parity: the reference's raw datasets (`views/ndt_raw/*.sql`,
+`views/statistics/v0_cities.sql` wildcard tables) are plain scans over
+partitioned storage; here each testdata table is one parquet file per scale
+factor. At cluster scale these would be date-partitioned directories —
+`load_table` takes any path Spark's parquet source accepts, so partition
+pruning (`WHERE date ...` → `PartitionFilters`) comes for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+# rejects unless nanos are surfaced as raw INT64. We read them as longs and
+# rebuild micro-precision timestamps (truncation, matching DuckDB's ns→us
+# cast), keeping the scan vectorized.
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown are preserved by
+    returning the raw scan (no .cache, no collect)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integral `div` keeps full int64 precision (float division would
+            # round above 2^53) and truncates like DuckDB's ns→us cast
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view so operators can be written in SQL.
+
+    Parity: cmd/bq_create_view/main.go materializes dataset views; temp views
+    are the Spark-session equivalent.
+    """
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def wildcard_scan(spark: SparkSession, pattern: str) -> DataFrame:
+    """Glob scan unioned by the source, schema-merged.
+
+    Parity: views/statistics/v0_cities.sql (`FROM `...cities_2*``) — BigQuery
+    wildcard tables. Spark's parquet source accepts globs natively and merges
+    row groups across files; `mergeSchema` tolerates additive drift between
+    yearly snapshots (same reason the reference versions its statistics
+    tables by year).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(pattern)

@@ -1,0 +1,71 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from etl_schema_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def assert_matches_oracle(sdf, con, sql):
+    """Order-insensitive compare of a Spark DF against a DuckDB query —
+    the same contract as the driver's t2 gate."""
+    import math
+    from datetime import date, datetime
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        if isinstance(v, datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, date):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return str(v)
+
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = con.execute(sql)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(scols) == sorted(ocols), f"columns {sorted(scols)} != {sorted(ocols)}"
+    assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+    a, b = canon(srows, scols), canon(orows, ocols)
+    assert a == b, f"value mismatch, first diff: {next((x, y) for x, y in zip(a, b) if x != y)}"

@@ -1,0 +1,46 @@
+"""View-layer engine tests (SURVEY §2A).
+
+Mirrors the reference's test strategy (SURVEY §5): every view layer is
+checked against its ANSI-SQL oracle, plus plan-shape assertions so the
+Spark plans stay scale-worthy (pushdown reaches the scan, no shuffles in
+pure projections).
+"""
+
+from etl_schema_spark.operators import views_layer
+
+from .conftest import assert_matches_oracle
+
+
+def test_raw_view(spark, sf_dir, duck):
+    assert_matches_oracle(views_layer.raw_view(spark, sf_dir), duck, views_layer.raw_view_oracle())
+
+
+def test_extended_view(spark, sf_dir, duck):
+    assert_matches_oracle(
+        views_layer.extended_view(spark, sf_dir), duck, views_layer.extended_view_oracle()
+    )
+
+
+def test_unified_view(spark, sf_dir, duck):
+    assert_matches_oracle(
+        views_layer.unified_view(spark, sf_dir), duck, views_layer.unified_view_oracle()
+    )
+
+
+def test_unified_view_filters_invalid(spark, sf_dir):
+    df = views_layer.unified_view(spark, sf_dir)
+    # no error events and no OAM users survive IsValidBest
+    assert df.filter(df.event_type == "error").count() == 0
+    assert df.filter(df.user_id.isin(*views_layer.OAM_USER_IDS)).count() == 0
+    # direction split is exhaustive
+    assert set(r.direction for r in df.select("direction").distinct().collect()) <= {
+        "Download",
+        "Upload",
+    }
+
+
+def test_view_layers_collapse_to_single_stage(spark, sf_dir):
+    """The 3-layer view stack must not introduce a shuffle (parity with the
+    reference where views are logical only — BigQuery inlines them)."""
+    plan = views_layer.unified_view(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
