@@ -13,7 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_schema_spark.operators import relational, rollups, views_layer
+from etl_schema_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    rollups,
+    sessions,
+    similarity,
+    text,
+    views_layer,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,6 +49,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier": relational.q5_local_supplier,
+        "sessionized_events": sessions.sessionized_events,
+        "running_totals": sessions.running_totals,
+        "top_clients_per_type": sessions.top_clients_per_type,
+        # §2C LLM-data-pipeline operators
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # rows-only
+        "simhash_fingerprint": dedup.simhash_fingerprint,
+        "doc_fingerprint": text.doc_fingerprint,
+        "token_count": text.token_count,
+        "text_quality": text.text_quality,
+        "langid_heuristic": text.langid_heuristic,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "embedding_cosine_dup": similarity.embedding_cosine_dup,
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only
+        "multimodal_meta": multimodal.multimodal_meta,
     }
 
 
@@ -59,4 +84,19 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.q1_oracle(),
         "q3_shipping_priority": relational.q3_oracle(),
         "q5_local_supplier": relational.q5_oracle(),
+        "sessionized_events": sessions.sessionized_events_oracle(),
+        "running_totals": sessions.running_totals_oracle(),
+        "top_clients_per_type": sessions.top_clients_per_type_oracle(),
+        "dedup_exact": dedup.dedup_exact_oracle(),
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
+        # dedup_minhash_lsh: rows-only (hash family not SQL-portable)
+        "simhash_fingerprint": dedup.simhash_fingerprint_oracle(),
+        "doc_fingerprint": text.doc_fingerprint_oracle(),
+        "token_count": text.token_count_oracle(),
+        "text_quality": text.text_quality_oracle(),
+        "langid_heuristic": text.langid_heuristic_oracle(),
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
+        "embedding_cosine_dup": similarity.embedding_cosine_dup_oracle(),
+        # ann_ivf_topk: rows-only (centroid float reduction not bit-portable)
+        "multimodal_meta": multimodal.multimodal_meta_oracle(),
     }

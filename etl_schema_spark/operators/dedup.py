@@ -1,0 +1,274 @@
+"""Deduplication operators over `documents` (SURVEY §2C).
+
+Four tiers, mirroring a production pretraining-dedup stack:
+
+  dedup_exact           hash-groupBy on normalized text (one shuffle on the
+                        md5 key; trivially scales — the key is 32 bytes).
+  dedup_ngram_jaccard   exact word-3-gram Jaccard via inverted-index
+                        self-join: explode distinct shingles, join docs that
+                        share >=1 shingle, count common, filter tau. The join
+                        is blocked by shingle, so complexity is
+                        sum(postings^2) per shingle, not n^2 over docs.
+  dedup_minhash_lsh     MinHash signatures + LSH banding: candidates are
+                        pairs sharing a band bucket — the 100 TB-scale path
+                        (shuffle volume ~ n * bands, independent of n^2).
+                        Verified with exact Jaccard afterward, so precision
+                        is exact and only recall is probabilistic.
+  simhash_fingerprint   64-bit SimHash per document, computed from md5
+                        nibbles so the DuckDB oracle reproduces it bit-for-
+                        bit (no engine-specific hash function).
+
+The window/best-per-key dedup variant lives in rollups.dedup_best_per_user
+(parity: views/website/entry07_platform_decile_*.sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+JACCARD_TAU = 0.5
+MINHASH_SEEDS = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
+
+
+def _normalized() -> Column:
+    return F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+
+
+def _shingles() -> Column:
+    """Distinct word-3-gram shingles; empty array below 3 tokens."""
+    toks = F.split(F.col("text"), r"\s+")
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5 of normalized text, keep min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_normalized()).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def dedup_exact_oracle() -> str:
+    return r"""
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1 ORDER BY keep_doc_id
+    """
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (doc_a < doc_b, jaccard >= tau).
+
+    Inverted-index formulation: only pairs sharing at least one shingle are
+    ever materialized; a pair sharing k shingles appears k times and is
+    collapsed by the groupBy, giving |A ∩ B| exactly. Since tau > 0 implies
+    intersection >= 1, this is lossless vs the naive n^2 scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("shingles")
+    )
+    sized = docs.select("doc_id", F.size("shingles").alias("n_sh"), "shingles")
+    posting = sized.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = posting.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.floor(jac * 1e6) / 1e6)
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard_oracle(tau: float = JACCARD_TAU) -> str:
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks) - 1)])
+                      ELSE [] END AS shingles
+          FROM d
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS common,
+               FLOOR(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))) * 1e6) / 1e6
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= {tau}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU) -> DataFrame:
+    """MinHash + LSH banding near-dup detection (rows-only; the xxhash64
+    family is not portable to the SQL oracle — dedup_ngram_jaccard is the
+    exact twin the driver can verify).
+
+    Pipeline: per doc, MINHASH_SEEDS minhashes over shingles; group into
+    LSH_BANDS bands; docs sharing any (band, band-signature) bucket become
+    candidates; candidates are verified with exact Jaccard so output
+    precision is exact (recall is the standard banding S-curve).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("shingles"),
+                        lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)),
+                    )
+                )
+                for i in range(MINHASH_SEEDS)
+            ]
+        ).alias("minhash"),
+    )
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
+    )
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        candidates.withColumn("common", common)
+        .withColumn("jaccard", F.floor(jac * 1e6) / 1e6)
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document as a 16-hex-char string.
+
+    Token hash = first 16 nibbles of md5(token) — portable to any ANSI
+    engine, so the oracle reproduces the fingerprint exactly. Bit b of the
+    fingerprint is the sign of sum over distinct tokens of (+1/-1) for that
+    token's bit b.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+
+    weight_exprs = []
+    for idx in range(64):
+        j = idx // 4 + 1  # 1-indexed nibble position in the md5 hex string
+        s = 3 - idx % 4  # MSB-first bit within the nibble
+        nib = f"(instr('0123456789abcdef', substring(h, {j}, 1)) - 1)"
+        bit = f"(({nib} div {2 ** s}) % 2)"
+        weight_exprs.append(F.expr(f"sum({bit} * 2 - 1)").alias(f"s{idx}"))
+    sums = toks.groupBy("doc_id").agg(*weight_exprs)
+
+    nibble_chars = []
+    for j in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s{j * 4 + b} > 0 THEN {2 ** (3 - b)} ELSE 0 END)" for b in range(4)
+        )
+        nibble_chars.append(F.expr(f"substring('0123456789abcdef', ({val}) + 1, 1)"))
+    return sums.select(
+        "doc_id", F.concat(*nibble_chars).alias("simhash64")
+    ).orderBy("doc_id")
+
+
+def simhash_fingerprint_oracle() -> str:
+    weight_exprs = []
+    for idx in range(64):
+        j = idx // 4 + 1
+        s = 3 - idx % 4
+        nib = f"(instr('0123456789abcdef', substr(h, {j}, 1)) - 1)"
+        bit = f"(({nib} // {2 ** s}) % 2)"
+        weight_exprs.append(f"SUM({bit} * 2 - 1) AS s{idx}")
+    sums_sql = ",\n                 ".join(weight_exprs)
+    nibble_chars = []
+    for j in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s{j * 4 + b} > 0 THEN {2 ** (3 - b)} ELSE 0 END)" for b in range(4)
+        )
+        nibble_chars.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    concat_sql = " || ".join(nibble_chars)
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS tok
+          FROM documents
+        ),
+        hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        sums AS (
+          SELECT doc_id,
+                 {sums_sql}
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, {concat_sql} AS simhash64
+        FROM sums ORDER BY doc_id
+    """

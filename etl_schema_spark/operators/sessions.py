@@ -1,0 +1,158 @@
+"""Sessionization + stateful-window operators over `events` (SURVEY §2B).
+
+Batch twins of the Structured Streaming jobs in
+``etl_schema_spark.streaming`` — same semantics, so the streaming output can
+be validated against these.
+
+  sessionized_events   gap-based sessions (30-min inactivity), the batch
+                       equivalent of a session window with watermarking.
+  running_totals       per-user cumulative value over time.
+  top_clients_per_type top-K users by exact total value within event_type.
+
+Scale: all three shuffle once on user_id (or event_type); the windows are
+per-user — high cardinality, naturally parallel. Session assignment is the
+classic lag/cumsum formulation: no iterative driver loop, one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+SESSION_GAP_MIN = 30
+TOP_K_CLIENTS = 5
+
+
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign gap-based sessions and aggregate one row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_sec"
+            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def sessionized_events_oracle() -> str:
+    return f"""
+        WITH flagged AS (
+          SELECT *,
+                 CASE WHEN FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          > {SESSION_GAP_MIN * 60}
+                      OR LAG(FLOOR(epoch(ts))) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(MAX(FLOOR(epoch(ts))) - MIN(FLOOR(epoch(ts))) AS BIGINT) AS duration_sec,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative value ordered by time (exact decimal cumsum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("cum_value"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+def running_totals_oracle() -> str:
+    return """
+        SELECT event_id, user_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS cum_value
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """
+
+
+def top_clients_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K users by exact total value within each event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_total"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("_total"), F.asc("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K_CLIENTS)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("_total").cast("double").alias("total_value"),
+            "n_events",
+            "rank",
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+def top_clients_per_type_oracle() -> str:
+    return f"""
+        WITH totals AS (
+          SELECT event_type, user_id,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS _total,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY event_type ORDER BY _total DESC, user_id ASC) AS rank
+          FROM totals
+        )
+        SELECT event_type, user_id, CAST(_total AS DOUBLE) AS total_value,
+               n_events, rank
+        FROM ranked WHERE rank <= {TOP_K_CLIENTS}
+        ORDER BY event_type, rank
+    """

@@ -1,0 +1,181 @@
+"""Similarity search over `embeddings` (SURVEY §2C).
+
+  ann_bruteforce_topk   exact cosine top-k: broadcast the (tiny) query set
+                        against the full collection — the correctness
+                        baseline. Scales linearly in collection size; the
+                        query side is broadcast so the big side never
+                        shuffles.
+  embedding_cosine_dup  all pairs with cosine >= tau (near-dup detection).
+                        O(n^2) baseline kept oracle-checkable; the scale
+                        path is ann_ivf_topk's bucketing.
+  ann_ivf_topk          IVF-style ANN: coarse quantizer = per-label centroid
+                        (k-means assignments stand in for a trained
+                        codebook); each query probes its nearest centroid's
+                        bucket only. Rows-only (centroid float reduction is
+                        not portably bit-stable for the oracle hash).
+
+Cosine is computed with an explicit double-precision sequential fold
+(dot / (sqrt(dot_a) * sqrt(dot_b))) in BOTH engines so results compare
+bit-for-bit; see _COS_SQL for the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+COSINE_TAU = 0.4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in float64 — deterministic order,
+    matching DuckDB's list_dot_product loop over DOUBLE[]."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _trunc6(c: Column) -> Column:
+    return F.floor(c * 1e6) / 1e6
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+
+    The query set broadcasts (N_QUERIES x dim floats); the collection scan
+    stays shuffle-free until the final per-query top-k window over
+    N_QUERIES partitions.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = _cosine(F.col("q_emb"), F.col("embedding"))
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _trunc6(cos))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+def ann_bruteforce_topk_oracle() -> str:
+    return f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
+          FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU) -> DataFrame:
+    """Near-duplicate pairs by cosine (vec_a < vec_b, cosine >= tau).
+
+    Note: the n^2 self-join is the exactness baseline; at collection scale
+    the LSH/IVF buckets (ann_ivf_topk) bound the candidate set and this
+    operator runs per-bucket.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = _cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _trunc6(cos))
+        .filter(cos >= tau)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ({_COS_SQL}) >= {tau}
+        ORDER BY vec_a, vec_b
+    """
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: probe only the nearest centroid's inverted list.
+
+    Coarse codebook = per-label mean vector (labels are cluster
+    assignments in the testdata; on a real corpus run k-means first).
+    Rows-only: float centroid reduction order is engine-specific, so no
+    SQL oracle — ann_bruteforce_topk is the exact twin.
+
+    Scale: centroids broadcast; the collection is partitioned by bucket
+    (repartition on label), so each query's scan touches one bucket —
+    1/k of the data — and the final top-k window is per-query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pairs"), lambda p: p["cx"]).alias("centroid"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cent = (
+        queries.join(F.broadcast(centroids))
+        .withColumn("c_cos", _cosine(F.col("q_emb"), F.col("centroid")))
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    assigned = (
+        q_cent.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", F.col("c_label").alias("bucket"))
+    )
+    scored = (
+        emb.join(F.broadcast(assigned), (F.col("label") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cosine", _trunc6(_cosine(F.col("q_emb"), F.col("embedding"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "bucket", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

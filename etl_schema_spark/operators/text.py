@@ -1,0 +1,210 @@
+"""Text-analysis operators over the `documents` table (SURVEY §2C).
+
+These extend the reference's surface with the text half of an LLM
+training-data pipeline: token stats, quality scoring, language ID,
+fingerprinting. Everything is built-in-function SQL (JVM-side, codegen) —
+no Python UDFs in the hot path.
+
+Scale notes: all per-document operators are narrow projections (no shuffle);
+corpus-level stats do one partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# marker vocabularies for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "et", "les"),
+    "de": ("der", "und", "das"),
+}
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), r"\s+")
+
+
+def _trunc6(c: Column) -> Column:
+    # floor-truncation: identical IEEE op sequence in Spark and DuckDB
+    # (engine round() implementations disagree on .5 boundaries)
+    return F.floor(c * 1e6) / 1e6
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        _trunc6(F.size(F.array_distinct(toks)) / F.size(toks)).alias("unique_ratio"),
+        _trunc6(
+            (F.length("text") - (F.size(toks) - 1)) / F.size(toks)
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def token_count_oracle() -> str:
+    return r"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(text, '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(text, '\s+'))) AS n_unique,
+               FLOOR(len(list_distinct(string_split_regex(text, '\s+'))) * 1.0
+                     / len(string_split_regex(text, '\s+')) * 1e6) / 1e6 AS unique_ratio,
+               FLOOR((length(text) - (len(string_split_regex(text, '\s+')) - 1)) * 1.0
+                     / len(string_split_regex(text, '\s+')) * 1e6) / 1e6 AS avg_token_len
+        FROM documents ORDER BY doc_id
+    """
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword / character-class ratios.
+
+    Mirrors standard pretraining-corpus filters (length bounds, stopword
+    fraction, symbol fraction) as one declarative projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stoplist = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stoplist, t)))
+    digit_chars = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    space_chars = F.length(F.regexp_replace(F.col("text"), r"[^ ]", ""))
+    stop_ratio = stop_hits / n_tokens
+    digit_ratio = digit_chars / F.length("text")
+    length_ok = (n_tokens >= 10) & (n_tokens <= 1000)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        _trunc6(stop_ratio).alias("stop_ratio"),
+        _trunc6(digit_ratio).alias("digit_ratio"),
+        _trunc6(space_chars / F.length("text")).alias("space_ratio"),
+        length_ok.alias("length_ok"),
+        _trunc6(
+            F.when(length_ok, 0.5).otherwise(0.0) + stop_ratio * 0.3
+            + (1.0 - digit_ratio) * 0.2
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def text_quality_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(text, '\s+') AS toks,
+                 len(string_split_regex(text, '\s+')) AS n_tokens,
+                 len(list_filter(string_split_regex(text, '\s+'),
+                     x -> x IN ({stoplist}))) AS stop_hits,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+                 length(regexp_replace(text, '[^ ]', '', 'g')) AS space_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, stop_hits,
+               FLOOR(stop_hits * 1.0 / n_tokens * 1e6) / 1e6 AS stop_ratio,
+               FLOOR(digit_chars * 1.0 / length(text) * 1e6) / 1e6 AS digit_ratio,
+               FLOOR(space_chars * 1.0 / length(text) * 1e6) / 1e6 AS space_ratio,
+               n_tokens BETWEEN 10 AND 1000 AS length_ok,
+               FLOOR((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END
+                      + (stop_hits * 1.0 / n_tokens) * 0.3
+                      + (1.0 - digit_chars * 1.0 / length(text)) * 0.2) * 1e6) / 1e6
+                 AS quality_score
+        FROM t ORDER BY doc_id
+    """
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic class).
+
+    CJK codepoints short-circuit to 'zh'; otherwise argmax of marker-word
+    hits with a deterministic tie order (en > es > fr > de > unknown).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(best == 0, "unknown")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("predicted"),
+        (pred == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+def langid_heuristic_oracle() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            rf"len(list_filter(string_split_regex(text, '\s+'), x -> x IN ({lst}))) AS score_{lang}"
+        )
+    scores_sql = ",\n                 ".join(score_exprs)
+    return rf"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 {scores_sql}
+          FROM documents
+        ),
+        best AS (
+          SELECT *, GREATEST(score_en, score_es, score_fr, score_de) AS best_score,
+                 CASE
+                   WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN GREATEST(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                   WHEN score_en = GREATEST(score_en, score_es, score_fr, score_de) THEN 'en'
+                   WHEN score_es = GREATEST(score_en, score_es, score_fr, score_de) THEN 'es'
+                   WHEN score_fr = GREATEST(score_en, score_es, score_fr, score_de) THEN 'fr'
+                   ELSE 'de'
+                 END AS predicted
+          FROM scored
+        )
+        SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+               predicted, predicted = lang AS is_match
+        FROM best ORDER BY doc_id
+    """
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text + 64-bit prefix, plus a
+    coarse locality bucket (first 2 hex chars) usable as a shard key."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    h = F.md5(normalized)
+    return docs.select(
+        "doc_id",
+        h.alias("content_md5"),
+        F.substring(h, 1, 16).alias("fingerprint64"),
+        F.substring(h, 1, 2).alias("shard_bucket"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint_oracle() -> str:
+    return r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5,
+               substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint64,
+               substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 2) AS shard_bucket
+        FROM documents ORDER BY doc_id
+    """

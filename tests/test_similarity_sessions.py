@@ -1,0 +1,97 @@
+"""Similarity-search, sessionization, and multimodal tests (SURVEY §2B/§2C)."""
+
+from etl_schema_spark.operators import multimodal, sessions, similarity
+
+from .conftest import assert_matches_oracle
+
+
+def test_ann_bruteforce(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.ann_bruteforce_topk(spark, sf_dir), duck, similarity.ann_bruteforce_topk_oracle()
+    )
+
+
+def test_cosine_dup(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.embedding_cosine_dup(spark, sf_dir), duck, similarity.embedding_cosine_dup_oracle()
+    )
+
+
+def test_ivf_is_bruteforce_restricted_to_bucket(spark, sf_dir):
+    """IVF results must agree with brute force wherever the brute-force
+    neighbor lives in the probed bucket (exactness within the bucket)."""
+    bf = similarity.ann_bruteforce_topk(spark, sf_dir).collect()
+    ivf = similarity.ann_ivf_topk(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    buckets = {r.query_id: r.bucket for r in ivf}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    for r in bf:
+        if labels[r.neighbor_id] == buckets.get(r.query_id) and r.rank <= 5:
+            assert (r.query_id, r.neighbor_id) in ivf_set, r
+
+
+def test_ann_plans_broadcast_queries(spark, sf_dir):
+    plan = (
+        similarity.ann_bruteforce_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionized_events(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sessions.sessionized_events(spark, sf_dir), duck, sessions.sessionized_events_oracle()
+    )
+
+
+def test_session_gap_semantics(spark, sf_dir):
+    rows = sessions.sessionized_events(spark, sf_dir).collect()
+    # sessions of one user never overlap and are ordered
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.session_seq)
+        for prev, cur in zip(rs, rs[1:]):
+            gap = (cur.session_start - prev.session_end).total_seconds()
+            assert gap > sessions.SESSION_GAP_MIN * 60 - 1, (user, prev, cur)
+
+
+def test_running_totals(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sessions.running_totals(spark, sf_dir), duck, sessions.running_totals_oracle()
+    )
+
+
+def test_top_clients(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sessions.top_clients_per_type(spark, sf_dir), duck, sessions.top_clients_per_type_oracle()
+    )
+
+
+def test_multimodal_meta(spark, sf_dir, duck):
+    assert_matches_oracle(
+        multimodal.multimodal_meta(spark, sf_dir), duck, multimodal.multimodal_meta_oracle()
+    )
+
+
+def test_multimodal_payload_schema(spark, sf_dir):
+    df = multimodal.binary_payloads(spark, sf_dir)
+    dtypes = dict(df.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["byte_len"] == "bigint" or dtypes["byte_len"] == "int"
+    row = df.first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.byte_len == len(row.payload)
+
+
+def test_decode_stub_is_gated():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")

@@ -1,0 +1,66 @@
+"""Text-analysis + dedup operator tests (SURVEY §2C)."""
+
+from etl_schema_spark.operators import dedup, text
+
+from .conftest import assert_matches_oracle
+
+
+def test_token_count(spark, sf_dir, duck):
+    assert_matches_oracle(text.token_count(spark, sf_dir), duck, text.token_count_oracle())
+
+
+def test_text_quality(spark, sf_dir, duck):
+    assert_matches_oracle(text.text_quality(spark, sf_dir), duck, text.text_quality_oracle())
+
+
+def test_langid(spark, sf_dir, duck):
+    assert_matches_oracle(text.langid_heuristic(spark, sf_dir), duck, text.langid_heuristic_oracle())
+
+
+def test_doc_fingerprint(spark, sf_dir, duck):
+    assert_matches_oracle(text.doc_fingerprint(spark, sf_dir), duck, text.doc_fingerprint_oracle())
+
+
+def test_dedup_exact(spark, sf_dir, duck):
+    assert_matches_oracle(dedup.dedup_exact(spark, sf_dir), duck, dedup.dedup_exact_oracle())
+
+
+def test_dedup_ngram_jaccard(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.dedup_ngram_jaccard(spark, sf_dir), duck, dedup.dedup_ngram_jaccard_oracle()
+    )
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    """LSH candidates verified by exact Jaccard must be a subset of the
+    exact pairs, and at tau=0.5 banding (4 bands x 2 rows) recall on the
+    planted near-dups should be total."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.simhash_fingerprint(spark, sf_dir), duck, dedup.simhash_fingerprint_oracle()
+    )
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, sf_dir):
+    """Planted near-dup pairs should have small SimHash Hamming distance."""
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir, tau=0.8).collect()
+    if not pairs:
+        return
+    fp = {r.doc_id: r.simhash64 for r in dedup.simhash_fingerprint(spark, sf_dir).collect()}
+
+    def hamming(a, b):
+        return sum(
+            bin(int(ca, 16) ^ int(cb, 16)).count("1") for ca, cb in zip(a, b)
+        )
+
+    for p in pairs:
+        assert hamming(fp[p.doc_a], fp[p.doc_b]) <= 16, (p, fp[p.doc_a], fp[p.doc_b])
