@@ -1,0 +1,91 @@
+"""Structured Streaming twins of the batch rollups.
+
+The reference's pipeline is batch-ingest (BigQuery loads + views), but its
+website/hourly views are exactly the rollups a streaming deployment keeps
+hot. These jobs re-express them over `readStream`:
+
+  hourly_counts_stream   windowed hourly counts with a 1-hour watermark —
+                         streaming parity for rollups.hourly_rollup /
+                         views/website/entry07_platform_hourly_*.sql.
+  session_window_stream  native session windows (30-min gap) — streaming
+                         parity for sessions.sessionized_events.
+
+Scale notes: watermark bounds state (late data beyond 1 hour is dropped —
+the knob a real deployment tunes); session-window state is per-user and
+expires at watermark + gap. File source here; on a cluster the same plans
+run unchanged over Kafka (`format("kafka")`) since everything downstream of
+the source is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# physical schema of events.parquet: ts is TIMESTAMP(NANOS), surfaced as
+# INT64 under the nanosAsLong conf (see sources.catalog)
+_EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as an unbounded stream (file source; swap for Kafka in
+    production — the downstream plan is source-agnostic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly counts per event_type."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n")
+    )
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: 30-minute gap per user (streaming twin of
+    sessions.sessionized_events)."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the materialized result (test/ops harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
