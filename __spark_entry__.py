@@ -21,6 +21,7 @@ from etl_schema_spark.operators import (
     sessions,
     similarity,
     text,
+    transforms,
     views_layer,
 )
 
@@ -49,6 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier": relational.q5_local_supplier,
+        "static_mapping": transforms.static_mapping,
+        "q18_big_orders": transforms.q18_big_orders,
+        "q22_inactive_customers": transforms.q22_inactive_customers,
         "sessionized_events": sessions.sessionized_events,
         "running_totals": sessions.running_totals,
         "top_clients_per_type": sessions.top_clients_per_type,
@@ -84,6 +88,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.q1_oracle(),
         "q3_shipping_priority": relational.q3_oracle(),
         "q5_local_supplier": relational.q5_oracle(),
+        "static_mapping": transforms.static_mapping_oracle(),
+        "q18_big_orders": transforms.q18_oracle(),
+        "q22_inactive_customers": transforms.q22_oracle(),
         "sessionized_events": sessions.sessionized_events_oracle(),
         "running_totals": sessions.running_totals_oracle(),
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),

@@ -28,6 +28,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q18_big_orders",
+    "sessionized_events",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprint",
+    "ann_bruteforce_topk",
+    "token_count",
+    "multimodal_meta",
 ]
 
 

@@ -90,7 +90,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return frame.mapInPandas(decode_batches, FEATURE_SCHEMA).orderBy("doc_id")
+    return frame.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
 def multimodal_meta_oracle() -> str:

@@ -205,7 +205,6 @@ def sidestream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("value") / (F.col("k_value") + 1) * 1e6) / 1e6).alias("rate"),
             "k_value",
         )
-        .orderBy("event_id")
     )
 
 

@@ -53,7 +53,6 @@ def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value"
             ),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -101,7 +100,7 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("cum_value"),
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 def running_totals_oracle() -> str:

@@ -50,7 +50,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trunc6(
             (F.length("text") - (F.size(toks) - 1)) / F.size(toks)
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 def token_count_oracle() -> str:
@@ -95,7 +95,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(length_ok, 0.5).otherwise(0.0) + stop_ratio * 0.3
             + (1.0 - digit_ratio) * 0.2
         ).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 def text_quality_oracle() -> str:
@@ -151,7 +151,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
         pred.alias("predicted"),
         (pred == F.col("lang")).alias("is_match"),
-    ).orderBy("doc_id")
+    )
 
 
 def langid_heuristic_oracle() -> str:
@@ -197,7 +197,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("content_md5"),
         F.substring(h, 1, 16).alias("fingerprint64"),
         F.substring(h, 1, 2).alias("shard_bucket"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_fingerprint_oracle() -> str:
