@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 
@@ -112,33 +113,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_T
     shingle instead of ~30-byte strings. Collision probability across a
     corpus vocabulary is ~v^2/2^65 (4e-11 at 30k shingles) — negligible
     against the exactness contract.
+
+    The shingled table is persisted (memory-and-disk) because the plan
+    references it three times — postings and both sides of the
+    verification join — and tokenize+shingle+hash is the dominant per-row
+    cost; without the persist Spark recomputes it per reference (measured
+    ~2.5x the operator wall time at sf0.1). At cluster scale this is the
+    standard stage-materialization of a set-similarity join.
     """
     docs = (
         _shingled_docs(spark, sf_dir)
         .filter(F.size("shingles") > 0)
         .select("doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    posting = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # global order: rarest first, shingle text as tie-break (total order)
+    posting = docs.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    # Global order: rarest first, shingle hash as tie-break (total order).
+    # df and the per-doc re-group are fused into one shuffle chain
+    # (groupBy shingle carrying the postings list, explode back, groupBy
+    # doc) instead of a separate dfreq aggregate + join — one fewer
+    # full-postings shuffle, same result.
+    by_shingle = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"),
+    )
     ordered = (
-        posting.join(dfreq, "shingle")
-        .groupBy("doc_id")
+        by_shingle.select("df", "shingle", F.explode("docs").alias("d"))
+        .groupBy(F.col("d.doc_id").alias("doc_id"))
         .agg(
+            F.any_value(F.col("d.n_sh")).alias("n_sh"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "shingle"))),
                 lambda s: s["shingle"],
-            ).alias("by_rarity")
+            ).alias("by_rarity"),
         )
         .select(
             "doc_id",
-            F.size("by_rarity").alias("n_sh"),
+            "n_sh",
             F.slice(
                 "by_rarity",
                 1,
                 (F.size("by_rarity") - F.ceil(F.size("by_rarity") * tau) + 1).cast("int"),
             ).alias("prefix"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the self-join
     )
     pref = ordered.select("doc_id", "n_sh", F.explode("prefix").alias("shingle"))
     a = pref.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
@@ -203,6 +223,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     LSH_BANDS bands; docs sharing any (band, band-signature) bucket become
     candidates; candidates are verified with exact Jaccard so output
     precision is exact (recall is the standard banding S-curve).
+
+    The signature table is persisted (memory-and-disk): both sides of the
+    band-bucket self-join derive from it, and shingling + MINHASH_SEEDS
+    hash passes per shingle is the dominant cost — without the persist the
+    whole chain runs twice.
     """
     docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
 
@@ -220,7 +245,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
                 for i in range(MINHASH_SEEDS)
             ]
         ).alias("minhash"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     banded = sig.select(
         "doc_id",
@@ -274,16 +299,24 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     token's bit b.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
+    # Two conv() calls turn the 16-hex-char prefix into a pair of 32-bit
+    # ints; each of the 64 bit weights is then an integer shift+mask.
+    # (One conv per *bit* — 64 substring+instr string ops per token row —
+    # costs ~2x the whole operator; this is the whole-stage-codegen-
+    # friendly form.)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("tok")
+        )
+        .withColumn("h", F.md5(F.col("tok")))
+        .withColumn("hi", F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+        .withColumn("lo", F.expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
+    )
 
     weight_exprs = []
     for idx in range(64):
-        j = idx // 4 + 1  # 1-indexed nibble position in the md5 hex string
-        s = 3 - idx % 4  # MSB-first bit within the nibble
-        nib = f"(instr('0123456789abcdef', substring(h, {j}, 1)) - 1)"
-        bit = f"(({nib} div {2 ** s}) % 2)"
+        half, shift = ("hi", 31 - idx) if idx < 32 else ("lo", 63 - idx)
+        bit = f"((shiftright({half}, {shift})) & 1)"
         weight_exprs.append(F.expr(f"sum({bit} * 2 - 1)").alias(f"s{idx}"))
     sums = toks.groupBy("doc_id").agg(*weight_exprs)
 
