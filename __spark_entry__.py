@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier": relational.q5_local_supplier,
+        "q4_order_priority": relational.q4_order_priority,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,
         "static_mapping": transforms.static_mapping,
         "q18_big_orders": transforms.q18_big_orders,
         "q22_inactive_customers": transforms.q22_inactive_customers,
@@ -88,6 +94,12 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.q1_oracle(),
         "q3_shipping_priority": relational.q3_oracle(),
         "q5_local_supplier": relational.q5_oracle(),
+        "q4_order_priority": relational.q4_oracle(),
+        "q6_forecast_revenue": relational.q6_oracle(),
+        "q7_volume_shipping": relational.q7_oracle(),
+        "q10_returned_items": relational.q10_oracle(),
+        "q14_promo_revenue": relational.q14_oracle(),
+        "q19_disjunctive_predicate": relational.q19_oracle(),
         "static_mapping": transforms.static_mapping_oracle(),
         "q18_big_orders": transforms.q18_oracle(),
         "q22_inactive_customers": transforms.q22_oracle(),
