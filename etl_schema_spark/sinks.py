@@ -1,0 +1,160 @@
+"""Table sinks: partitioned parquet materialization, additive-evolution
+append, and the BigQuery connector surface.
+
+Parity: the reference's pipeline lands data in date-partitioned BigQuery
+tables and patches their schemas additively (schema/sync_tables_with_schema.sh);
+cmd/bq_create_view materializes the view DAG on top. Here:
+
+  write_partitioned    date/key-partitioned parquet writes sized for scale:
+                       one shuffle on the partition keys so each partition is
+                       written by few tasks (no small-file explosion), dynamic
+                       partition overwrite so re-runs replace only touched
+                       partitions (BigQuery partition-decorator semantics).
+  append_evolved       append under additive schema evolution: the incoming
+                       frame is reconciled onto evolve_schema(existing,
+                       incoming) — new columns land nullable, historical
+                       files stay valid (sync_tables_with_schema.sh parity).
+  read_evolved         the matching read: parquet mergeSchema across file
+                       generations.
+  materialize_views    write a ViewCatalog's DAG to storage in dependency
+                       order — the bq_create_view "deploy" equivalent when a
+                       view should become a table.
+  bigquery_writer      configured writer for the public spark-bigquery
+                       connector (format "bigquery"); raises a clear error
+                       when the connector jar is absent (this container).
+
+Scale notes (100 TB):
+  - The partition-key repartition before write is the one shuffle; without
+    it every upstream task writes every partition → files = tasks ×
+    partitions. ``maxRecordsPerFile`` bounds file size under skewed keys.
+  - Dynamic partition overwrite keeps backfills incremental: re-running one
+    day's job rewrites one day's partitions, not the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas.evolution import evolve_schema, reconcile_to_schema
+from .sources.views import ViewCatalog
+
+DEFAULT_MAX_RECORDS_PER_FILE = 5_000_000
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Partitioned parquet write with dynamic partition overwrite.
+
+    Repartitions on the partition columns first so each output partition is
+    produced by a bounded number of tasks — the difference between O(days)
+    and O(days × tasks) files at 100 TB.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = df
+    if partition_cols:
+        writer = df.repartition(*[F.col(c) for c in partition_cols])
+    (
+        writer.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read across file generations, merging additively-evolved schemas."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def append_evolved(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Append under additive schema evolution.
+
+    The incoming frame is projected onto evolve_schema(existing, incoming):
+    brand-new columns append as nullable, columns the incoming frame lacks
+    become typed NULLs, and retyped columns keep the historical type (additive
+    evolution never rewrites history — sync_tables_with_schema.sh semantics).
+    Returns the reconciled frame that was written.
+    """
+    try:
+        existing = spark.read.parquet(path).schema
+    except Exception:
+        existing = None
+    if existing is not None:
+        target = evolve_schema(existing, df.schema)
+        df = reconcile_to_schema(df, target)
+    writer = df
+    if partition_cols:
+        writer = df.repartition(*[F.col(c) for c in partition_cols])
+    (
+        writer.write.mode("append")
+        .option("maxRecordsPerFile", DEFAULT_MAX_RECORDS_PER_FILE)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return df
+
+
+def materialize_views(
+    catalog: ViewCatalog,
+    spark: SparkSession,
+    base_path: str,
+    partition_cols: dict[str, Sequence[str]] | None = None,
+) -> list[str]:
+    """Write every view in the catalog to `{base_path}/{dataset__view}/` in
+    dependency order (views later in the DAG read the temp views of earlier
+    ones, exactly like bq_create_view's cross-dataset deploy)."""
+    partition_cols = partition_cols or {}
+    order = catalog.materialize(spark)
+    for name in order:
+        df = catalog.query(spark, name)
+        write_partitioned(
+            df,
+            f"{base_path}/{name.replace('.', '__')}",
+            partition_cols.get(name, ()),
+        )
+    return order
+
+
+def bigquery_writer(df: DataFrame, table: str, write_method: str = "indirect"):
+    """Writer configured for the public spark-bigquery connector.
+
+    Usage on a cluster with the connector jar
+    (`com.google.cloud.spark:spark-bigquery-with-dependencies`):
+
+        bigquery_writer(df, "dataset.table").save()
+
+    In this container the jar is absent, so the configured writer is returned
+    for inspection but `.save()` would fail — callers should treat
+    `bigquery_available(spark)` as the gate.
+    """
+    return (
+        df.write.format("bigquery")
+        .option("table", table)
+        .option("writeMethod", write_method)
+        .mode("overwrite")
+    )
+
+
+def bigquery_available(spark: SparkSession) -> bool:
+    """True when the spark-bigquery connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+        )
+        return True
+    except Exception:
+        return False

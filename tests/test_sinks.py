@@ -1,0 +1,85 @@
+"""Sink layer tests: partitioned writes, evolution append, view materialization."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_schema_spark import sinks
+from etl_schema_spark.sources.catalog import load_table
+from etl_schema_spark.sources.views import ViewCatalog
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    sinks.write_partitioned(orders, out, ["order_year"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    pruned = back.filter(F.col("order_year") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "order_year" in plan, plan
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    out = str(tmp_path / "dyn")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, part string")
+    sinks.write_partitioned(df1, out, ["part"])
+    df2 = spark.createDataFrame([(99, "b")], "k int, part string")
+    sinks.write_partitioned(df2, out, ["part"])
+    rows = {(r.k, r.part) for r in spark.read.parquet(out).collect()}
+    # partition a untouched, partition b replaced
+    assert rows == {(1, "a"), (99, "b")}
+
+
+def test_append_evolved_adds_column_additively(spark, tmp_path):
+    out = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, "x")], "id int, name string")
+    sinks.append_evolved(spark, v1, out)
+    v2 = spark.createDataFrame([(2, "y", 3.5)], "id int, name string, score double")
+    sinks.append_evolved(spark, v2, out)
+
+    back = sinks.read_evolved(spark, out)
+    assert set(back.columns) == {"id", "name", "score"}
+    rows = {(r.id, r.name, r.score) for r in back.collect()}
+    assert rows == {(1, "x", None), (2, "y", 3.5)}
+
+
+def test_append_evolved_keeps_historical_type(spark, tmp_path):
+    out = str(tmp_path / "retype")
+    v1 = spark.createDataFrame([(1, 10)], "id int, v int")
+    sinks.append_evolved(spark, v1, out)
+    # incoming retypes v to string — additive evolution keeps int, casting
+    v2 = spark.createDataFrame([(2, "11")], "id int, v string")
+    written = sinks.append_evolved(spark, v2, out)
+    assert dict(written.dtypes)["v"] == "int"
+    rows = {(r.id, r.v) for r in sinks.read_evolved(spark, out).collect()}
+    assert rows == {(1, 10), (2, 11)}
+
+
+def test_materialize_views_writes_dag_in_order(spark, sf_dir, tmp_path):
+    cat = ViewCatalog(project_id="test")
+    cat.add(
+        "ds.base",
+        "SELECT event_type, value FROM events_src",
+        "base projection",
+    )
+    cat.add(
+        "ds.rollup",
+        "SELECT event_type, COUNT(*) AS n FROM `{{.ProjectID}}.ds.base` GROUP BY event_type",
+        "depends on base",
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_src")
+    order = sinks.materialize_views(cat, spark, str(tmp_path / "mat"))
+    assert order.index("ds.base") < order.index("ds.rollup")
+    rolled = spark.read.parquet(str(tmp_path / "mat" / "ds__rollup"))
+    assert rolled.count() == 5  # event types in testdata
+
+
+def test_bigquery_surface_gated(spark):
+    df = spark.range(1)
+    w = sinks.bigquery_writer(df, "dataset.table")
+    assert w is not None
+    assert sinks.bigquery_available(spark) in (True, False)
