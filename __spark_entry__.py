@@ -71,9 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": text.token_count,
         "text_quality": text.text_quality,
         "langid_heuristic": text.langid_heuristic,
+        "tfidf_top_terms": text.tfidf_top_terms,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "embedding_cosine_dup": similarity.embedding_cosine_dup,
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only
+        "knn_classify": similarity.knn_classify,
+        "kmeans_clusters": similarity.kmeans_clusters,  # rows-only
         "multimodal_meta": multimodal.multimodal_meta,
     }
 
@@ -114,8 +117,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": text.token_count_oracle(),
         "text_quality": text.text_quality_oracle(),
         "langid_heuristic": text.langid_heuristic_oracle(),
+        "tfidf_top_terms": text.tfidf_top_terms_oracle(),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
         "embedding_cosine_dup": similarity.embedding_cosine_dup_oracle(),
         # ann_ivf_topk: rows-only (centroid float reduction not bit-portable)
+        "knn_classify": similarity.knn_classify_oracle(),
+        # kmeans_clusters: rows-only (iterative float centroid reduction)
         "multimodal_meta": multimodal.multimodal_meta_oracle(),
     }

@@ -179,3 +179,140 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "bucket", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote: classify each query vector by the majority label of
+    its TOP_K cosine neighbors (ties → smaller label).
+
+    The standard embedding-quality probe for a curation pipeline. Same
+    broadcast-queries scan shape as ann_bruteforce_topk, plus a per-query
+    vote aggregate — the collection side still never shuffles before the
+    top-k window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    cos = _cosine(F.col("q_emb"), F.col("embedding"))
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).withColumn(
+        "cosine", _trunc6(cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "votes",
+            "true_label",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def knn_classify_oracle() -> str:
+    return f"""
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, a.label AS true_label,
+                 b.vec_id AS neighbor_id, b.label AS label,
+                 FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
+          FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ),
+        topk AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+          ) WHERE rank <= {TOP_K}
+        ),
+        votes AS (
+          SELECT query_id, true_label, label, COUNT(*) AS votes
+          FROM topk GROUP BY query_id, true_label, label
+        )
+        SELECT query_id, label AS predicted_label, votes, true_label,
+               (label = true_label) AS correct
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
+          FROM votes
+        ) WHERE vr = 1
+        ORDER BY query_id
+    """
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding collection (rows-only: float
+    reduction order across the shuffle makes centroid bits engine-specific).
+
+    Iterative-algorithm pattern on Spark: each iteration is one distributed
+    assign (broadcast K centroids, argmin over a deterministic
+    struct-ordered min) + one distributed update (posexplode → per-(cluster,
+    dim) mean → collect_list back). Centroids — O(K × dim) metadata, not
+    data — are collected to the driver between iterations to keep the plan
+    depth constant; this is exactly how MLlib's KMeans drives its loop.
+    Seeds = the first K vectors by vec_id (deterministic).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids_df = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    centroids = centroids_df.collect()
+
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        cdf = spark.createDataFrame(centroids, "c_id int, centroid array<double>")
+        assigned = (
+            emb.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", dist)
+            .groupBy("vec_id", "embedding")
+            .agg(F.min(F.struct("d2", "c_id")).alias("best"))
+            .select("vec_id", "embedding", F.col("best.c_id").alias("cluster"),
+                    F.col("best.d2").alias("d2"))
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+            .select(
+                F.col("cluster").alias("c_id"),
+                F.transform("pairs", lambda p: p["cx"]).alias("centroid"),
+            )
+            .collect()
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            _trunc6(F.sum("d2")).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

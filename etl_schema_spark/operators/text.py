@@ -11,7 +11,7 @@ corpus-level stats do one partial-aggregated groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -207,4 +207,68 @@ def doc_fingerprint_oracle() -> str:
                substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fingerprint64,
                substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 2) AS shard_bucket
         FROM documents ORDER BY doc_id
+    """
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    Classic corpus-weighting operator for pretraining-data curation (rare-
+    term extraction, topic keying). Fully declarative: one shuffle for the
+    per-(doc, term) TF count, one for the document-frequency aggregate
+    (broadcast back onto the term postings), and a per-doc top-k window.
+    The corpus size joins in as a broadcast 1-row aggregate, so nothing
+    collects to the driver. idf = ln((N+1)/(df+1)) in float64 — identical
+    arithmetic in the DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "tf", _trunc6(F.col("tfidf")).alias("tfidf"), "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def tfidf_top_terms_oracle(top_k: int = 3) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term != '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf_raw
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, term, tf, tfidf_raw,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, FLOOR(tfidf_raw * 1e6) / 1e6 AS tfidf, rnk
+        FROM ranked WHERE rnk <= {top_k}
+        ORDER BY doc_id, rnk
     """

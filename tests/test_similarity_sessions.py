@@ -95,3 +95,29 @@ def test_decode_stub_is_gated():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_tfidf_top_terms(spark, sf_dir, duck):
+    from etl_schema_spark.operators import text
+
+    assert_matches_oracle(text.tfidf_top_terms(spark, sf_dir), duck, text.tfidf_top_terms_oracle())
+
+
+def test_knn_classify(spark, sf_dir, duck):
+    from etl_schema_spark.operators import similarity
+
+    assert_matches_oracle(
+        similarity.knn_classify(spark, sf_dir), duck, similarity.knn_classify_oracle()
+    )
+
+
+def test_kmeans_clusters(spark, sf_dir):
+    from etl_schema_spark.operators import similarity
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    out = similarity.kmeans_clusters(spark, sf_dir).collect()
+    assert len(out) == similarity.KMEANS_K
+    assert sum(r.n_members for r in out) == n_vecs  # all vectors assigned
+    assert all(r.inertia >= 0 for r in out)
