@@ -30,3 +30,53 @@ def test_session_window_stream_matches_batch(spark, sf_dir):
     got = {(r.user_id, r.session_start): r.n_events for r in out.collect()}
     want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
     assert got == want
+
+
+def test_ewma_anomaly_stream_counts_all_events(spark, sf_dir):
+    out = streaming.run_available_now(
+        streaming.ewma_anomaly_stream(spark, sf_dir), "t_ewma", mode="update"
+    )
+    rows = out.collect()
+    total = load_table(spark, sf_dir, "events").count()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(rows) == n_users
+    assert sum(r.n_events for r in rows) == total
+    assert all(r.n_anomalies >= 0 for r in rows)
+
+
+def test_ewma_state_recurrence_matches_reference_impl(spark, sf_dir):
+    """The streamed EWMA must equal a straight per-user batch recurrence."""
+    out = streaming.run_available_now(
+        streaming.ewma_anomaly_stream(spark, sf_dir), "t_ewma2", mode="update"
+    )
+    got = {r.user_id: (r.ewma_value, r.n_anomalies) for r in out.collect()}
+
+    from etl_schema_spark.streaming.stateful import ANOMALY_Z, EWMA_ALPHA
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .orderBy("user_id", "ts")
+        .collect()
+    )
+    state: dict[int, tuple[float, float, int, int]] = {}
+    for r in ev:
+        mean, var, n, anom = state.get(r.user_id, (0.0, 0.0, 0, 0))
+        if n > 0 and var > 0 and abs(r.value - mean) / (var**0.5) > ANOMALY_Z:
+            anom += 1
+        delta = r.value - mean
+        mean = mean + EWMA_ALPHA * delta if n > 0 else float(r.value)
+        var = (1 - EWMA_ALPHA) * (var + EWMA_ALPHA * delta * delta) if n > 0 else 0.0
+        state[r.user_id] = (mean, var, n + 1, anom)
+    for uid, (mean, _var, _n, anom) in state.items():
+        g_mean, g_anom = got[uid]
+        assert abs(g_mean - mean) < 1e-9, (uid, g_mean, mean)
+        assert g_anom == anom, (uid, g_anom, anom)
+
+
+def test_dedup_stream_drops_duplicates(spark, sf_dir):
+    out = streaming.run_available_now(
+        streaming.dedup_stream(spark, sf_dir), "t_dedup", mode="append"
+    )
+    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.count() == n_distinct
