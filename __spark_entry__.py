@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
         "unified_view_events": views_layer.unified_view,
+        "annotate_renest": views_layer.annotate_renest,
         "dedup_best_per_user": rollups.dedup_best_per_user,
         "hourly_rollup": rollups.hourly_rollup,
         "daily_deciles": rollups.daily_deciles,
@@ -86,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "raw_view_events": views_layer.raw_view_oracle(),
         "extended_view_events": views_layer.extended_view_oracle(),
         "unified_view_events": views_layer.unified_view_oracle(),
+        "annotate_renest": views_layer.annotate_renest_oracle(),
         "dedup_best_per_user": rollups.dedup_best_per_user_oracle(),
         "hourly_rollup": rollups.hourly_rollup_oracle(),
         "daily_deciles": rollups.daily_deciles_oracle(),

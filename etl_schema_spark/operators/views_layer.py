@@ -191,3 +191,89 @@ def unified_view_oracle() -> str:
         WHERE is_complete AND is_production AND NOT is_error AND NOT is_oam
           AND NOT is_small AND NOT is_short AND NOT is_long
     """
+
+
+# Static annotation dimension for annotate_renest (stands in for the
+# reference's hopannotation2 geo/network annotation table).
+ANNOTATION_TAGS = (
+    ("the", "art"),
+    ("a", "art"),
+    ("and", "conj"),
+    ("or", "conj"),
+    ("is", "verb"),
+    ("was", "verb"),
+    ("of", "prep"),
+    ("in", "prep"),
+    ("to", "prep"),
+)
+
+
+def annotate_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode a nested array, annotate each element against a dimension,
+    and reassemble the array in original element order.
+
+    Parity: views/wehe/scamper1_hopannotation2.sql lines 18-50 — the
+    reference UNNESTs traceroute hop nodes, LEFT JOINs the hopannotation2
+    annotation table per hop, then ARRAY_AGGs the annotated hops back and
+    splices them into the nested struct. Here tokens play hops and a static
+    tag table plays the annotation dataset; the reassembled array is proven
+    byte-exact via an order-sensitive md5 fingerprint (portable to the SQL
+    oracle, unlike a raw array-of-structs hash).
+
+    Scale: the annotation dim broadcasts; the explode + re-group is one
+    shuffle on doc_id — the same cost profile as the reference's per-date
+    scamper reassembly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(list(ANNOTATION_TAGS), "term string, tag string")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "term")
+    )
+    pair = F.concat_ws(":", F.col("term"), F.coalesce(F.col("tag"), F.lit("-")))
+    ann = toks.join(F.broadcast(dim), "term", "left").select(
+        "doc_id", "pos", F.col("tag"), pair.alias("pair")
+    )
+    return (
+        ann.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("tag").alias("n_annotated"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "pair"))),
+                        lambda s: s["pair"],
+                    ),
+                )
+            ).alias("renest_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def annotate_renest_oracle() -> str:
+    values = ", ".join(f"('{t}', '{g}')" for t, g in ANNOTATION_TAGS)
+    return rf"""
+        WITH anns(term, tag) AS (VALUES {values}),
+        d AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+          FROM d
+        ),
+        ann AS (
+          SELECT t.doc_id, t.pos, a.tag,
+                 t.term || ':' || COALESCE(a.tag, '-') AS pair
+          FROM tok t LEFT JOIN anns a USING (term)
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(tag) AS n_annotated,
+               md5(string_agg(pair, '|' ORDER BY pos)) AS renest_md5
+        FROM ann
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

@@ -44,3 +44,11 @@ def test_view_layers_collapse_to_single_stage(spark, sf_dir):
     reference where views are logical only — BigQuery inlines them)."""
     plan = views_layer.unified_view(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_annotate_renest(spark, sf_dir, duck):
+    from etl_schema_spark.operators import views_layer
+
+    assert_matches_oracle(
+        views_layer.annotate_renest(spark, sf_dir), duck, views_layer.annotate_renest_oracle()
+    )
