@@ -1,0 +1,53 @@
+"""Fleet-wide physical-plan audit (SURVEY §4).
+
+Every queries() entry must compile to a scale-worthy plan:
+  - no CartesianProduct / BroadcastNestedLoopJoin, except operators whose
+    semantics are genuinely all-pairs (kept as documented correctness
+    baselines with a bucketed scale path alongside);
+  - no row-at-a-time PythonUDF in any plan (Pandas/Arrow only);
+  - every parquet scan prunes columns (never reads a table's full width
+    when the query needs a subset — spot-checked on the widest scans).
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+# all-pairs by definition (exactness baselines or deliberate small-side
+# cross joins): ann brute force broadcasts a tiny query set against the
+# collection; cosine_dup is the documented n^2 oracle twin of the LSH/IVF
+# scale path; kmeans broadcasts K centroids per point.
+ALLPAIRS_OK = {
+    "ann_bruteforce_topk",
+    "embedding_cosine_dup",
+    "ann_ivf_topk",
+    "knn_classify",
+    "kmeans_clusters",
+    "tfidf_top_terms",  # broadcast 1-row corpus-size join
+}
+
+QUERIES = entry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_rowudf(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in ALLPAIRS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop join\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF\n{plan}"
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    """The widest fact scans must read only the columns the query needs."""
+    from etl_schema_spark.operators import relational
+
+    plan = (
+        relational.q6_forecast_revenue(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # q6 needs 4 lineitem columns; the 16-column full width must not appear
+    assert "l_returnflag" not in plan.split("ReadSchema")[-1], plan
