@@ -28,11 +28,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "q18_big_orders",
     "sessionized_events",
+    "annotate_renest",
     "dedup_ngram_jaccard",
     "simhash_fingerprint",
+    "tfidf_top_terms",
     "ann_bruteforce_topk",
+    "knn_classify",
     "token_count",
     "multimodal_meta",
 ]
@@ -45,8 +50,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     spark = get_spark("bench")
-    # warm the JVM + parquet footers with one throwaway pass
+    # warm the JVM + parquet footers + Python/Arrow worker pool with one
+    # throwaway pass each (worker startup is deployment cost, not query cost)
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

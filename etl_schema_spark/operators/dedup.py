@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..sources.catalog import load_table
+from ..sources.catalog import cpu_parallel, load_table
 
 JACCARD_TAU = 0.5
 MINHASH_SEEDS = 8
@@ -63,7 +63,8 @@ def _shingles_of(toks: Column) -> Column:
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str):
-    return load_table(spark, sf_dir, "documents").select(
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select(
         "doc_id", _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles")
     )
 
@@ -298,7 +299,7 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint is the sign of sum over distinct tokens of (+1/-1) for that
     token's bit b.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # Two conv() calls turn the 16-hex-char prefix into a pair of 32-bit
     # ints; each of the 64 bit weights is then an integer shift+mask.
     # (One conv per *bit* — 64 substring+instr string ops per token row —

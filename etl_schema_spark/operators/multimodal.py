@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.catalog import load_table
+from ..sources.catalog import cpu_parallel, load_table
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -42,7 +42,7 @@ def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     `documents.text` stands in for the media payload; on a real corpus this
     is the raw image/audio bytes column read from parquet/webdataset.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

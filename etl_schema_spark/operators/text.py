@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import cpu_parallel, load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -222,7 +222,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFra
     arithmetic in the DuckDB oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = cpu_parallel(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import load_table
+from ..sources.catalog import cpu_parallel, load_table
 
 # Stand-in for the reference's OAM client-IP list
 # (extended_ndt7_downloads.sql lines 49-57).
@@ -224,7 +224,7 @@ def annotate_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on doc_id — the same cost profile as the reference's per-date
     scamper reassembly.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     dim = spark.createDataFrame(list(ANNOTATION_TAGS), "term string, tag string")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "term")

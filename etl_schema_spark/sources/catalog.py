@@ -50,6 +50,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def cpu_parallel(df: DataFrame) -> DataFrame:
+    """Re-establish parallelism for CPU-bound derivations over small scans.
+
+    A parquet file is splittable only at row-group boundaries; a
+    single-row-group file scans as ONE task, serializing any expensive
+    per-row derivation (shingling, hashing, explode) on one core no matter
+    the cluster size. When the scan has fewer partitions than the default
+    parallelism, repartition up — the shuffle moves only the projected
+    columns and unlocks full-width execution. At production scale inputs
+    arrive with thousands of splits and this is a no-op (the gate avoids a
+    pointless shuffle).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
