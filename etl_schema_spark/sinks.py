@@ -129,6 +129,32 @@ def materialize_views(
     return order
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed + sorted table write (saveAsTable — bucketing needs catalog
+    metadata, not just files).
+
+    The co-located-join primitive: two tables bucketed on the same key with
+    the same bucket count join with ZERO exchanges — each task reads matching
+    bucket files from both sides. At 100 TB this converts every recurring
+    fact-to-fact join on the bucket key (orders ⋈ lineitem on orderkey) from
+    a full 2-sided shuffle into a local merge per bucket. sortBy within
+    buckets additionally removes the sort from sort-merge joins.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols is None:
+        sort_cols = bucket_cols
+    writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def bigquery_writer(df: DataFrame, table: str, write_method: str = "indirect"):
     """Writer configured for the public spark-bigquery connector.
 

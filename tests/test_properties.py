@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the engine's exactness claims.
+
+The jaccard prefix filter (AllPairs/PPJoin) claims LOSSLESS recall at the
+threshold for ANY corpus — including adversarial ones with tiny shared
+vocabularies where every doc shares shingles with every other. Hypothesis
+drives exactly those corpora at the naive-oracle scale where brute force is
+feasible.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import types as T
+
+from etl_schema_spark.operators.dedup import JACCARD_TAU, dedup_ngram_jaccard
+from etl_schema_spark.schemas.evolution import (
+    diff_schemas,
+    evolve_schema,
+    reconcile_to_schema,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=10),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _naive_jaccard_pairs(token_docs: list[list[str]], tau: float) -> dict:
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    sh = [shingles(t) for t in token_docs]
+    out = {}
+    for a in range(len(sh)):
+        for b in range(a + 1, len(sh)):
+            if not sh[a] or not sh[b]:
+                continue
+            common = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and common / union >= tau:
+                out[(a, b)] = common
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_docs=docs_strategy)
+def test_prefix_filter_jaccard_is_exact(spark, tmp_path_factory, token_docs):
+    """Prefix-filtered set-similarity join == brute-force all-pairs Jaccard
+    on adversarial small-vocabulary corpora."""
+    rows = [
+        (i, " ".join(toks), "en", "hyp", len(" ".join(toks)))
+        for i, toks in enumerate(token_docs)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    d = tmp_path_factory.mktemp("hyp_docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.common
+        for r in dedup_ngram_jaccard(spark, str(d)).collect()
+    }
+    want = _naive_jaccard_pairs(token_docs, JACCARD_TAU)
+    assert got == want
+
+
+# --- schema evolution algebra --------------------------------------------
+
+_atomic = st.sampled_from(
+    [T.IntegerType(), T.LongType(), T.StringType(), T.DoubleType(), T.BooleanType()]
+)
+_names = st.sampled_from(list("abcdefgh"))
+
+
+@st.composite
+def struct_types(draw, depth=1):
+    n = draw(st.integers(min_value=1, max_value=4))
+    names = draw(
+        st.lists(_names, min_size=n, max_size=n, unique=True)
+    )
+    fields = []
+    for name in names:
+        if depth > 0 and draw(st.booleans()):
+            dt = draw(struct_types(depth=depth - 1))
+        else:
+            dt = draw(_atomic)
+        fields.append(T.StructField(name, dt, True))
+    return T.StructType(fields)
+
+
+@settings(max_examples=60, deadline=None)
+@given(s=struct_types())
+def test_evolve_idempotent(s):
+    assert evolve_schema(s, s) == s
+    d = diff_schemas(s, s)
+    assert d == {"added": [], "removed": [], "retyped": []}
+
+
+@settings(max_examples=60, deadline=None)
+@given(base=struct_types(), inc=struct_types())
+def test_evolve_is_additive_superset(base, inc):
+    """Every base field survives with its type; every incoming field name
+    exists in the merged schema."""
+    merged = evolve_schema(base, inc)
+    merged_map = {f.name: f for f in merged.fields}
+    for f in base.fields:
+        assert f.name in merged_map
+        if not isinstance(f.dataType, T.StructType):
+            assert merged_map[f.name].dataType == f.dataType  # never retyped
+    for f in inc.fields:
+        assert f.name in merged_map
+    # evolution is monotone: evolving again with the same incoming is stable
+    assert evolve_schema(merged, inc) == merged
+
+
+@pytest.mark.parametrize("seed", range(1))
+def test_reconcile_projects_onto_target(spark, seed):
+    df = spark.createDataFrame([(1, "x", 2.5)], "a int, b string, extra double")
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType()),  # widened
+            T.StructField("b", T.StringType()),
+            T.StructField("missing", T.StringType()),  # new
+        ]
+    )
+    out = reconcile_to_schema(df, target)
+    assert out.schema == target
+    row = out.collect()[0]
+    assert (row.a, row.b, row.missing) == (1, "x", None)

@@ -83,3 +83,23 @@ def test_bigquery_surface_gated(spark):
     w = sinks.bigquery_writer(df, "dataset.table")
     assert w is not None
     assert sinks.bigquery_available(spark) in (True, False)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with zero shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sinks.write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    sinks.write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    n = joined.count()
+    assert n == li.count()  # every lineitem matches exactly one order
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
