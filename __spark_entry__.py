@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_schema_spark import functions as table_functions
 from etl_schema_spark.operators import (
     dedup,
     multimodal,
@@ -47,6 +48,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "switch_utilization": rollups.switch_utilization,
         "sidestream_view": rollups.sidestream_view,
         "wildcard_union": rollups.wildcard_union,
+        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf(
+            s, d, direction="upload", fleet="2021"
+        ),
+        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean(
+            s, d, direction="download", fleet="complete"
+        ),
         # §2B relational core
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -96,6 +103,12 @@ def oracle_sql() -> dict[str, str]:
         "switch_utilization": rollups.switch_utilization_oracle(),
         "sidestream_view": rollups.sidestream_view_oracle(),
         "wildcard_union": rollups.wildcard_union_oracle(),
+        "fn_pdf_upload_2021": table_functions.metric_pdf_oracle(
+            direction="upload", fleet="2021"
+        ),
+        "fn_geomean_download_complete": table_functions.metric_geomean_oracle(
+            direction="download", fleet="complete"
+        ),
         "q1_pricing_summary": relational.q1_oracle(),
         "q3_shipping_priority": relational.q3_oracle(),
         "q5_local_supplier": relational.q5_oracle(),
