@@ -1,0 +1,86 @@
+"""Skew-mitigation utilities (SURVEY §4).
+
+AQE's skew-join splitting (on in session.py) covers sort-merge joins whose
+skew is visible in shuffle statistics. Two cases remain for explicit
+salting, both used at 100 TB:
+
+  salted_join       A shuffled equi-join where one key holds a large share
+                    of the big side and the small side can't broadcast.
+                    The small side replicates SALT times (tiny: |small| x
+                    SALT rows); the big side gets a deterministic per-row
+                    salt, so the hot key spreads over SALT reducers.
+  salted_collect    Non-algebraic aggregates (collect_list/collect_set)
+                    have NO map-side partial aggregation — a hot group's
+                    every row lands on one reducer. Two-phase salting
+                    bounds per-reducer fan-in to group_size / SALT, then
+                    flattens the per-salt chunks.
+
+Algebraic aggregates (sum/count/min/max/avg) do NOT need this: Spark
+already partial-aggregates map-side, so a hot group costs one row per map
+task in the shuffle. Salting those would add a shuffle for nothing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def _row_salt(n: int) -> Column:
+    """Deterministic pseudo-random per-row salt (seeded rand keeps runs
+    reproducible; any spread works — correctness never depends on it)."""
+    return F.floor(F.rand(seed=42) * n).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over `salt` reducers.
+
+    `small` is replicated `salt` times via explode (rows = |small| x salt —
+    use only when broadcast is infeasible but replication still fits);
+    `big` rows get one salt each, so every big row still meets every
+    matching small row exactly once.
+    """
+    salts = F.array(*[F.lit(i) for i in range(salt)])
+    small_rep = small.withColumn("_salt", F.explode(salts))
+    big_s = big.withColumn("_salt", _row_salt(salt))
+    joined = big_s.join(small_rep, [*on, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def salted_collect(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    salt: int = DEFAULT_SALT,
+    out: str = "items",
+    sort: bool = True,
+) -> DataFrame:
+    """collect_list(col) by keys with bounded per-reducer fan-in.
+
+    Phase 1 collects per (keys, salt) — each reducer sees at most
+    group_size / salt rows of a hot group; phase 2 merges the salt chunks
+    (at most `salt` small arrays per group). With sort=True the merged
+    array is sorted, making the result deterministic (a plain
+    collect_list's order is partition-dependent anyway).
+    """
+    phase1 = (
+        df.withColumn("_salt", _row_salt(salt))
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_list(col).alias("_chunk"))
+    )
+    merged = phase1.groupBy(*keys).agg(
+        F.flatten(F.collect_list("_chunk")).alias(out)
+    )
+    if sort:
+        merged = merged.withColumn(out, F.array_sort(out))
+    return merged
