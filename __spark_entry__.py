@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "switch_utilization": rollups.switch_utilization,
         "sidestream_view": rollups.sidestream_view,
         "wildcard_union": rollups.wildcard_union,
+        "multistream_throughput": rollups.multistream_throughput,
         "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf(
             s, d, direction="upload", fleet="2021"
         ),
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "switch_utilization": rollups.switch_utilization_oracle(),
         "sidestream_view": rollups.sidestream_view_oracle(),
         "wildcard_union": rollups.wildcard_union_oracle(),
+        "multistream_throughput": rollups.multistream_throughput_oracle(),
         "fn_pdf_upload_2021": table_functions.metric_pdf_oracle(
             direction="upload", fleet="2021"
         ),

@@ -349,3 +349,86 @@ def wildcard_union_oracle() -> str:
         SELECT CAST(ts AS DATE) AS date, COUNT(*) AS rows
         FROM events GROUP BY 1 ORDER BY date
     """
+
+
+def multistream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stream test throughput: per-test time range (HAVING-filtered),
+    snapshots re-joined under a range predicate, rate from windowed sums.
+
+    Parity: views/msak/throughput1_downloads.sql — the reference computes
+    per-MeasurementID start/end times (HAVING test duration <= 60s), joins
+    the per-stream ServerMeasurements snapshots back restricted to the test
+    window (StartTime + ElapsedTime <= test_end_time), and derives aggregate
+    throughput from the last valid snapshot sums. Here (user_id, event_type)
+    plays MeasurementID, events play stream snapshots, and the test window
+    caps at one hour past the first snapshot.
+
+    Scale: the ranges aggregate and the snapshot re-join shuffle on the same
+    (user_id, event_type) key — Catalyst reuses the partitioning, and the
+    range predicate stays a post-join filter on co-partitioned data (never a
+    cartesian).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value")
+    ranges = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("test_start"), F.max("ts").alias("test_end"))
+        .filter(
+            F.unix_micros("test_end") - F.unix_micros("test_start") <= 30 * 86400 * 1_000_000
+        )
+    )
+    windowed = ev.join(ranges, ["user_id", "event_type"]).filter(
+        F.col("ts") <= F.col("test_start") + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        windowed.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.any_value("test_start").alias("test_start"),
+            F.max("ts").alias("last_snapshot"),
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                    / (
+                        (
+                            F.unix_micros(F.max("ts"))
+                            - F.unix_micros(F.any_value("test_start"))
+                        ).cast("double")
+                        / 1e6
+                        + 1
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("rate"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def multistream_throughput_oracle() -> str:
+    return """
+        WITH ranges AS (
+          SELECT user_id, event_type,
+                 MIN(ts) AS test_start, MAX(ts) AS test_end
+          FROM events
+          GROUP BY user_id, event_type
+          HAVING epoch_us(MAX(ts)) - epoch_us(MIN(ts)) <= CAST(30 * 86400 AS BIGINT) * 1000000
+        ),
+        windowed AS (
+          SELECT e.user_id, e.event_type, e.ts, e.value, r.test_start
+          FROM events e
+          JOIN ranges r USING (user_id, event_type)
+          WHERE e.ts <= r.test_start + INTERVAL 1 HOUR
+        )
+        SELECT user_id, event_type,
+               COUNT(*) AS n_snapshots,
+               ANY_VALUE(test_start) AS test_start,
+               MAX(ts) AS last_snapshot,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / (CAST(epoch_us(MAX(ts)) - epoch_us(ANY_VALUE(test_start)) AS DOUBLE)
+                        / 1e6 + 1) * 1e6) / 1e6
+                 AS rate
+        FROM windowed
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """

@@ -69,3 +69,13 @@ def test_wildcard_union(spark, sf_dir, duck):
     assert_matches_oracle(
         rollups.wildcard_union(spark, sf_dir), duck, rollups.wildcard_union_oracle()
     )
+
+
+def test_multistream_throughput(spark, sf_dir, duck):
+    from etl_schema_spark.operators import rollups
+
+    assert_matches_oracle(
+        rollups.multistream_throughput(spark, sf_dir),
+        duck,
+        rollups.multistream_throughput_oracle(),
+    )
