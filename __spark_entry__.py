@@ -59,7 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier": relational.q5_local_supplier,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q4_order_priority": relational.q4_order_priority,
+        "q8_market_share": relational.q8_market_share,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q10_returned_items": relational.q10_returned_items,
@@ -114,7 +116,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.q1_oracle(),
         "q3_shipping_priority": relational.q3_oracle(),
         "q5_local_supplier": relational.q5_oracle(),
+        "q2_min_cost_supplier": relational.q2_oracle(),
         "q4_order_priority": relational.q4_oracle(),
+        "q8_market_share": relational.q8_oracle(),
         "q6_forecast_revenue": relational.q6_oracle(),
         "q7_volume_shipping": relational.q7_oracle(),
         "q10_returned_items": relational.q10_oracle(),

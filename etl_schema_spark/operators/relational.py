@@ -429,3 +429,111 @@ def q19_oracle() -> str:
            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
            OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
     """
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-per-group subquery.
+
+    (The testdata has no partsupp; lineitem's (l_partkey, l_suppkey) plays
+    the part-supplier association.) For each part shipped by anyone, pick
+    the supplier(s) with the minimum account balance among its shippers —
+    the classic "row matching a per-group aggregate" pattern. Expressed as
+    a groupBy-min rejoined on (part, min) rather than a correlated
+    subquery; Catalyst would decorrelate the subquery into exactly this.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    ps = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+    )
+    mins = ps.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        ps.join(
+            mins,
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def q2_oracle() -> str:
+    return """
+        WITH ps AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        joined AS (
+          SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+          FROM ps
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE p_size <= 5
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM joined j
+        WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM joined j2
+                           WHERE j2.p_partkey = j.p_partkey)
+        ORDER BY p_partkey, s_suppkey
+    """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share of a region's market per
+    order year — conditional-sum ratio over the full star join."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    target = F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(
+        F.lit(0).cast("decimal(28,8)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q8_oracle() -> str:
+    return """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               ROUND(
+                 CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                          THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))
+                          ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE),
+               6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+        ORDER BY 1
+    """

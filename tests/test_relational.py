@@ -80,3 +80,13 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q2(spark, sf_dir, duck):
+    assert_matches_oracle(
+        relational.q2_min_cost_supplier(spark, sf_dir), duck, relational.q2_oracle()
+    )
+
+
+def test_q8(spark, sf_dir, duck):
+    assert_matches_oracle(relational.q8_market_share(spark, sf_dir), duck, relational.q8_oracle())
