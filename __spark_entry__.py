@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text.text_quality,
         "langid_heuristic": text.langid_heuristic,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "bigram_surprisal": text.bigram_surprisal,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "embedding_cosine_dup": similarity.embedding_cosine_dup,
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": text.text_quality_oracle(),
         "langid_heuristic": text.langid_heuristic_oracle(),
         "tfidf_top_terms": text.tfidf_top_terms_oracle(),
+        "bigram_surprisal": text.bigram_surprisal_oracle(),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
         "embedding_cosine_dup": similarity.embedding_cosine_dup_oracle(),
         # ann_ivf_topk: rows-only (centroid float reduction not bit-portable)

@@ -272,3 +272,73 @@ def tfidf_top_terms_oracle(top_k: int = 3) -> str:
         FROM ranked WHERE rnk <= {top_k}
         ORDER BY doc_id, rnk
     """
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus MLE bigram model.
+
+    The classic cheap LM-based quality filter: score(doc) = mean over its
+    bigrams of -ln p(w2 | w1), where p is the maximum-likelihood estimate
+    over the whole corpus (count(w1 w2) / count(w1-as-first-token)). Docs
+    with unusually high surprisal are boilerplate/garbled candidates; low
+    surprisal flags templated/duplicated text. Scoring corpus == counting
+    corpus, so every bigram has count >= 1 and the MLE needs no smoothing.
+
+    Plan: bigrams are built array-natively (zip_with over shifted slices —
+    same O(n) trick as dedup shingling), exploded once; the bigram and
+    first-token count aggregates join back onto the postings (both shuffle
+    on their own key, AQE picks broadcast when the vocab fits); one final
+    groupBy(doc) averages. Rounded to 4 decimals like geomean since a
+    double mean's accumulation order is partition-dependent at the 1e-15
+    level.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split(F.lower("text"), r"\s+")
+    n = F.size(toks)
+    w1s = F.slice(toks, 1, n - 1)
+    w2s = F.slice(toks, 2, n - 1)
+    bigrams = F.zip_with(w1s, w2s, lambda x, y: F.struct(x.alias("w1"), F.concat_ws(" ", x, y).alias("bg")))
+    big = (
+        docs.select("doc_id", F.explode(F.when(n >= 2, bigrams)).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    )
+    cb = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    scored = (
+        big.join(cb, "bg")
+        .join(cu, "w1")
+        .withColumn("surprisal", -F.log(F.col("c_bg") / F.col("c_w1")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_surprisal_oracle() -> str:
+    return r"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id, w1, w1 || ' ' || w2 AS bg FROM (
+            SELECT doc_id,
+                   unnest(toks[1:len(toks) - 1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM d WHERE len(toks) >= 2
+          )
+        ),
+        cb AS (SELECT bg, COUNT(*) AS c_bg FROM big GROUP BY bg),
+        cu AS (SELECT w1, COUNT(*) AS c_w1 FROM big GROUP BY w1)
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(-LN(c_bg * 1.0 / c_w1)), 4) AS avg_surprisal
+        FROM big JOIN cb USING (bg) JOIN cu USING (w1)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

@@ -64,3 +64,11 @@ def test_simhash_near_dups_have_close_fingerprints(spark, sf_dir):
 
     for p in pairs:
         assert hamming(fp[p.doc_a], fp[p.doc_b]) <= 16, (p, fp[p.doc_a], fp[p.doc_b])
+
+
+def test_bigram_surprisal(spark, sf_dir, duck):
+    from etl_schema_spark.operators import text
+
+    assert_matches_oracle(
+        text.bigram_surprisal(spark, sf_dir), duck, text.bigram_surprisal_oracle()
+    )
