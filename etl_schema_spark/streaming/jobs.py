@@ -89,3 +89,43 @@ def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataF
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks in the preceding hour (classic attribution).
+
+    Both sides are watermarked, so the join state is bounded: a click is
+    held only until the watermark passes click_ts + 1 hour, a purchase only
+    to its own watermark — the state-cleanup contract that makes
+    stream-stream joins viable 24/7 (without the interval bound the state
+    grows forever). The equi-key (user_id) shards state across executors;
+    the range condition is evaluated within each shard.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts", "amount")

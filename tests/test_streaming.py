@@ -80,3 +80,29 @@ def test_dedup_stream_drops_duplicates(spark, sf_dir):
     )
     n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert out.count() == n_distinct
+
+
+def test_attribution_join_stream_matches_batch(spark, sf_dir):
+    out = streaming.run_available_now(
+        streaming.attribution_join_stream(spark, sf_dir), "t_attr", mode="append"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
