@@ -129,6 +129,35 @@ def materialize_views(
     return order
 
 
+def refresh_partitions(
+    spark: SparkSession,
+    view_df: DataFrame,
+    path: str,
+    partition_col: str,
+    partitions: Sequence,
+) -> int:
+    """Incremental materialized-view refresh: recompute ONLY the named
+    partitions of a partition-aligned aggregate and splice them into the
+    materialized output via dynamic partition overwrite.
+
+    The reference refreshes its daily website/statistics rollups by
+    re-running scheduled queries over recent partitions (BigQuery partition
+    decorators); this is the same contract: late data for day X triggers
+    `refresh_partitions(spark, rollup_df, path, "day", [X])` — a scan
+    pruned to X (the filter lands in PartitionFilters when the source is
+    partitioned the same way) and a write that replaces only X's directory.
+    Cost is O(changed partitions), not O(table).
+
+    Requires the aggregate to be partition-aligned: every output row's
+    partition value is a function of the input rows in that same partition
+    (true for all date-keyed rollups here). Returns the number of rows
+    written.
+    """
+    subset = view_df.filter(F.col(partition_col).isin(list(partitions)))
+    write_partitioned(subset, path, [partition_col], mode="overwrite")
+    return subset.count()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
