@@ -18,6 +18,7 @@ from etl_schema_spark.operators import (
     dedup,
     multimodal,
     relational,
+    relational_ext,
     rollups,
     sessions,
     similarity,
@@ -67,6 +68,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,
+        "q9_product_type_profit": relational_ext.q9_product_type_profit,
+        "q11_important_stock": relational_ext.q11_important_stock,
+        "q12_shipmode": relational_ext.q12_shipmode,
+        "q13_customer_distribution": relational_ext.q13_customer_distribution,
+        "q15_top_supplier": relational_ext.q15_top_supplier,
+        "q16_parts_supplier": relational_ext.q16_parts_supplier,
+        "q17_small_quantity": relational_ext.q17_small_quantity,
+        "q20_potential_promotion": relational_ext.q20_potential_promotion,
+        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,
         "static_mapping": transforms.static_mapping,
         "q18_big_orders": transforms.q18_big_orders,
         "q22_inactive_customers": transforms.q22_inactive_customers,
@@ -125,6 +135,15 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": relational.q10_oracle(),
         "q14_promo_revenue": relational.q14_oracle(),
         "q19_disjunctive_predicate": relational.q19_oracle(),
+        "q9_product_type_profit": relational_ext.q9_oracle(),
+        "q11_important_stock": relational_ext.q11_oracle(),
+        "q12_shipmode": relational_ext.q12_oracle(),
+        "q13_customer_distribution": relational_ext.q13_oracle(),
+        "q15_top_supplier": relational_ext.q15_oracle(),
+        "q16_parts_supplier": relational_ext.q16_oracle(),
+        "q17_small_quantity": relational_ext.q17_oracle(),
+        "q20_potential_promotion": relational_ext.q20_oracle(),
+        "q21_suppliers_kept_waiting": relational_ext.q21_oracle(),
         "static_mapping": transforms.static_mapping_oracle(),
         "q18_big_orders": transforms.q18_oracle(),
         "q22_inactive_customers": transforms.q22_oracle(),
