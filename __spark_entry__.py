@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_schema_spark import functions as table_functions
 from etl_schema_spark.operators import (
+    corpus,
     dedup,
     multimodal,
     relational,
@@ -100,6 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": similarity.knn_classify,
         "kmeans_clusters": similarity.kmeans_clusters,  # rows-only
         "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        "json_extract_props": corpus.json_extract_props,
+        "stratified_sample": corpus.stratified_sample,
+        "zipf_term_stats": corpus.zipf_term_stats,
+        "centroid_per_label": corpus.centroid_per_label,
+        "canonical_pick": corpus.canonical_pick,
     }
 
 
@@ -166,4 +173,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": similarity.knn_classify_oracle(),
         # kmeans_clusters: rows-only (iterative float centroid reduction)
         "multimodal_meta": multimodal.multimodal_meta_oracle(),
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample_oracle(),
+        "json_extract_props": corpus.json_extract_props_oracle(),
+        "stratified_sample": corpus.stratified_sample_oracle(),
+        "zipf_term_stats": corpus.zipf_term_stats_oracle(),
+        "centroid_per_label": corpus.centroid_per_label_oracle(),
+        "canonical_pick": corpus.canonical_pick_oracle(),
     }

@@ -1,0 +1,249 @@
+"""Corpus-level pipeline operators (SURVEY §2C extension): JSON property
+extraction, deterministic stratified sampling, Zipf term statistics,
+per-label embedding centroids, and canonical-representative selection.
+
+These round out the LLM-training-data pipeline surface: the reference's
+schema layer is deeply nested JSON (schema/ndt.json), so `json_extract_props`
+models its parse path with Spark's JVM-side JSON path extraction; sampling /
+Zipf / centroid / canonical-pick are the standard corpus-curation stages
+between dedup and training.
+
+Determinism contracts (oracle hash-matches at any SF):
+  - sampling uses md5-derived integers (engine-portable), never rand()
+  - float reductions go through floor-truncated 6-dp decimals so the sum is
+    exact and order-independent (a double sum over a 32-way shuffle is not)
+Scale notes: every operator is one narrow groupBy (partial-aggregated) or a
+pure projection; the centroid shuffle carries (label, dim) keys — 64·|labels|
+groups — so the reduce side is trivially small at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import cpu_parallel, load_table
+
+
+def _trunc6(c: Column) -> Column:
+    # floor-truncation: identical IEEE op sequence in Spark and DuckDB
+    return F.floor(c * 1e6) / 1e6
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON payload and aggregate the extracted field.
+
+    Parity: schema/ndt.json — the reference's tables are deep JSON records;
+    BigQuery parses them at load. Spark's get_json_object is JVM-side
+    (Jackson under codegen), no Python boundary; at 100 TB the parse cost is
+    scan-parallel and the aggregate is partial before its single shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def json_extract_props_oracle() -> str:
+    return """
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                        THEN 1 ELSE 0 END) AS n_high
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str, pct: int = 30) -> DataFrame:
+    """Deterministic ~pct% per-source stratified sample of documents.
+
+    The keep-decision is md5(doc_id)-derived — reproducible across engines,
+    runs, and cluster sizes (rand()-based sampling is none of those). This is
+    the standard held-out / decontamination split for a training corpus;
+    at 100 TB it is a pure scan-side filter with zero shuffle before the
+    per-stratum audit counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('smp', cast(doc_id as string))), 1, 2), 16, 10)"
+        " as int)"
+    )
+    kept = docs.withColumn("_b", bucket).filter(F.col("_b") * 100 < pct * 256)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def stratified_sample_oracle(pct: int = 30) -> str:
+    nib1 = "(instr('0123456789abcdef', substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    nib2 = "(instr('0123456789abcdef', substr(md5('smp' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    return f"""
+        SELECT source,
+               COUNT(*) AS n_sampled,
+               SUM(n_chars) AS chars_sampled,
+               MIN(doc_id) AS first_doc
+        FROM documents
+        WHERE ({nib1} * 16 + {nib2}) * 100 < {pct} * 256
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def zipf_term_stats(spark: SparkSession, sf_dir: str, top_k: int = 30) -> DataFrame:
+    """Corpus Zipf profile: top-k terms by frequency with rank and cumulative
+    share — the standard vocabulary-health check before tokenizer training.
+
+    One explode → one partial-aggregated groupBy(term) → a k-row window.
+    The cumulative share is computed over exact integer counts; only the
+    final ratio becomes (truncated) double.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("text"))
+    terms = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    w = Window.orderBy(F.desc("cnt"), F.col("term"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        "term",
+        "cnt",
+        "rank",
+        _trunc6(F.sum("cnt").over(cum) / F.col("_total")).alias("cum_share"),
+    ).orderBy("rank")
+
+
+def zipf_term_stats_oracle(top_k: int = 30) -> str:
+    return rf"""
+        WITH terms AS (
+          SELECT unnest(string_split_regex(text, '\s+')) AS term FROM documents
+        ),
+        counts AS (
+          SELECT term, COUNT(*) AS cnt FROM terms WHERE term <> '' GROUP BY term
+        ),
+        ranked AS (
+          SELECT term, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+          FROM counts
+        )
+        SELECT term, cnt, rank,
+               FLOOR(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) * 1.0
+                     / (SELECT SUM(cnt) FROM counts) * 1e6) / 1e6 AS cum_share
+        FROM ranked
+        WHERE rank <= {top_k}
+        ORDER BY rank
+    """
+
+
+def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (mean pooling), dimension-exploded.
+
+    Each float is truncated to 6 dp and summed as DECIMAL, so the per-group
+    sum is exact and order-independent — the result is bit-identical no
+    matter how the shuffle distributes rows (and matches the oracle). The
+    shuffle key is (label, dim): 64·|labels| groups, trivially small at any
+    corpus size; the map side partial-aggregates the full fact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        _trunc6(F.col("val").cast("double")).cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("v").alias("_sum"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            _trunc6(F.col("_sum").cast("double") / F.col("n_vecs")).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def centroid_per_label_oracle() -> str:
+    return """
+        WITH exploded AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding) AS val
+          FROM embeddings
+        )
+        SELECT label,
+               dim,
+               COUNT(*) AS n_vecs,
+               FLOOR(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e6) / 1e6
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS centroid
+        FROM exploded
+        GROUP BY label, dim
+        ORDER BY label, dim
+    """
+
+
+def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: group documents by exact content
+    hash and keep the best representative (longest, then lowest doc_id).
+
+    This is the keep-side complement of dedup_exact — the stage that decides
+    *which* duplicate survives into the training set. One window over the
+    content-hash partition; the md5 key distributes uniformly so the shuffle
+    cannot skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_key").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("content_key", F.md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("content_key")))
+        .filter(F.col("rn") == 1)
+        .select("content_key", F.col("doc_id").alias("kept_doc"), "n_members", "n_chars")
+        .orderBy("content_key")
+    )
+
+
+def canonical_pick_oracle() -> str:
+    return """
+        WITH keyed AS (
+          SELECT md5(text) AS content_key, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY md5(text)) AS n_members
+          FROM documents
+        )
+        SELECT content_key, doc_id AS kept_doc, n_members, n_chars
+        FROM keyed WHERE rn = 1
+        ORDER BY content_key
+    """

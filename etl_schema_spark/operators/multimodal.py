@@ -93,6 +93,69 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    FRAME_BYTES-byte frames and keep every FRAME_STRIDE-th (the video
+    keyframe-sampling pattern), emitting per-frame features.
+
+    This is the one-to-many mapInPandas shape (batch in, *exploded* batch
+    out) that multimodal_meta's one-to-one pass doesn't cover — the same
+    plumbing wraps ffmpeg frame extraction on a real corpus (stubbed here:
+    the 'feature' is the frame's first byte, so the oracle can verify the
+    explode end-to-end). Payload bytes stay executor-side; only the narrow
+    frame rows shuffle onward.
+    """
+    frame = binary_payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "first_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(chunk))
+                    out["first_byte"].append(chunk[0])
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(sample_batches, FRAME_SCHEMA)
+
+
+def multimodal_frame_sample_oracle() -> str:
+    # chunk via regexp ('.{1,16}') — the testdata text has no newlines, so
+    # '.' chunking reproduces the byte slicing exactly (ASCII payloads)
+    return f"""
+        WITH frames AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '.{{1,{FRAME_BYTES}}}')) AS frame,
+                 generate_subscripts(regexp_extract_all(text, '.{{1,{FRAME_BYTES}}}'), 1) AS s
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(s - 1 AS INT) AS frame_idx,
+               CAST(length(frame) AS INT) AS frame_len,
+               CAST(ascii(substr(frame, 1, 1)) AS INT) AS first_byte
+        FROM frames
+        WHERE (s - 1) % {FRAME_STRIDE} = 0
+        ORDER BY doc_id, frame_idx
+    """
+
+
 def multimodal_meta_oracle() -> str:
     # the fake decoder reads the first 4 UTF-8 bytes; documents are ASCII so
     # ascii(substr(...)) reproduces it (0-padded under length 4)

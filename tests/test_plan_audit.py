@@ -24,6 +24,12 @@ ALLPAIRS_OK = {
     "knn_classify",
     "kmeans_clusters",
     "tfidf_top_terms",  # broadcast 1-row corpus-size join
+    # broadcast 1-row scalar joins (global total / max): BNLJ with a
+    # single-row build side is O(n) — the intended plan for a scalar
+    # threshold at any scale
+    "q11_important_stock",
+    "q15_top_supplier",
+    "zipf_term_stats",
 }
 
 QUERIES = entry.queries()
