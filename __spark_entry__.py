@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_schema_spark import functions as table_functions
 from etl_schema_spark.operators import (
+    asof,
     corpus,
     dedup,
     multimodal,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "static_mapping": transforms.static_mapping,
         "q18_big_orders": transforms.q18_big_orders,
         "q22_inactive_customers": transforms.q22_inactive_customers,
+        "asof_attribution": asof.asof_attribution,
         "sessionized_events": sessions.sessionized_events,
         "running_totals": sessions.running_totals,
         "top_clients_per_type": sessions.top_clients_per_type,
@@ -154,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "static_mapping": transforms.static_mapping_oracle(),
         "q18_big_orders": transforms.q18_oracle(),
         "q22_inactive_customers": transforms.q22_oracle(),
+        "asof_attribution": asof.asof_attribution_oracle(),
         "sessionized_events": sessions.sessionized_events_oracle(),
         "running_totals": sessions.running_totals_oracle(),
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),
