@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "embedding_cosine_dup": similarity.embedding_cosine_dup,
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         "knn_classify": similarity.knn_classify,
         "kmeans_clusters": similarity.kmeans_clusters,  # rows-only
         "multimodal_meta": multimodal.multimodal_meta,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
         "embedding_cosine_dup": similarity.embedding_cosine_dup_oracle(),
         # ann_ivf_topk: rows-only (centroid float reduction not bit-portable)
+        "ann_lsh_topk": similarity.ann_lsh_topk_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
         # kmeans_clusters: rows-only (iterative float centroid reduction)
         "multimodal_meta": multimodal.multimodal_meta_oracle(),

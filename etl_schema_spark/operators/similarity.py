@@ -181,6 +181,137 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_BITS = 16
+LSH_BANDS = 4  # 4 bits per band
+LSH_DIM = 64  # testdata embedding dimensionality (planes are fixed-width)
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic random hyperplanes: md5-seeded uniforms in [-1, 1),
+    rounded to 6 dp so the same short decimal literals parse to the same
+    doubles in Spark and DuckDB. No RNG state — any engine, any run, any
+    cluster size derives the identical family."""
+    import hashlib
+
+    planes = []
+    for j in range(LSH_BITS):
+        row = []
+        for d in range(LSH_DIM):
+            h = int(hashlib.md5(f"lsh{j}_{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 2**31 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-family) LSH ANN: per-query top-k among
+    candidates sharing at least one signature band.
+
+    Signature bit j = sign of <v, plane_j>; LSH_BITS bits split into
+    LSH_BANDS bands of 4 — a candidate pair is considered iff some band
+    matches (the minhash-banding trick applied to hyperplane LSH). The
+    collection explodes to one row per band (narrow: id + 4-bit key),
+    equi-joins the broadcast query bands, dedupes pairs, and only then
+    scores cosine — comparisons are bounded by bucket collisions, never the
+    n² of the brute-force twin. The plane family is md5-derived (see
+    _lsh_planes), so the oracle reproduces the signatures exactly — unlike
+    ann_ivf_topk this probe structure IS hash-checkable.
+
+    Scale: band keys distribute ~uniformly (hyperplane signs over centered
+    data), the exploded collection is 4× ids not 4× vectors, queries
+    broadcast, and the dedupe + top-k shuffles only candidate pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _lsh_planes()
+
+    def sig_bits(col: Column) -> list[Column]:
+        return [
+            F.when(_dot(col, F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
+            for p in planes
+        ]
+
+    def band_keys(col: Column) -> list[Column]:
+        bits = sig_bits(col)
+        return [
+            sum(bits[b * 4 + i] * (1 << i) for i in range(4)).alias(f"k{b}")
+            for b in range(LSH_BANDS)
+        ]
+
+    keyed = emb.select("vec_id", "embedding", *band_keys(F.col("embedding")))
+    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    coll = keyed.select(
+        "vec_id", "embedding", F.posexplode(bands).alias("band", "key")
+    )
+    queries = keyed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode(bands).alias("band", "key"),
+    )
+    cands = (
+        coll.join(
+            F.broadcast(queries),
+            ["band", "key"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.withColumn(
+        "cosine", _trunc6(_cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_topk_oracle() -> str:
+    planes = _lsh_planes()
+    bit_exprs = ",\n                 ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST([{', '.join(repr(v) for v in p)}] AS DOUBLE[])) >= 0 "
+        f"THEN 1 ELSE 0 END) AS bit{j}"
+        for j, p in enumerate(planes)
+    )
+    key_exprs = ", ".join(
+        " + ".join(f"{1 << i}*bit{b * 4 + i}" for i in range(4)) + f" AS k{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_match = " OR ".join(f"q.k{b} = c.k{b}" for b in range(LSH_BANDS))
+    cos = (
+        "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 {bit_exprs}
+          FROM embeddings
+        ),
+        keys AS (
+          SELECT vec_id, embedding, {key_exprs} FROM sig
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 FLOOR(({cos}) * 1e6) / 1e6 AS cosine
+          FROM keys q
+          JOIN keys c ON c.vec_id <> q.vec_id AND ({band_match})
+          WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label vote: classify each query vector by the majority label of
     its TOP_K cosine neighbors (ties → smaller label).

@@ -121,3 +121,26 @@ def test_kmeans_clusters(spark, sf_dir):
     assert len(out) == similarity.KMEANS_K
     assert sum(r.n_members for r in out) == n_vecs  # all vectors assigned
     assert all(r.inertia >= 0 for r in out)
+
+
+def test_ann_lsh_topk(spark, sf_dir, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.ann_lsh_topk(spark, sf_dir), duck, similarity.ann_lsh_topk_oracle()
+    )
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # banding with 4x4 bits keeps candidate sets small; recall must still
+    # beat random chance by a wide margin for the probe to be useful
+    assert recall >= 0.3, f"recall@{similarity.TOP_K} = {recall:.2f}"
