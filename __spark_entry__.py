@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_schema_spark import functions as table_functions
 from etl_schema_spark.operators import (
+    analytics,
     asof,
     corpus,
     dedup,
@@ -83,6 +84,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": transforms.q18_big_orders,
         "q22_inactive_customers": transforms.q22_inactive_customers,
         "asof_attribution": asof.asof_attribution,
+        "rollup_revenue": analytics.rollup_revenue,
+        "pivot_event_counts": analytics.pivot_event_counts,
+        "corr_value_hour": analytics.corr_value_hour,
+        "funnel_conversion": analytics.funnel_conversion,
+        "time_weighted_value": analytics.time_weighted_value,
+        "churned_users": analytics.churned_users,
         "sessionized_events": sessions.sessionized_events,
         "running_totals": sessions.running_totals,
         "top_clients_per_type": sessions.top_clients_per_type,
@@ -158,6 +165,12 @@ def oracle_sql() -> dict[str, str]:
         "q18_big_orders": transforms.q18_oracle(),
         "q22_inactive_customers": transforms.q22_oracle(),
         "asof_attribution": asof.asof_attribution_oracle(),
+        "rollup_revenue": analytics.rollup_revenue_oracle(),
+        "pivot_event_counts": analytics.pivot_event_counts_oracle(),
+        "corr_value_hour": analytics.corr_value_hour_oracle(),
+        "funnel_conversion": analytics.funnel_conversion_oracle(),
+        "time_weighted_value": analytics.time_weighted_value_oracle(),
+        "churned_users": analytics.churned_users_oracle(),
         "sessionized_events": sessions.sessionized_events_oracle(),
         "running_totals": sessions.running_totals_oracle(),
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),

@@ -1,0 +1,347 @@
+"""OLAP analytics shapes the reference's statistics/website rollups imply:
+hierarchy rollups (ROLLUP/GROUPING), pivoting, exact-decimal correlation,
+funnel analysis, time-weighted averages, and cohort set-difference (churn).
+
+views/statistics/* aggregates metrics across geography hierarchies
+(continent → country → city) and views/website/* compares cohorts across
+systems; these operators are those capabilities in engine-generic form on
+the testdata star/event tables.
+
+Determinism: every floating aggregate is decomposed into exact DECIMAL /
+BIGINT sums combined once per group in double (a parallel double reduction
+is order-dependent; the decimal decomposition is not). Pearson correlation
+is computed from the five co-moment sums, never a streaming corr() whose
+merge order varies run to run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+DEC = "decimal(18,4)"
+
+
+def _trunc6(c: Column) -> Column:
+    return F.floor(c * 1e6) / 1e6
+
+
+def _vdec(col: str = "value") -> Column:
+    # truncate the double to 6 dp, then lift to exact decimal: the sum
+    # becomes order-independent and the oracle reproduces it bit-for-bit
+    return _trunc6(F.col(col)).cast("decimal(18,6)")
+
+
+_VDEC_SQL = "CAST(FLOOR(value * 1e6) / 1e6 AS DECIMAL(18,6))"
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup: revenue by ROLLUP(region, nation) with GROUPING
+    level flags — the statistics-view continent→country→city rollup shape
+    (views/statistics/v0_cities.sql aggregates the same way per level).
+
+    One shuffle; Catalyst expands the rollup into a single Expand +
+    aggregate, so the fact is read once for all three levels.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region")
+    revenue = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(28,8)")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("_rev"),
+            (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("lvl"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "lvl",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        )
+        .orderBy("lvl", "r_name", "n_name")
+    )
+
+
+def rollup_revenue_oracle() -> str:
+    return """
+        SELECT r_name, n_name,
+               GROUPING(r_name) * 2 + GROUPING(n_name) AS lvl,
+               ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 4) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY lvl, r_name, n_name
+    """
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (long → wide), the website-view
+    cross-system comparison shape (entry07_platform_* UNIONs systems side
+    by side; a pivot is the same comparison as columns).
+
+    The pivot value list is explicit — with it, Spark skips the extra
+    distinct-values job and plans one partial-aggregated shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+def pivot_event_counts_oracle() -> str:
+    conds = ",\n               ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {conds}
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+def corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of event value vs hour-of-day, per event type —
+    computed from the five exact co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    so the result is order-independent (corr()'s streaming merge is not).
+
+    One partial-aggregated shuffle; the closed form combines scalars once
+    per group in double.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = _vdec()
+    y = F.hour("ts").cast("long")
+    base = (
+        ev.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return base.select(
+        "event_type", "n", _trunc6(corr).alias("corr_value_hour")
+    ).orderBy("event_type")
+
+
+def corr_value_hour_oracle() -> str:
+    return f"""
+        WITH moments AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM({_VDEC_SQL}) AS sx,
+                 SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sy,
+                 SUM({_VDEC_SQL} * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sxy,
+                 SUM({_VDEC_SQL} * {_VDEC_SQL}) AS sxx,
+                 SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS syy
+          FROM events
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               FLOOR(
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e6) / 1e6 AS corr_value_hour
+        FROM moments
+        ORDER BY event_type
+    """
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → first click strictly after it → first purchase
+    strictly after that, per user; one summary row of stage survivors.
+
+    Decorrelated stepwise mins: each stage is a grouped MIN re-joined to the
+    next stage's candidate events — never a per-user subquery. The chain is
+    three shuffles on user_id (AQE coalesces the tiny tails); the final
+    LEFT-join chain + single agg avoids any 1-row cross join.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t_view.join(t_click, "user_id", "left_outer")
+        .join(t_purchase, "user_id", "left_outer")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
+
+
+def funnel_conversion_oracle() -> str:
+    return """
+        WITH t_view AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t_click AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN t_view v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ),
+        t_purchase AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN t_click c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT COUNT(v.t_view) AS n_view,
+               COUNT(c.t_click) AS n_click_after_view,
+               COUNT(p.t_purchase) AS n_purchase_after_click
+        FROM t_view v
+        LEFT OUTER JOIN t_click c ON v.user_id = c.user_id
+        LEFT OUTER JOIN t_purchase p ON v.user_id = p.user_id
+    """
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean value: each event's value holds until the
+    next event (step interpolation), weighted by the hold duration — the
+    telemetry-correct average when samples are irregular (a switch-counter
+    utilization shape; cf. views/utilization/switch.sql gauge semantics).
+
+    One window (shuffle on user_id) + one grouped agg over exact
+    decimal×seconds products.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+    stepped = ev.select(
+        "user_id", _vdec().alias("v"), gap.alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("gap")).alias("_wsum"),
+            F.sum("gap").alias("hold_seconds"),
+        )
+        .filter(F.col("hold_seconds") > 0)
+        .select(
+            "user_id",
+            "hold_seconds",
+            _trunc6(F.col("_wsum").cast("double") / F.col("hold_seconds")).alias(
+                "tw_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def time_weighted_value_oracle() -> str:
+    return f"""
+        WITH stepped AS (
+          SELECT user_id,
+                 {_VDEC_SQL} AS v,
+                 LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                   - CAST(FLOOR(epoch(ts)) AS BIGINT) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               SUM(gap) AS hold_seconds,
+               FLOOR(CAST(SUM(v * gap) AS DOUBLE) / SUM(gap) * 1e6) / 1e6 AS tw_value
+        FROM stepped
+        WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(gap) > 0
+        ORDER BY user_id
+    """
+
+
+def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set difference: users active in the first week of the window
+    with no activity on its final day (EXCEPT → left-anti join), with their
+    week-1 engagement. The website views run the same comparison across
+    platform generations (entry07_*_comparison unions).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week1 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    )
+    lastday = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-30").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        week1.join(lastday, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_week1"),
+            F.sum(_vdec()).cast("double").alias("value_week1"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def churned_users_oracle() -> str:
+    return f"""
+        SELECT user_id,
+               COUNT(*) AS n_events_week1,
+               CAST(SUM({_VDEC_SQL}) AS DOUBLE) AS value_week1
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+          AND user_id NOT IN (
+            SELECT user_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-30')
+        GROUP BY user_id
+        ORDER BY user_id
+    """
