@@ -209,8 +209,8 @@ ANNOTATION_TAGS = (
 
 
 def annotate_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode a nested array, annotate each element against a dimension,
-    and reassemble the array in original element order.
+    """Annotate every element of a nested array against a dimension and
+    reassemble the array in original element order.
 
     Parity: views/wehe/scamper1_hopannotation2.sql lines 18-50 — the
     reference UNNESTs traceroute hop nodes, LEFT JOINs the hopannotation2
@@ -220,9 +220,40 @@ def annotate_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exact via an order-sensitive md5 fingerprint (portable to the SQL
     oracle, unlike a raw array-of-structs hash).
 
-    Scale: the annotation dim broadcasts; the explode + re-group is one
-    shuffle on doc_id — the same cost profile as the reference's per-date
-    scamper reassembly.
+    Scale: when the annotation dim fits in a broadcast (it always does for
+    the reference's hopannotation2 shape), the whole explode→join→ARRAY_AGG
+    round trip collapses to a map lookup inside a higher-order ``transform``
+    — ZERO shuffles, element order preserved natively, all of it inside
+    whole-stage codegen. `annotate_renest_exploded` keeps the generic
+    explode + shuffle-join + re-group plan for dims too large to broadcast;
+    the two are equivalence-tested.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tag_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in ANNOTATION_TAGS]),
+        F.array(*[F.lit(g) for _, g in ANNOTATION_TAGS]),
+    )
+    toks = F.split(F.lower("text"), r"\s+")
+    pairs = F.transform(
+        toks,
+        lambda t: F.concat_ws(":", t, F.coalesce(F.element_at(tag_map, t), F.lit("-"))),
+    )
+    annotated = F.filter(toks, lambda t: F.element_at(tag_map, t).isNotNull())
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(annotated).cast("bigint").alias("n_annotated"),
+            F.md5(F.concat_ws("|", pairs)).alias("renest_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def annotate_renest_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic large-dim plan for `annotate_renest`: posexplode the array,
+    shuffle-join the annotation dim, re-group on doc_id restoring element
+    order by position. Same result; use when the dim can't broadcast.
     """
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     dim = spark.createDataFrame(list(ANNOTATION_TAGS), "term string, tag string")

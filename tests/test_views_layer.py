@@ -52,3 +52,26 @@ def test_annotate_renest(spark, sf_dir, duck):
     assert_matches_oracle(
         views_layer.annotate_renest(spark, sf_dir), duck, views_layer.annotate_renest_oracle()
     )
+
+
+def test_annotate_renest_map_path_equals_exploded_path(spark, sf_dir):
+    """The zero-shuffle broadcast-map plan and the generic explode+join+
+    re-group plan must produce identical renested fingerprints."""
+    fast = views_layer.annotate_renest(spark, sf_dir).collect()
+    generic = views_layer.annotate_renest_exploded(spark, sf_dir).collect()
+    assert fast == generic
+
+
+def test_annotate_renest_map_path_is_shuffle_free(spark, sf_dir):
+    """The broadcast-map path must not exchange anything before the final
+    presentation sort — the annotate+renest itself is map-side only."""
+    plan = (
+        views_layer.annotate_renest(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # allowed: cpu_parallel's round-robin split + orderBy's range exchange.
+    # forbidden: any hashpartitioning exchange — that would mean the
+    # annotate/renest itself regrouped (the explode+join plan's cost).
+    assert "hashpartitioning" not in plan, plan
