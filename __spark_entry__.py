@@ -19,12 +19,14 @@ from etl_schema_spark.operators import (
     asof,
     corpus,
     dedup,
+    graph,
     multimodal,
     relational,
     relational_ext,
     rollups,
     sessions,
     similarity,
+    sketches,
     text,
     transforms,
     views_layer,
@@ -96,6 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2C LLM-data-pipeline operators
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_editdistance": dedup.dedup_editdistance,
+        "dup_components": graph.dup_components,
+        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # rows-only
         "simhash_fingerprint": dedup.simhash_fingerprint,
         "doc_fingerprint": text.doc_fingerprint,
@@ -176,6 +181,9 @@ def oracle_sql() -> dict[str, str]:
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
+        "dedup_editdistance": dedup.dedup_editdistance_oracle(),
+        "dup_components": graph.dup_components_oracle(),
+        "kmv_distinct_estimate": sketches.kmv_distinct_estimate_oracle(),
         # dedup_minhash_lsh: rows-only (hash family not SQL-portable)
         "simhash_fingerprint": dedup.simhash_fingerprint_oracle(),
         "doc_fingerprint": text.doc_fingerprint_oracle(),

@@ -188,9 +188,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_T
     )
 
 
-def dedup_ngram_jaccard_oracle(tau: float = JACCARD_TAU) -> str:
-    return rf"""
-        WITH d AS (
+# DuckDB CTEs producing (doc_id, shingles) — shared by the jaccard oracle
+# and downstream consumers of near-dup pairs (graph.dup_components oracle).
+SHINGLE_CTES_SQL = r"""d AS (
           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
         ),
         sh AS (
@@ -200,7 +200,24 @@ def dedup_ngram_jaccard_oracle(tau: float = JACCARD_TAU) -> str:
                                           for i in range(1, len(toks) - 1)])
                       ELSE [] END AS shingles
           FROM d
-        )
+        )"""
+
+
+def jaccard_pairs_ctes_sql(tau: float = JACCARD_TAU) -> str:
+    """CTE chain ending in jpairs(doc_a, doc_b): near-dup pairs at tau."""
+    return rf"""{SHINGLE_CTES_SQL},
+        jpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) >= {tau}
+        )"""
+
+
+def dedup_ngram_jaccard_oracle(tau: float = JACCARD_TAU) -> str:
+    return rf"""
+        WITH {SHINGLE_CTES_SQL}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.shingles, b.shingles)) AS common,
                FLOOR(len(list_intersect(a.shingles, b.shingles)) * 1.0
@@ -359,4 +376,71 @@ def simhash_fingerprint_oracle() -> str:
         )
         SELECT doc_id, {concat_sql} AS simhash64
         FROM sums ORDER BY doc_id
+    """
+
+
+EDIT_D_MAX = 16
+
+
+def dedup_editdistance(spark: SparkSession, sf_dir: str, d_max: int = EDIT_D_MAX) -> DataFrame:
+    """Fuzzy-string near-dup pairs: normalized edit distance <= d_max.
+
+    The remaining dedup family after exact / shingle-Jaccard / MinHash /
+    SimHash / embedding-cosine: character-level typo dups (OCR noise,
+    whitespace drift) that token shingles miss.
+
+    Candidate generation is an EQUI-join on a length band: edit distance
+    <= d implies |len_a - len_b| <= d, so each doc emits d+1 integer keys
+    (len .. len+d) and any qualifying pair shares exactly one key where
+    the longer doc's length lands in the shorter doc's band. That keeps
+    the self-join a hash join on ints (shuffle-partitionable, AQE-skew
+    splittable) instead of an O(n^2) theta join; at 100 TB you'd add a
+    second key component (e.g. first char) to tighten buckets.
+
+    Verification uses Spark's banded levenshtein(l, r, threshold) — O(n*d)
+    not O(n*m) — and keeps only real pairs, so blocking recall is exactly 1
+    and the output matches the oracle's unblocked range-join.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    norm = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.length(F.lower("text")).cast("int").alias("len"),
+    )
+    keyed = norm.select(
+        "doc_id", "t", "len", F.explode(F.sequence("len", F.col("len") + d_max)).alias("bk")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"), F.col("len").alias("len_a"), "bk"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"), F.col("len").alias("len_b"), "bk"
+    )
+    dist = F.levenshtein("t_a", "t_b", d_max)
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # each qualifying pair shares exactly one key: the longer length
+            & (F.col("bk") == F.greatest("len_a", "len_b"))
+        )
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", F.col("edit_distance").cast("bigint").alias("edit_distance"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_editdistance_oracle(d_max: int = EDIT_D_MAX) -> str:
+    return f"""
+        WITH n AS (
+          SELECT doc_id, lower(text) AS t, length(lower(text)) AS len FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance
+        FROM n a JOIN n b
+          ON a.doc_id < b.doc_id
+         AND abs(a.len - b.len) <= {d_max}
+        WHERE levenshtein(a.t, b.t) <= {d_max}
+        ORDER BY doc_a, doc_b
     """

@@ -1,0 +1,115 @@
+"""Connected-components clustering of near-duplicate pairs (SURVEY §2C).
+
+Pairwise near-dup detection (dedup_ngram_jaccard / dedup_minhash_lsh) is
+only half of corpus dedup: pairs must be closed into clusters so each
+cluster keeps one canonical document. A near-dup of a near-dup is usually
+a near-dup — the transitive closure IS the dup group. This is the step a
+pretraining pipeline runs between "find pairs" and "drop all but one".
+
+Algorithm: iterative min-label propagation on the undirected pair graph —
+every vertex starts labeled with its own doc_id; each round, every vertex
+takes the min of its own label and its neighbors' labels; converges in
+<= graph-diameter rounds (near-dup components are shallow — a handful of
+rounds in practice). Each round is ONE shuffle (edges ⋈ labels, then a
+groupBy-min); labels are persisted round-over-round and the loop exits on
+a zero-changed count, so total cost is O(E * diameter) shuffle volume —
+the same data layout GraphX/Pregel would use, expressed as DataFrames so
+AQE still handles skewed hub vertices.
+
+The result is fully deterministic (min doc_id reachable), so unlike most
+iterative algorithms this one has an exact SQL oracle: a DuckDB recursive
+CTE computing min-label reachability over the same edge set.
+
+Reference parity: the reference dedups per-client with a window
+(views/website/entry07_platform_decile_1.sql) because its dup keys are
+exact; component-closure is that same "keep one representative" contract
+lifted to transitive near-dup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..sources.catalog import load_table
+from .dedup import JACCARD_TAU, dedup_ngram_jaccard, jaccard_pairs_ctes_sql
+
+MAX_ROUNDS = 25
+
+
+def dup_components(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """Near-dup components over word-3-gram Jaccard pairs at `tau`.
+
+    Output: one row per document — its component id (min doc_id reachable
+    through near-dup pairs), the component's member count, and whether
+    this doc is the canonical representative (the min itself). Singleton
+    docs are their own component of size 1.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir, tau).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _ in range(max_rounds):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "comp"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            labels.withColumnRenamed("comp", "old")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select("doc_id", F.col("comp").alias("component_id"))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("component_id")).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_components_oracle(tau: float = JACCARD_TAU) -> str:
+    return f"""
+        WITH RECURSIVE {jaccard_pairs_ctes_sql(tau)},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.comp = e.src
+        ),
+        lab AS (
+          SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
+        )
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+               CAST(doc_id = component_id AS INT) AS is_canonical
+        FROM lab
+        ORDER BY doc_id
+    """

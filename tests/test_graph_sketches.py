@@ -1,0 +1,69 @@
+"""Tests: near-dup component closure, KMV sketch, edit-distance dedup."""
+
+from pyspark.sql import functions as F
+
+from etl_schema_spark.operators import dedup, graph, sketches
+
+from .conftest import assert_matches_oracle
+
+
+def test_dup_components_matches_recursive_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        graph.dup_components(spark, sf_dir), duck, graph.dup_components_oracle()
+    )
+
+
+def test_dup_components_closes_pairs(spark, sf_dir):
+    """Every near-dup pair must land in the same component, and every
+    component must have exactly one canonical representative = its min."""
+    comp = graph.dup_components(spark, sf_dir)
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component_id").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component_id").alias("comp_b"))
+    split = pairs.join(ca, "doc_a").join(cb, "doc_b").filter(F.col("comp_a") != F.col("comp_b"))
+    assert split.count() == 0
+    per_comp = comp.groupBy("component_id").agg(
+        F.sum("is_canonical").alias("n_canon"), F.min("doc_id").alias("min_id")
+    )
+    bad = per_comp.filter(
+        (F.col("n_canon") != 1) | (F.col("min_id") != F.col("component_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_kmv_estimate_matches_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sketches.kmv_distinct_estimate(spark, sf_dir),
+        duck,
+        sketches.kmv_distinct_estimate_oracle(),
+    )
+
+
+def test_kmv_small_k_is_close(spark, sf_dir):
+    """With k well below the true cardinality the estimate must engage the
+    (k-1)/u_k path and land within the ~1/sqrt(k-2) error regime."""
+    rows = sketches.kmv_distinct_estimate(spark, sf_dir, k=16).collect()
+    assert rows, "no groups"
+    for r in rows:
+        if r.distinct_exact >= 16:
+            rel = abs(r.distinct_est - r.distinct_exact) / r.distinct_exact
+            assert rel < 1.0, (r.event_type, r.distinct_est, r.distinct_exact)
+            assert r.distinct_est != r.distinct_exact  # estimator, not a copy
+
+
+def test_dedup_editdistance_matches_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.dedup_editdistance(spark, sf_dir), duck, dedup.dedup_editdistance_oracle()
+    )
+
+
+def test_dedup_editdistance_blocking_is_equijoin(spark, sf_dir):
+    """The candidate join must be a hash equi-join on the length band key,
+    never a nested-loop / cartesian theta join."""
+    plan = (
+        dedup.dedup_editdistance(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
