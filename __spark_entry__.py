@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprint": dedup.simhash_fingerprint,
         "doc_fingerprint": text.doc_fingerprint,
         "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
         "text_quality": text.text_quality,
         "langid_heuristic": text.langid_heuristic,
         "tfidf_top_terms": text.tfidf_top_terms,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": similarity.kmeans_clusters,  # rows-only
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        "multimodal_resize": multimodal.multimodal_resize,
         "json_extract_props": corpus.json_extract_props,
         "stratified_sample": corpus.stratified_sample,
         "zipf_term_stats": corpus.zipf_term_stats,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprint": dedup.simhash_fingerprint_oracle(),
         "doc_fingerprint": text.doc_fingerprint_oracle(),
         "token_count": text.token_count_oracle(),
+        "token_count_bpe": text.token_count_bpe_oracle(),
         "text_quality": text.text_quality_oracle(),
         "langid_heuristic": text.langid_heuristic_oracle(),
         "tfidf_top_terms": text.tfidf_top_terms_oracle(),
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters: rows-only (iterative float centroid reduction)
         "multimodal_meta": multimodal.multimodal_meta_oracle(),
         "multimodal_frame_sample": multimodal.multimodal_frame_sample_oracle(),
+        "multimodal_resize": multimodal.multimodal_resize_oracle(),
         "json_extract_props": corpus.json_extract_props_oracle(),
         "stratified_sample": corpus.stratified_sample_oracle(),
         "zipf_term_stats": corpus.zipf_term_stats_oracle(),

@@ -169,3 +169,77 @@ def multimodal_meta_oracle() -> str:
                CAST(CASE WHEN length(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS INT) AS f3
         FROM documents ORDER BY doc_id
     """
+
+
+RESIZE_TARGET = 32
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_len", T.LongType()),
+        T.StructField("thumb_len", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, target: int) -> bytes:
+    """Real resize hook — requires PIL, not present in this container. The
+    plumbing below uses the nearest-neighbor byte downsample instead."""
+    raise NotImplementedError("image resize requires PIL; stubbed in this environment")
+
+
+def _fake_resize(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
+    """STUB resize: 1-D nearest-neighbor downsample of the payload byte
+    stream to `target` samples — index math identical to a NN image resize
+    (floor(i * n / target)), deterministic so the oracle reproduces it."""
+    n = len(payload)
+    if n == 0:
+        return b""
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over binary payloads via mapInPandas: payload in, fixed-
+    size thumbnail out, fingerprinted so the oracle can verify every byte.
+
+    The one-to-one media-transform shape (decode → resample → re-encode)
+    that wraps PIL.Image.resize on a real corpus. Payloads never leave the
+    executor; only the constant-width thumbnail digest survives, so shuffle
+    volume is O(rows), independent of media size — the property that makes
+    this viable on 100 TB of images.
+    """
+    import hashlib
+
+    frame = binary_payloads(spark, sf_dir).select("doc_id", "payload")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(_fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": pdf["payload"].map(len),
+                    "thumb_len": thumbs.map(len),
+                    "thumb_md5": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return frame.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+def multimodal_resize_oracle() -> str:
+    # ASCII payloads: char-at-index reproduces byte-at-index; the list
+    # comprehension mirrors floor(i * n / target) nearest-neighbor indexing
+    t = RESIZE_TARGET
+    return f"""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS orig_len,
+               CAST({t} AS INT) AS thumb_len,
+               md5(array_to_string(
+                 [substr(text, CAST(i * strlen(text) // {t} AS INT) + 1, 1)
+                  for i in range(0, {t})], '')) AS thumb_md5
+        FROM documents
+        WHERE strlen(text) > 0
+        ORDER BY doc_id
+    """

@@ -342,3 +342,62 @@ def bigram_surprisal_oracle() -> str:
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+# GPT-2-style pretokenizer, constrained to RE2-compatible syntax (no
+# lookahead) so Spark (Java regex) and DuckDB (RE2) extract identical
+# token streams: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token statistics: the pretokenizer pass every
+    byte-pair-encoding tokenizer (GPT-2/tiktoken family) runs before merges,
+    as a deterministic engine-portable regex over lowered text.
+
+    `tokens_per_word` is the fertility ratio against the whitespace
+    tokenizer — the standard "how many BPE pieces per word" cost signal a
+    training-data pipeline budgets context length with.
+
+    Scale: pure per-row narrow projection — no shuffle except the
+    presentation sort; regexp_extract_all runs inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    pieces = F.regexp_extract_all(low, F.lit(BPE_REGEX), F.lit(0))
+    # drop pure-whitespace pieces: they are separators, not tokens
+    toks = F.filter(pieces, lambda p: p.rlike(r"\S"))
+    ws = F.split(low, r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_bpe"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_bpe"),
+        _trunc6(
+            F.length("text") / F.nullif(F.size(toks), F.lit(0))
+        ).alias("chars_per_token"),
+        _trunc6(
+            F.size(toks) / F.nullif(F.size(ws), F.lit(0))
+        ).alias("tokens_per_word"),
+    ).orderBy("doc_id")
+
+
+def token_count_bpe_oracle() -> str:
+    pat = BPE_REGEX.replace("'", "''")
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_extract_all(lower(text), '{pat}', 0),
+                             p -> regexp_matches(p, '\S')) AS toks,
+                 string_split_regex(lower(text), '\s+') AS ws
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens_bpe,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_bpe,
+               FLOOR(length(text) * 1.0 / NULLIF(len(toks), 0) * 1e6) / 1e6
+                 AS chars_per_token,
+               FLOOR(len(toks) * 1.0 / NULLIF(len(ws), 0) * 1e6) / 1e6
+                 AS tokens_per_word
+        FROM t ORDER BY doc_id
+    """

@@ -67,3 +67,36 @@ def test_dedup_editdistance_blocking_is_equijoin(spark, sf_dir):
         .toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_token_count_bpe_matches_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import text
+
+    assert_matches_oracle(
+        text.token_count_bpe(spark, sf_dir), duck, text.token_count_bpe_oracle()
+    )
+
+
+def test_token_count_bpe_fertility_sane(spark, sf_dir):
+    from etl_schema_spark.operators import text
+
+    rows = text.token_count_bpe(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # BPE pieces at least as numerous as words; never absurdly more
+        assert 1.0 <= r.tokens_per_word < 10.0, r
+
+
+def test_multimodal_resize_matches_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.multimodal_resize(spark, sf_dir), duck, multimodal.multimodal_resize_oracle()
+    )
+
+
+def test_multimodal_resize_constant_width(spark, sf_dir):
+    from etl_schema_spark.operators import multimodal
+
+    df = multimodal.multimodal_resize(spark, sf_dir)
+    assert df.filter(df.thumb_len != multimodal.RESIZE_TARGET).count() == 0
