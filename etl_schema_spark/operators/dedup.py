@@ -109,6 +109,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_T
     100 TB the candidate volume is bounded by prefix postings of *rare*
     shingles instead of the hottest key.
 
+    The prefix lemma holds for ANY global total order, so the df ranking
+    (and its two posting-table shuffles) is strictly a candidate-volume
+    heuristic — measured at sf0.1: hash-order (df-free) prefixes produce
+    430,395 candidate pairs vs ~300 with rarity ranking, a ~1000x
+    verification-load reduction for ~1.5s of ranking cost. At cluster
+    scale that trade only improves (verification shuffles full shingle
+    arrays; ranking shuffles 16-byte posting rows).
+
     Shingles are interned to xxhash64 longs up front: every downstream
     shuffle (postings, prefixes, verification arrays) carries 8 bytes per
     shingle instead of ~30-byte strings. Collision probability across a
