@@ -29,6 +29,7 @@ from etl_schema_spark.operators import (
     sketches,
     text,
     transforms,
+    view_families,
     views_layer,
 )
 
@@ -40,62 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver evaluates the first 50 entries, so
+    # queries without a round-1 verdict (all of §2C) come first, then the
+    # four re-fixed §2B oracles, then the already-driver-verified tail.
     return {
-        # §2A view-layer engine
-        "raw_view_events": views_layer.raw_view,
-        "extended_view_events": views_layer.extended_view,
-        "unified_view_events": views_layer.unified_view,
-        "annotate_renest": views_layer.annotate_renest,
-        "dedup_best_per_user": rollups.dedup_best_per_user,
-        "hourly_rollup": rollups.hourly_rollup,
-        "daily_deciles": rollups.daily_deciles,
-        "log_pdf_cdf": rollups.log_pdf_cdf,
-        "geomean_by_type": rollups.geomean_by_type,
-        "switch_utilization": rollups.switch_utilization,
-        "sidestream_view": rollups.sidestream_view,
-        "wildcard_union": rollups.wildcard_union,
-        "multistream_throughput": rollups.multistream_throughput,
-        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf(
-            s, d, direction="upload", fleet="2021"
-        ),
-        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean(
-            s, d, direction="download", fleet="complete"
-        ),
-        # §2B relational core
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_supplier": relational.q5_local_supplier,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q4_order_priority": relational.q4_order_priority,
-        "q8_market_share": relational.q8_market_share,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q10_returned_items": relational.q10_returned_items,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,
-        "q9_product_type_profit": relational_ext.q9_product_type_profit,
-        "q11_important_stock": relational_ext.q11_important_stock,
-        "q12_shipmode": relational_ext.q12_shipmode,
-        "q13_customer_distribution": relational_ext.q13_customer_distribution,
-        "q15_top_supplier": relational_ext.q15_top_supplier,
-        "q16_parts_supplier": relational_ext.q16_parts_supplier,
-        "q17_small_quantity": relational_ext.q17_small_quantity,
-        "q20_potential_promotion": relational_ext.q20_potential_promotion,
-        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,
-        "static_mapping": transforms.static_mapping,
-        "q18_big_orders": transforms.q18_big_orders,
-        "q22_inactive_customers": transforms.q22_inactive_customers,
-        "asof_attribution": asof.asof_attribution,
-        "rollup_revenue": analytics.rollup_revenue,
-        "pivot_event_counts": analytics.pivot_event_counts,
-        "corr_value_hour": analytics.corr_value_hour,
-        "funnel_conversion": analytics.funnel_conversion,
-        "time_weighted_value": analytics.time_weighted_value,
-        "churned_users": analytics.churned_users,
-        "sessionized_events": sessions.sessionized_events,
-        "running_totals": sessions.running_totals,
-        "top_clients_per_type": sessions.top_clients_per_type,
-        # §2C LLM-data-pipeline operators
+        # §2C LLM-data-pipeline operators (driver-unverified in round 1)
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_editdistance": dedup.dedup_editdistance,
@@ -124,6 +74,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_term_stats": corpus.zipf_term_stats,
         "centroid_per_label": corpus.centroid_per_label,
         "canonical_pick": corpus.canonical_pick,
+        # §2B oracles re-fixed this round (HUGEINT→BIGINT cast)
+        "q12_shipmode": relational_ext.q12_shipmode,
+        "pivot_event_counts": analytics.pivot_event_counts,
+        "sessionized_events": sessions.sessionized_events,
+        "time_weighted_value": analytics.time_weighted_value,
+        # view families added round 2 (tiered validity chain, trailing
+        # window, templated raw-layer join)
+        "tiered_views": view_families.tiered_views,
+        "trailing_window_view": view_families.trailing_window_view,
+        "joined_view_template": view_families.joined_view_template,
+        # real-codec multimodal path (pure-Python PPM/BMP codecs)
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
+        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
+        # §2A view-layer engine (driver-verified round 1)
+        "raw_view_events": views_layer.raw_view,
+        "extended_view_events": views_layer.extended_view,
+        "unified_view_events": views_layer.unified_view,
+        "annotate_renest": views_layer.annotate_renest,
+        "dedup_best_per_user": rollups.dedup_best_per_user,
+        "hourly_rollup": rollups.hourly_rollup,
+        "daily_deciles": rollups.daily_deciles,
+        "log_pdf_cdf": rollups.log_pdf_cdf,
+        "geomean_by_type": rollups.geomean_by_type,
+        "switch_utilization": rollups.switch_utilization,
+        "sidestream_view": rollups.sidestream_view,
+        "wildcard_union": rollups.wildcard_union,
+        "multistream_throughput": rollups.multistream_throughput,
+        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf(
+            s, d, direction="upload", fleet="2021"
+        ),
+        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean(
+            s, d, direction="download", fleet="complete"
+        ),
+        # §2B relational core (driver-verified round 1)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier": relational.q5_local_supplier,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q4_order_priority": relational.q4_order_priority,
+        "q8_market_share": relational.q8_market_share,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,
+        "q9_product_type_profit": relational_ext.q9_product_type_profit,
+        "q11_important_stock": relational_ext.q11_important_stock,
+        "q13_customer_distribution": relational_ext.q13_customer_distribution,
+        "q15_top_supplier": relational_ext.q15_top_supplier,
+        "q16_parts_supplier": relational_ext.q16_parts_supplier,
+        "q17_small_quantity": relational_ext.q17_small_quantity,
+        "q20_potential_promotion": relational_ext.q20_potential_promotion,
+        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,
+        "static_mapping": transforms.static_mapping,
+        "q18_big_orders": transforms.q18_big_orders,
+        "q22_inactive_customers": transforms.q22_inactive_customers,
+        "asof_attribution": asof.asof_attribution,
+        "rollup_revenue": analytics.rollup_revenue,
+        "corr_value_hour": analytics.corr_value_hour,
+        "funnel_conversion": analytics.funnel_conversion,
+        "churned_users": analytics.churned_users,
+        "running_totals": sessions.running_totals,
+        "top_clients_per_type": sessions.top_clients_per_type,
     }
 
 
@@ -161,6 +174,11 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_predicate": relational.q19_oracle(),
         "q9_product_type_profit": relational_ext.q9_oracle(),
         "q11_important_stock": relational_ext.q11_oracle(),
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
+        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
+        "tiered_views": view_families.tiered_views_oracle(),
+        "trailing_window_view": view_families.trailing_window_view_oracle(),
+        "joined_view_template": view_families.joined_view_template_oracle(),
         "q12_shipmode": relational_ext.q12_oracle(),
         "q13_customer_distribution": relational_ext.q13_oracle(),
         "q15_top_supplier": relational_ext.q15_oracle(),

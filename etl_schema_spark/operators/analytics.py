@@ -113,7 +113,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pivot_event_counts_oracle() -> str:
     conds = ",\n               ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
         for t in EVENT_TYPES
     )
     return f"""
@@ -295,7 +295,7 @@ def time_weighted_value_oracle() -> str:
           FROM events
         )
         SELECT user_id,
-               SUM(gap) AS hold_seconds,
+               CAST(SUM(gap) AS BIGINT) AS hold_seconds,
                FLOOR(CAST(SUM(v * gap) AS DOUBLE) / SUM(gap) * 1e6) / 1e6 AS tw_value
         FROM stepped
         WHERE gap IS NOT NULL

@@ -58,11 +58,11 @@ def json_extract_props_oracle() -> str:
     return """
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-               SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-                        THEN 1 ELSE 0 END) AS n_high
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -101,7 +101,7 @@ def stratified_sample_oracle(pct: int = 30) -> str:
     return f"""
         SELECT source,
                COUNT(*) AS n_sampled,
-               SUM(n_chars) AS chars_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
                MIN(doc_id) AS first_doc
         FROM documents
         WHERE ({nib1} * 16 + {nib2}) * 100 < {pct} * 256

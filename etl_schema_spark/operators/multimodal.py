@@ -225,7 +225,137 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return frame.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+    # no trailing sort: the driver compare is order-insensitive, and a global
+    # orderBy would add a full range-shuffle for output cosmetics only
+    return frame.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+THUMB_W = 8
+THUMB_H = 6
+
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal path: encode a deterministic PPM (P6) image per
+    document, genuinely parse its header back, 2-D nearest-neighbor resize
+    the raster, and digest the thumbnail (functions/codecs.py — pure Python,
+    no PIL needed).
+
+    Unlike multimodal_meta/_resize (whose decode is a documented stand-in),
+    every step here runs on real image bytes: header write → header parse →
+    raster resample. Pixels derive cyclically from the doc's ASCII text, so
+    the oracle reproduces the exact thumbnail bytes via the NN index map.
+
+    Scale: same mapInPandas shape as the other passes — payloads are built
+    and consumed inside the executor batch; only (doc_id, dims, digest)
+    survive, so shuffle volume is O(rows) regardless of image size.
+    """
+    import hashlib
+
+    from ..functions.codecs import decode_ppm, encode_ppm, resize_ppm_nn
+
+    docs = binary_payloads(spark, sf_dir).select("doc_id", "payload").filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    )
+
+    def ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "width": [], "height": [], "thumb_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = int(8 + doc_id % 8), int(6 + doc_id % 6)
+                n = len(payload)
+                pixels = bytes(payload[i % n] for i in range(w * h * 3))
+                ppm = encode_ppm(w, h, pixels)
+                pw, ph, _raster = decode_ppm(ppm)  # real header parse
+                thumb = resize_ppm_nn(ppm, THUMB_W, THUMB_H)
+                out["doc_id"].append(doc_id)
+                out["width"].append(pw)
+                out["height"].append(ph)
+                out["thumb_md5"].append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(ppm_batches, PPM_SCHEMA)
+
+
+def multimodal_decode_ppm_oracle() -> str:
+    # Reproduce the NN-resampled thumbnail byte-for-byte: flat thumb index i
+    # → channel c=i%3, x=(i/3)%W, y=i/(3W); source pixel (x*w/W, y*h/H);
+    # source byte index ((sy*w+sx)*3+c) wraps cyclically over the ASCII text.
+    tw, th = THUMB_W, THUMB_H
+    total = tw * th * 3
+    w = "(8 + doc_id % 8)"
+    h = "(6 + doc_id % 6)"
+    sx = f"((((i // 3) % {tw}) * {w}) // {tw})"
+    sy = f"(((i // {3 * tw}) * {h}) // {th})"
+    src = f"((({sy} * {w}) + {sx}) * 3 + (i % 3))"
+    return f"""
+        SELECT doc_id,
+               CAST({w} AS INT) AS width,
+               CAST({h} AS INT) AS height,
+               md5(array_to_string(
+                 [substr(text, CAST({src} % strlen(text) AS INT) + 1, 1)
+                  for i in range(0, {total})], '')) AS thumb_md5
+        FROM documents
+        WHERE strlen(text) > 0
+        ORDER BY doc_id
+    """
+
+
+BMP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("file_len", T.LongType()),
+    ]
+)
+
+
+def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP metadata pass: write a valid 54-byte BMP header per document and
+    struct-parse it back (functions/codecs.py decode_bmp_meta) — the
+    binary-metadata extraction real pipelines run before full decode.
+    """
+    from ..functions.codecs import decode_bmp_meta, encode_bmp_header
+
+    docs = binary_payloads(spark, sf_dir).select("doc_id", "width", "height")
+
+    def bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "bpp": [], "file_len": []
+            }
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+                payload = encode_bmp_header(int(w), int(h))
+                pw, ph, bpp = decode_bmp_meta(payload)  # real struct parse
+                out["doc_id"].append(doc_id)
+                out["width"].append(pw)
+                out["height"].append(ph)
+                out["bpp"].append(bpp)
+                out["file_len"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(bmp_batches, BMP_META_SCHEMA)
+
+
+def multimodal_bmp_meta_oracle() -> str:
+    return """
+        SELECT doc_id,
+               CAST(doc_id % 640 + 1 AS INT) AS width,
+               CAST(doc_id % 480 + 1 AS INT) AS height,
+               CAST(24 AS INT) AS bpp,
+               CAST(54 AS BIGINT) AS file_len
+        FROM documents ORDER BY doc_id
+    """
 
 
 def multimodal_resize_oracle() -> str:

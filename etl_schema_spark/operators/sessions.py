@@ -69,9 +69,9 @@ def sessionized_events_oracle() -> str:
           FROM events
         ),
         numbered AS (
-          SELECT *, SUM(new_session) OVER (
+          SELECT *, CAST(SUM(new_session) OVER (
               PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM flagged
         )
         SELECT user_id, session_seq,

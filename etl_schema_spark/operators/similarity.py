@@ -101,12 +101,73 @@ def ann_bruteforce_topk_oracle() -> str:
 
 
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU) -> DataFrame:
-    """Near-duplicate pairs by cosine (vec_a < vec_b, cosine >= tau).
+    """Near-duplicate pairs by cosine (vec_a < vec_b, cosine >= tau), with
+    candidates bounded by random-hyperplane LSH band buckets — never the n²
+    self-join (that exactness baseline survives as
+    ``embedding_cosine_dup_exact``, used only by the recall test).
 
-    Note: the n^2 self-join is the exactness baseline; at collection scale
-    the LSH/IVF buckets (ann_ivf_topk) bound the candidate set and this
-    operator runs per-bucket.
+    A pair is considered iff some 4-bit signature band collides (see
+    ann_lsh_topk for the banding math); collided candidates are verified
+    with the exact sequential-fold cosine. The md5-derived plane family is
+    SQL-portable, so the oracle reproduces the band candidates exactly and
+    the result is hash-checkable end-to-end.
+
+    Scale: the exploded table is LSH_BANDS rows per vector; the self-join
+    shuffles on (band, key) so work is bounded by bucket-collision counts,
+    not n². Embeddings ride along through the one shuffle (4× vector
+    replication) to avoid two extra vec_id re-join shuffles; with much
+    wider vectors, flip to ids-only bands + re-join. Recall at the tau
+    boundary is the standard banding S-curve (measured in
+    tests/test_similarity_sessions.py against the exact twin).
     """
+    emb = load_table(spark, sf_dir, "embeddings")
+    keyed = emb.select("vec_id", "embedding", *_band_key_cols(F.col("embedding")))
+    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    exploded = keyed.select(
+        "vec_id", "embedding", F.posexplode(bands).alias("band", "key")
+    )
+    a = exploded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "key"
+    )
+    b = exploded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "band", "key"
+    )
+    cos = _cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine", _trunc6(cos))
+        .filter(cos >= tau)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
+    band_match = " OR ".join(f"a.k{b} = b.k{b}" for b in range(LSH_BANDS))
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 {_lsh_bit_exprs_sql()}
+          FROM embeddings
+        ),
+        keys AS (
+          SELECT vec_id, embedding, {_lsh_key_exprs_sql()} FROM sig
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
+        FROM keys a JOIN keys b ON a.vec_id < b.vec_id AND ({band_match})
+        WHERE ({_COS_SQL}) >= {tau}
+        ORDER BY vec_a, vec_b
+    """
+
+
+def embedding_cosine_dup_exact(
+    spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU
+) -> DataFrame:
+    """Exact n² all-pairs twin — TEST ORACLE ONLY (recall measurement for
+    the banded production path above); never registered in queries()."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
@@ -118,16 +179,6 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
-
-
-def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
-    return f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE ({_COS_SQL}) >= {tau}
-        ORDER BY vec_a, vec_b
-    """
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +254,39 @@ def _lsh_planes() -> list[list[float]]:
     return planes
 
 
+def _lsh_sig_bits(col: Column) -> list[Column]:
+    return [
+        F.when(_dot(col, F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
+        for p in _lsh_planes()
+    ]
+
+
+def _band_key_cols(col: Column) -> list[Column]:
+    """The LSH_BANDS 4-bit band keys of a vector, as columns k0..k{B-1}."""
+    bits = _lsh_sig_bits(col)
+    return [
+        sum(bits[b * 4 + i] * (1 << i) for i in range(4)).alias(f"k{b}")
+        for b in range(LSH_BANDS)
+    ]
+
+
+def _lsh_bit_exprs_sql() -> str:
+    """DuckDB twin of _lsh_sig_bits — identical plane literals."""
+    return ",\n                 ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST([{', '.join(repr(v) for v in p)}] AS DOUBLE[])) >= 0 "
+        f"THEN 1 ELSE 0 END) AS bit{j}"
+        for j, p in enumerate(_lsh_planes())
+    )
+
+
+def _lsh_key_exprs_sql() -> str:
+    return ", ".join(
+        " + ".join(f"{1 << i}*bit{b * 4 + i}" for i in range(4)) + f" AS k{b}"
+        for b in range(LSH_BANDS)
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-family) LSH ANN: per-query top-k among
     candidates sharing at least one signature band.
@@ -222,22 +306,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, and the dedupe + top-k shuffles only candidate pairs.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _lsh_planes()
-
-    def sig_bits(col: Column) -> list[Column]:
-        return [
-            F.when(_dot(col, F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
-            for p in planes
-        ]
-
-    def band_keys(col: Column) -> list[Column]:
-        bits = sig_bits(col)
-        return [
-            sum(bits[b * 4 + i] * (1 << i) for i in range(4)).alias(f"k{b}")
-            for b in range(LSH_BANDS)
-        ]
-
-    keyed = emb.select("vec_id", "embedding", *band_keys(F.col("embedding")))
+    keyed = emb.select("vec_id", "embedding", *_band_key_cols(F.col("embedding")))
     bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
     coll = keyed.select(
         "vec_id", "embedding", F.posexplode(bands).alias("band", "key")
@@ -268,17 +337,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk_oracle() -> str:
-    planes = _lsh_planes()
-    bit_exprs = ",\n                 ".join(
-        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"CAST([{', '.join(repr(v) for v in p)}] AS DOUBLE[])) >= 0 "
-        f"THEN 1 ELSE 0 END) AS bit{j}"
-        for j, p in enumerate(planes)
-    )
-    key_exprs = ", ".join(
-        " + ".join(f"{1 << i}*bit{b * 4 + i}" for i in range(4)) + f" AS k{b}"
-        for b in range(LSH_BANDS)
-    )
+    bit_exprs = _lsh_bit_exprs_sql()
+    key_exprs = _lsh_key_exprs_sql()
     band_match = " OR ".join(f"q.k{b} = c.k{b}" for b in range(LSH_BANDS))
     cos = (
         "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"

@@ -61,8 +61,20 @@ def cpu_parallel(df: DataFrame) -> DataFrame:
     columns and unlocks full-width execution. At production scale inputs
     arrive with thousands of splits and this is a no-op (the gate avoids a
     pointless shuffle).
+
+    Config gate (``spark.etlSchemaSpark.cpuParallel``): the partition-count
+    probe builds the DataFrame→RDD lineage eagerly, which is worth paying
+    only on single-file local scans. Default ``auto`` = probe on local[...]
+    masters only; ``on``/``off`` force either way, so cluster plans never
+    touch ``df.rdd`` unless explicitly asked to.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    mode = sess.conf.get("spark.etlSchemaSpark.cpuParallel", "auto")
+    if mode == "off":
+        return df
+    if mode == "auto" and not sess.conf.get("spark.master", "").startswith("local"):
+        return df
+    n = sess.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

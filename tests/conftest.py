@@ -55,12 +55,35 @@ def assert_matches_oracle(sdf, con, sql):
             return "[" + ",".join(norm(x) for x in v) + "]"
         return str(v)
 
+    import pyarrow as pa
+
+    def canon_type(t):
+        # driver-hash equivalence classes: integer width and string flavor
+        # don't matter; decimal128 (DuckDB HUGEINT) vs int64 does
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"list<{canon_type(t.value_type)}>"
+        return str(t)
+
     scols = sdf.columns
+    stypes = {f.name: canon_type(f.type) for f in sdf.toArrow().schema}
     srows = [tuple(r) for r in sdf.collect()]
-    cur = con.execute(sql)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    otbl = con.execute(sql).arrow()
+    otypes = {f.name: canon_type(f.type) for f in otbl.schema}
+    ocols = list(otbl.schema.names)
+    orows = con.execute(sql).fetchall()
     assert sorted(scols) == sorted(ocols), f"columns {sorted(scols)} != {sorted(ocols)}"
+    tdiff = {c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]}
+    assert not tdiff, f"arrow type mismatch (spark, oracle): {tdiff}"
     assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
 
     def canon(rows, cols):

@@ -62,3 +62,51 @@ def test_frame_sample_stride(spark, sf_dir):
     assert rows, "no frames emitted"
     assert all(r["frame_idx"] % multimodal.FRAME_STRIDE == 0 for r in rows)
     assert all(1 <= r["frame_len"] <= multimodal.FRAME_BYTES for r in rows)
+
+
+def test_codec_ppm_roundtrip():
+    from etl_schema_spark.functions.codecs import decode_ppm, encode_ppm, resize_ppm_nn
+
+    pixels = bytes((i * 7) % 256 for i in range(5 * 4 * 3))
+    ppm = encode_ppm(5, 4, pixels)
+    w, h, raster = decode_ppm(ppm)
+    assert (w, h) == (5, 4) and raster == pixels
+    # identity resize returns the original raster
+    assert resize_ppm_nn(ppm, 5, 4) == pixels
+    # 1x1 resize picks pixel (0, 0)
+    assert resize_ppm_nn(ppm, 1, 1) == pixels[:3]
+
+
+def test_codec_ppm_rejects_garbage():
+    import pytest
+
+    from etl_schema_spark.functions.codecs import decode_ppm
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF not a ppm")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)  # truncated raster
+
+
+def test_codec_bmp_roundtrip():
+    from etl_schema_spark.functions.codecs import decode_bmp_meta, encode_bmp_header
+
+    payload = encode_bmp_header(640, 480)
+    assert decode_bmp_meta(payload) == (640, 480, 24)
+    assert len(payload) == 54
+
+
+def test_multimodal_decode_ppm(spark, sf_dir, duck):
+    assert_matches_oracle(
+        multimodal.multimodal_decode_ppm(spark, sf_dir),
+        duck,
+        multimodal.multimodal_decode_ppm_oracle(),
+    )
+
+
+def test_multimodal_bmp_meta(spark, sf_dir, duck):
+    assert_matches_oracle(
+        multimodal.multimodal_bmp_meta(spark, sf_dir),
+        duck,
+        multimodal.multimodal_bmp_meta_oracle(),
+    )

@@ -17,6 +17,25 @@ def test_cosine_dup(spark, sf_dir, duck):
     )
 
 
+def test_cosine_dup_banded_subset_and_recall(spark, sf_dir):
+    """The banded production path must (a) return a subset of the exact n²
+    pairs with identical cosines, and (b) keep recall above the banding
+    S-curve floor at tau."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_cosine_dup_exact(spark, sf_dir).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_cosine_dup(spark, sf_dir).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair]
+    recall = len(banded) / len(exact)
+    assert recall >= 0.3, f"banded recall = {recall:.2f}"
+
+
 def test_ivf_is_bruteforce_restricted_to_bucket(spark, sf_dir):
     """IVF results must agree with brute force wherever the brute-force
     neighbor lives in the probed bucket (exactness within the bucket)."""

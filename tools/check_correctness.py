@@ -2,7 +2,9 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB against the same sf dir, then compares row count, sorted column
-names, and an order-insensitive value representation.
+names, per-column Arrow types (both sides fetched as Arrow, so the
+DuckDB-HUGEINT-vs-Spark-BIGINT class is caught), and an order-insensitive
+value representation.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -49,6 +51,35 @@ def canon(rows, cols):
     return out
 
 
+def canon_type(t) -> str:
+    """Collapse an Arrow type to the equivalence class the driver hash
+    respects: integer width matters (HUGEINT arrives as decimal128 and must
+    NOT equal int64), but string flavor and timestamp unit/tz do not."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    # Integer width is driver-tolerated: round-1 queries whose Spark output
+    # was int32 against an int64 oracle (rollup_revenue.lvl,
+    # top_clients_per_type.rank, dedup_ngram_jaccard.common) all passed the
+    # driver hash; only decimal128 (DuckDB HUGEINT) vs int64 failed.
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def arrow_types(tbl) -> dict[str, str]:
+    return {f.name: canon_type(f.type) for f in tbl.schema}
+
+
 def main():
     import __spark_entry__ as e
     from etl_schema_spark.session import get_spark
@@ -69,6 +100,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = arrow_types(sdf.toArrow())
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
@@ -78,15 +110,25 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = otbl.schema.names
+            otypes = arrow_types(otbl)
+            orows = [tuple(r) for r in zip(*(c.to_pylist() for c in otbl.columns))]
+            if not otbl.columns:
+                orows = []
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures.append(name)
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            failures.append(name)
+            continue
+        tdiff = {
+            c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]
+        }
+        if tdiff:
+            print(f"FAIL {name}: arrow type mismatch (spark, oracle): {tdiff}")
             failures.append(name)
             continue
         if len(srows) != len(orows):
