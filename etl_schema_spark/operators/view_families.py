@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from ..sources.views import ViewCatalog
+from ..sources.views import PRIVATE_ACL, PUBLIC_ACL, ViewCatalog
 
 # --- tiered validity family ------------------------------------------------
 
@@ -95,6 +95,10 @@ def tier_catalog(project_id: str = "local") -> ViewCatalog:
     Expects the raw table registered as the ``raw__events`` temp view.
     """
     cat = ViewCatalog(project_id=project_id)
+    # ACL parity with make_views.sh: the intermediate dataset stays private,
+    # the rc (release-candidate) dataset is the public surface
+    cat.set_acl("etl", PRIVATE_ACL)
+    cat.set_acl("rc", PUBLIC_ACL)
     cat.add(
         "etl.common_events",
         "SELECT event_id, CAST(ts AS DATE) AS partition_date, ts, user_id,"
@@ -261,6 +265,7 @@ def joined_catalog(project_id: str = "local") -> ViewCatalog:
     plays annotation2_raw.
     """
     cat = ViewCatalog(project_id=project_id)
+    cat.set_acl("autoload", PUBLIC_ACL)
     cat.add(
         "autoload.ndt7_joined",
         _JOINED_TEMPLATE,

@@ -9,6 +9,8 @@ reference's deployment tool:
     (main.go findTables, lines 43-56)
   - creates/replaces each view with a description stamped with provenance
     (main.go: description + "View of data table ...")
+  - attaches per-dataset access-control manifests (acl/*.acl.json — the
+    reference ships BigQuery dataset ACL JSON per visibility tier)
 
 Here a ViewCatalog holds named SQL templates; ``materialize`` resolves
 ``{{.ProjectID}}.dataset.name`` references, topologically orders views by
@@ -36,14 +38,50 @@ class ViewDef:
     description: str = ""
 
 
+# Dataset ACL manifest shapes, parity with the reference's acl/ directory
+# (BigQuery dataset-ACL JSON: role + specialGroup entries).
+PRIVATE_ACL = {
+    "access": [
+        {"role": "WRITER", "specialGroup": "projectWriters"},
+        {"role": "OWNER", "specialGroup": "projectOwners"},
+    ],
+    "kind": "dataset",
+}
+PUBLIC_ACL = {
+    "access": [
+        {"role": "READER", "specialGroup": "allAuthenticatedUsers"},
+        {"role": "WRITER", "specialGroup": "projectWriters"},
+        {"role": "OWNER", "specialGroup": "projectOwners"},
+    ],
+    "kind": "dataset",
+}
+
+
 @dataclass
 class ViewCatalog:
     project_id: str = "local"
     views: dict[str, ViewDef] = field(default_factory=dict)
     descriptions: dict[str, str] = field(default_factory=dict)
+    acls: dict[str, dict] = field(default_factory=dict)  # dataset -> manifest
 
     def add(self, name: str, sql_template: str, description: str = "") -> None:
         self.views[name] = ViewDef(name, sql_template, description)
+
+    def set_acl(self, dataset: str, manifest: dict) -> None:
+        """Attach an access-control manifest to a dataset (every view under
+        ``dataset.*`` inherits it). Manifest shape mirrors acl/*.acl.json."""
+        entries = manifest.get("access")
+        if not isinstance(entries, list) or not all(
+            isinstance(e, dict) and "role" in e for e in entries
+        ):
+            raise ValueError("ACL manifest needs an 'access' list of role entries")
+        self.acls[dataset] = manifest
+
+    def acl_for(self, view_name: str) -> dict:
+        """The effective ACL of a view: its dataset's manifest, defaulting
+        to PRIVATE (the reference's private.acl.json is the fallback)."""
+        dataset = view_name.split(".", 1)[0]
+        return self.acls.get(dataset, PRIVATE_ACL)
 
     @staticmethod
     def find_refs(sql: str) -> list[str]:

@@ -121,3 +121,39 @@ def test_view_catalog_cycle_detection():
     cat.add("a.v2", "SELECT * FROM `{{.ProjectID}}.a.v1`")
     with pytest.raises(ValueError, match="cycle"):
         cat.dependency_order()
+
+
+def test_catalog_acl_manifests():
+    """Dataset ACL manifests (reference acl/*.acl.json parity): attach,
+    inherit per view, default private, reject malformed."""
+    import pytest
+
+    from etl_schema_spark.operators.view_families import tier_catalog
+    from etl_schema_spark.sources.views import PRIVATE_ACL, PUBLIC_ACL, ViewCatalog
+
+    cat = tier_catalog()
+    assert cat.acl_for("rc.ndt_downloads") == PUBLIC_ACL
+    assert cat.acl_for("etl.common_events") == PRIVATE_ACL
+    # unknown dataset falls back to private (the reference's default)
+    assert cat.acl_for("scratch.tmp") == PRIVATE_ACL
+    roles = {e["role"] for e in cat.acl_for("rc.ndt_all")["access"]}
+    assert roles == {"READER", "WRITER", "OWNER"}
+
+    bad = ViewCatalog()
+    with pytest.raises(ValueError):
+        bad.set_acl("x", {"access": "not-a-list"})
+    with pytest.raises(ValueError):
+        bad.set_acl("x", {"access": [{"specialGroup": "noRole"}]})
+
+
+def test_catalog_descriptions_stamped(spark):
+    from etl_schema_spark.operators import view_families as vf
+    from etl_schema_spark.sources.catalog import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView(
+        "raw__events"
+    )
+    cat = vf.tier_catalog()
+    cat.materialize(spark)
+    desc = cat.descriptions["rc.ndt_sensible"]
+    assert "Tier 'sensible'" in desc and "View of" in desc
