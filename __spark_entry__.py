@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real-codec multimodal path (pure-Python PPM/BMP codecs)
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
+        # count-min sketch (md5-portable hash family, oracle-checkable)
+        "cms_frequency_estimate": sketches.cms_frequency_estimate,
         # §2A view-layer engine (driver-verified round 1)
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_predicate": relational.q19_oracle(),
         "q9_product_type_profit": relational_ext.q9_oracle(),
         "q11_important_stock": relational_ext.q11_oracle(),
+        "cms_frequency_estimate": sketches.cms_frequency_estimate_oracle(),
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),

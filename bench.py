@@ -40,6 +40,12 @@ HEADLINE = [
     "knn_classify",
     "token_count",
     "multimodal_meta",
+    # round-2 additions
+    "tiered_views",
+    "joined_view_template",
+    "embedding_cosine_dup",
+    "cms_frequency_estimate",
+    "multimodal_decode_ppm",
 ]
 
 

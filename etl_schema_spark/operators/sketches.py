@@ -57,6 +57,86 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> D
     ).orderBy("event_type")
 
 
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row
+
+
+def _cms_bucket_col(j_col, key_col) -> "F.Column":
+    """Row-j bucket of a key: first 8 md5 nibbles of 'cms<j><key>' mod W —
+    md5-derived like the LSH plane family, so any engine reproduces it."""
+    h = F.md5(F.concat(F.lit("cms"), j_col.cast("string"), key_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % CMS_W).alias("bucket")
+
+
+def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for per-user event counts, with
+    the exact count alongside (CMS guarantees est >= exact; the gap shows
+    the collision error at W=64 buckets).
+
+    Build: every event increments d=4 (row, bucket) counters — an explode
+    to 4 narrow rows then ONE map-side-combined groupBy over at most d*w =
+    256 groups; the sketch is O(d*w) no matter the corpus size, which is
+    the whole point of the sketch at 100 TB. Query: the distinct keys join
+    the broadcast sketch on (row, bucket) and take min over rows.
+
+    Like KMV above, the hash family is md5-derived so the sketch — not
+    just its asymptotics — is oracle-checkable across engines (engine-
+    native sketches never agree bit-for-bit).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    increments = ev.select("user_id", js).select(
+        "j", _cms_bucket_col(F.col("j"), F.col("user_id"))
+    )
+    sketch = increments.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq_exact"))
+    probes = exact.select("user_id", "freq_exact", js).select(
+        "user_id",
+        "freq_exact",
+        "j",
+        _cms_bucket_col(F.col("j"), F.col("user_id")),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "freq_exact")
+        .agg(F.min("cnt").alias("freq_est"))
+        .select("user_id", "freq_exact", "freq_est")
+        .orderBy("user_id")
+    )
+
+
+def cms_frequency_estimate_oracle() -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR)"
+        " || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {w}"
+    ).format(w=CMS_W)
+    return f"""
+        WITH js AS (SELECT unnest(range(0, {CMS_D})) AS j),
+        increments AS (
+          SELECT j, {bucket} AS bucket
+          FROM events CROSS JOIN js
+        ),
+        sketch AS (
+          SELECT j, bucket, COUNT(*) AS cnt
+          FROM increments GROUP BY j, bucket
+        ),
+        exact AS (
+          SELECT user_id, COUNT(*) AS freq_exact FROM events GROUP BY user_id
+        ),
+        probes AS (
+          SELECT user_id, freq_exact, j, {bucket} AS bucket
+          FROM exact CROSS JOIN js
+        )
+        SELECT user_id,
+               CAST(freq_exact AS BIGINT) AS freq_exact,
+               CAST(MIN(cnt) AS BIGINT) AS freq_est
+        FROM probes JOIN sketch USING (j, bucket)
+        GROUP BY user_id, freq_exact
+        ORDER BY user_id
+    """
+
+
 def kmv_distinct_estimate_oracle(k: int = KMV_K) -> str:
     return f"""
         WITH h AS (

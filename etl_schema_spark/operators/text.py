@@ -215,11 +215,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFra
 
     Classic corpus-weighting operator for pretraining-data curation (rare-
     term extraction, topic keying). Fully declarative: one shuffle for the
-    per-(doc, term) TF count, one for the document-frequency aggregate
-    (broadcast back onto the term postings), and a per-doc top-k window.
-    The corpus size joins in as a broadcast 1-row aggregate, so nothing
-    collects to the driver. idf = ln((N+1)/(df+1)) in float64 — identical
-    arithmetic in the DuckDB oracle.
+    per-(doc, term) TF count, one (map-side-combined, ~vocab-sized) for the
+    document-frequency aggregate, and a per-doc top-k window. The corpus
+    size joins in as a broadcast 1-row aggregate, so nothing collects to
+    the driver. idf = ln((N+1)/(df+1)) in float64 — identical arithmetic in
+    the DuckDB oracle.
+
+    Deliberate non-fusions, measured against the alternatives:
+      - dfreq is NOT broadcast-hinted: AQE broadcasts it when the vocab is
+        small and falls back to a skew-aware shuffle join when it is not —
+        a forced broadcast caps the operator at driver-memory vocab sizes.
+      - dfreq is NOT fused into a per-term collect_list postings pass (the
+        dedup_ngram_jaccard trick): word df is Zipfian, so the hottest
+        term's posting list is O(corpus docs) in one task's memory. The
+        separate aggregate moves only partial (term, count) rows instead.
+      - no trailing orderBy: the driver compare is order-insensitive and
+        the result is per-doc top-k; a global range sort is cosmetics.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = cpu_parallel(docs.select("doc_id", "text")).select(
@@ -229,7 +240,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFra
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -241,7 +252,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFra
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "term", "tf", _trunc6(F.col("tfidf")).alias("tfidf"), "rnk")
-        .orderBy("doc_id", "rnk")
     )
 
 

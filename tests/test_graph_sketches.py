@@ -100,3 +100,21 @@ def test_multimodal_resize_constant_width(spark, sf_dir):
 
     df = multimodal.multimodal_resize(spark, sf_dir)
     assert df.filter(df.thumb_len != multimodal.RESIZE_TARGET).count() == 0
+
+
+def test_cms_frequency_estimate_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sketches.cms_frequency_estimate(spark, sf_dir),
+        duck,
+        sketches.cms_frequency_estimate_oracle(),
+    )
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: estimate >= exact for every key. (An
+    est > exact overcount needs a key colliding in ALL d rows — at sf0.001's
+    key count that's vanishingly rare, so only the one-sided bound is
+    asserted here; the sf0.01 oracle match covers exact collision values.)"""
+    rows = sketches.cms_frequency_estimate(spark, sf_dir).collect()
+    assert rows
+    assert all(r["freq_est"] >= r["freq_exact"] for r in rows)

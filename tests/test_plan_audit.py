@@ -15,11 +15,11 @@ import __spark_entry__ as entry
 
 # all-pairs by definition (exactness baselines or deliberate small-side
 # cross joins): ann brute force broadcasts a tiny query set against the
-# collection; cosine_dup is the documented n^2 oracle twin of the LSH/IVF
-# scale path; kmeans broadcasts K centroids per point.
+# collection; kmeans broadcasts K centroids per point. embedding_cosine_dup
+# is deliberately NOT here since round 2 — its production path is the
+# banded LSH equi-join, so the no-cartesian assertion now covers it.
 ALLPAIRS_OK = {
     "ann_bruteforce_topk",
-    "embedding_cosine_dup",
     "ann_ivf_topk",
     "knn_classify",
     "kmeans_clusters",
