@@ -87,8 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real-codec multimodal path (pure-Python PPM/BMP codecs)
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
-        # count-min sketch (md5-portable hash family, oracle-checkable)
+        # sketch family (md5-portable hash families, oracle-checkable)
         "cms_frequency_estimate": sketches.cms_frequency_estimate,
+        "kmv_set_ops": sketches.kmv_set_ops,
         # §2A view-layer engine (driver-verified round 1)
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_type_profit": relational_ext.q9_oracle(),
         "q11_important_stock": relational_ext.q11_oracle(),
         "cms_frequency_estimate": sketches.cms_frequency_estimate_oracle(),
+        "kmv_set_ops": sketches.kmv_set_ops_oracle(),
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),

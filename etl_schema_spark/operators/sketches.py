@@ -57,6 +57,174 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> D
     ).orderBy("event_type")
 
 
+def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """Theta-sketch-style set operations from per-group KMV sketches:
+    estimated distinct-user intersection and union for every event-type
+    pair, with the exact values alongside.
+
+    Method (the Theta/KMV estimator): per type keep the k smallest md5
+    hashes; θ_t = u of the k-th smallest (1.0 if the sketch isn't full);
+    for a pair, θ = min(θ_a, θ_b), est_∩ = |{h in both sketches, u < θ}|/θ,
+    est_∪ = est_a + est_b − est_∩ (inclusion-exclusion over the same
+    estimator family).
+
+    This is the mergeability story that makes sketches matter at 100 TB:
+    per-partition sketches combine by hash-set union — O(k) state per
+    group — and set relations between cohorts come from the sketches
+    alone, never a re-scan. The md5 hash family keeps every intermediate
+    engine-portable, so estimates (not just bounds) are oracle-checked.
+
+    Plan: one distinct shuffle, one per-type rank window, then joins over
+    sketch rows only (≤ k·|types| rows — broadcast-sized by construction).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumn("u", u)
+    )
+    per_type = sketch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("u").alias("u_max")
+    ).select(
+        "event_type",
+        F.when(F.col("n_sk") >= k, F.col("u_max")).otherwise(F.lit(1.0)).alias("theta"),
+        # per-type KMV distinct estimate, exact when the sketch isn't full
+        F.when(F.col("n_sk") >= k, F.lit(float(k - 1)) / F.col("u_max"))
+        .otherwise(F.col("n_sk").cast("double"))
+        .alias("est_n"),
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("est_n").alias("est_a"),
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("est_n").alias("est_b"),
+    )
+    pairs = ta.join(tb, F.col("type_a") < F.col("type_b")).withColumn(
+        "theta", F.least("theta_a", "theta_b")
+    )
+    sa = sketch.select(F.col("event_type").alias("type_a"), "h", F.col("u").alias("u_a"))
+    sb = sketch.select(F.col("event_type").alias("type_b"), "h")
+    common = (
+        sa.join(sb, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(pairs.select("type_a", "type_b", "theta")), ["type_a", "type_b"])
+        .filter(F.col("u_a") < F.col("theta"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = h.select("event_type", "h")
+    xa = exact.select(F.col("event_type").alias("type_a"), "h")
+    xb = exact.select(F.col("event_type").alias("type_b"), "h")
+    exact_inter = (
+        xa.join(xb, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    n_exact = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est_i = F.col("n_common") / F.col("theta")
+    return (
+        pairs.join(common, ["type_a", "type_b"], "left")
+        .na.fill(0, ["n_common"])
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .na.fill(0, ["inter_exact"])
+        .join(
+            F.broadcast(n_exact.select(F.col("event_type").alias("type_a"),
+                                       F.col("n_exact").alias("na_exact"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(n_exact.select(F.col("event_type").alias("type_b"),
+                                       F.col("n_exact").alias("nb_exact"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.floor(est_i * 1e4) / 1e4).alias("inter_est"),
+            (F.floor((F.col("est_a") + F.col("est_b") - est_i) * 1e4) / 1e4).alias(
+                "union_est"
+            ),
+            F.col("inter_exact").cast("bigint").alias("inter_exact"),
+            (F.col("na_exact") + F.col("nb_exact") - F.col("inter_exact"))
+            .cast("bigint")
+            .alias("union_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def kmv_set_ops_oracle(k: int = KMV_K) -> str:
+    u_sql = "CAST(('0x' || substr(h, 1, 15)) AS BIGINT) / POWER(16, 15)"
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ),
+        sketch AS (
+          SELECT event_type, h, {u_sql} AS u
+          FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+          ) WHERE rn <= {k}
+        ),
+        per_type AS (
+          SELECT event_type,
+                 CASE WHEN COUNT(*) >= {k} THEN MAX(u) ELSE 1.0 END AS theta,
+                 CASE WHEN COUNT(*) >= {k} THEN {k - 1} / MAX(u)
+                      ELSE CAST(COUNT(*) AS DOUBLE) END AS est_n
+          FROM sketch GROUP BY event_type
+        ),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 LEAST(a.theta, b.theta) AS theta,
+                 a.est_n AS est_a, b.est_n AS est_b
+          FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+        ),
+        common AS (
+          SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                 COUNT(*) AS n_common
+          FROM sketch sa
+          JOIN sketch sb ON sa.h = sb.h AND sa.event_type < sb.event_type
+          JOIN pairs p ON p.type_a = sa.event_type AND p.type_b = sb.event_type
+          WHERE sa.u < p.theta
+          GROUP BY sa.event_type, sb.event_type
+        ),
+        exact_inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS inter_exact
+          FROM h a JOIN h b ON a.h = b.h AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type
+        ),
+        n_exact AS (
+          SELECT event_type, COUNT(*) AS n_exact FROM h GROUP BY event_type
+        )
+        SELECT p.type_a, p.type_b,
+               FLOOR(COALESCE(c.n_common, 0) / p.theta * 1e4) / 1e4 AS inter_est,
+               FLOOR((p.est_a + p.est_b - COALESCE(c.n_common, 0) / p.theta) * 1e4)
+                 / 1e4 AS union_est,
+               CAST(COALESCE(e.inter_exact, 0) AS BIGINT) AS inter_exact,
+               CAST(na.n_exact + nb.n_exact - COALESCE(e.inter_exact, 0) AS BIGINT)
+                 AS union_exact
+        FROM pairs p
+        LEFT JOIN common c ON c.type_a = p.type_a AND c.type_b = p.type_b
+        LEFT JOIN exact_inter e ON e.type_a = p.type_a AND e.type_b = p.type_b
+        JOIN n_exact na ON na.event_type = p.type_a
+        JOIN n_exact nb ON nb.event_type = p.type_b
+        ORDER BY p.type_a, p.type_b
+    """
+
+
 CMS_D = 4  # hash rows
 CMS_W = 64  # buckets per row
 

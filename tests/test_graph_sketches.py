@@ -118,3 +118,23 @@ def test_cms_never_underestimates(spark, sf_dir):
     rows = sketches.cms_frequency_estimate(spark, sf_dir).collect()
     assert rows
     assert all(r["freq_est"] >= r["freq_exact"] for r in rows)
+
+
+def test_kmv_set_ops_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sketches.kmv_set_ops(spark, sf_dir), duck, sketches.kmv_set_ops_oracle()
+    )
+
+
+def test_kmv_set_ops_sanity(spark, sf_dir):
+    """Inclusion-exclusion invariants on the exact columns, and estimates
+    in the right ballpark (sketches are exact when under-full at k=64)."""
+    rows = sketches.kmv_set_ops(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["union_exact"] >= max(r["inter_exact"], 1)
+        assert r["inter_est"] >= 0 and r["union_est"] > 0
+        # with <= 150 users per type and k=64 the estimator error is
+        # bounded; assert a loose 2x band rather than exact agreement
+        if r["inter_exact"] > 0:
+            assert 0.3 * r["inter_exact"] <= r["inter_est"] <= 3 * r["inter_exact"]
