@@ -18,6 +18,7 @@ from etl_schema_spark.operators import (
     analytics,
     asof,
     corpus,
+    curation,
     dedup,
     graph,
     multimodal,
@@ -90,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch family (md5-portable hash families, oracle-checkable)
         "cms_frequency_estimate": sketches.cms_frequency_estimate,
         "kmv_set_ops": sketches.kmv_set_ops,
+        # corpus-curation rules (decontamination / repetition / quality)
+        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
+        "repetition_stats": curation.repetition_stats,
+        "gopher_quality_flags": curation.gopher_quality_flags,
         # §2A view-layer engine (driver-verified round 1)
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
@@ -179,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": relational_ext.q11_oracle(),
         "cms_frequency_estimate": sketches.cms_frequency_estimate_oracle(),
         "kmv_set_ops": sketches.kmv_set_ops_oracle(),
+        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap_oracle(),
+        "repetition_stats": curation.repetition_stats_oracle(),
+        "gopher_quality_flags": curation.gopher_quality_flags_oracle(),
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),

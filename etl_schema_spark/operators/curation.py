@@ -1,0 +1,262 @@
+"""Corpus-curation rule operators (SURVEY §2C extension): benchmark
+decontamination, repetition statistics, and composite quality rules.
+
+These are the filter stages a production pretraining pipeline runs between
+dedup and tokenization (the Gopher / RefinedWeb / GPT-3 appendix rule
+families), expressed as the same oracle-checked operator shape as the rest
+of §2C:
+
+  decontaminate_ngram_overlap  train-vs-eval 3-gram overlap (the GPT-3
+                               13-gram decontamination check, at the
+                               testdata's shingle width)
+  repetition_stats             duplicate-n-gram fractions + top-term
+                               dominance (Gopher repetition rules)
+  gopher_quality_flags         word-count / word-length / symbol-ratio /
+                               stopword rule flags + composed keep bit
+
+Scale: repetition/quality are pure narrow projections (zero shuffle —
+array-native n-gram construction, no Python boundary). Decontamination
+broadcasts the *eval-side* distinct shingle set (benchmarks are tiny
+relative to the corpus — the asymmetry the real check exploits) and scans
+the train side once with a single partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import cpu_parallel, load_table
+from .dedup import SHINGLE_CTES_SQL, _shingled_docs
+
+EVAL_MOD = 20  # doc_id % 20 == 0 -> held-out "benchmark" split (~5%)
+
+
+def _trunc6(c: Column) -> Column:
+    return F.floor(c * 1e6) / 1e6
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share any word-3-gram with the held-out eval
+    split — the contamination report a benchmark-hygiene pass produces.
+
+    Output: one row per contaminated train doc with the overlapping-shingle
+    count and its fraction of the doc's distinct shingles.
+
+    Scale: the eval shingle set is distinct-reduced then broadcast (eval
+    benchmarks are MBs against a 100 TB train side — the asymmetry that
+    makes exact decontamination tractable); the train side is one scan +
+    one partial-aggregated groupBy(doc), no self-join anywhere.
+    """
+    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            _trunc6(F.col("n_overlap") / F.col("n_shingles")).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_ngram_overlap_oracle() -> str:
+    return f"""
+        WITH {SHINGLE_CTES_SQL},
+        eval_sh AS (
+          SELECT DISTINCT unnest(shingles) AS shingle
+          FROM sh WHERE doc_id % {EVAL_MOD} = 0 AND len(shingles) > 0
+        ),
+        train AS (
+          SELECT doc_id, len(shingles) AS n_shingles,
+                 unnest(shingles) AS shingle
+          FROM sh WHERE doc_id % {EVAL_MOD} <> 0 AND len(shingles) > 0
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               FLOOR(COUNT(*) * 1.0 / n_shingles * 1e6) / 1e6 AS overlap_frac
+        FROM train JOIN eval_sh USING (shingle)
+        GROUP BY doc_id, n_shingles
+        ORDER BY doc_id
+    """
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition rule family):
+    duplicate-2-gram and duplicate-3-gram fractions (1 − distinct/total)
+    and top-term dominance (most frequent term's share of all tokens).
+
+    Zero shuffle: n-grams are built array-natively per row (slice+zip_with,
+    the bigram_surprisal trick) and every metric reduces within the row.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.split(F.lower("text"), r"\s+")
+    n = F.size(toks)
+
+    def ngrams(width: int) -> Column:
+        parts = [F.slice(toks, i + 1, n - width + 1) for i in range(width)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.zip_with(out, p, lambda a, b: F.concat_ws(" ", a, b))
+        return F.when(n >= width, out).otherwise(F.array())
+
+    def dup_frac(width: int) -> Column:
+        grams = ngrams(width)
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            _trunc6((total - F.size(F.array_distinct(grams))) / total),
+        ).otherwise(F.lit(0.0))
+
+    # top-term share, explode-free: O(distinct·n) comparisons per row. For
+    # web-page-sized docs (10^2-10^3 tokens) this stays cheaper than the
+    # explode → groupBy(doc, term) → max alternative, which would add the
+    # operator's only shuffle; for book-length docs flip to the explode plan.
+    term_counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    top_share = F.when(
+        n > 0, _trunc6(F.array_max(term_counts) / n)
+    ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        F.col("text"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        top_share.alias("top_term_frac"),
+    ).select("doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_term_frac").orderBy("doc_id")
+
+
+def repetition_stats_oracle() -> str:
+    def gram_sql(width: int) -> str:
+        joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(width))
+        return (
+            f"CASE WHEN len(toks) >= {width} THEN "
+            f"[{joined} for i in range(1, len(toks) - {width - 1} + 1)] "
+            f"ELSE [] END"
+        )
+
+    def dup_sql(width: int) -> str:
+        g = gram_sql(width)
+        return (
+            f"CASE WHEN len({g}) > 0 THEN "
+            f"FLOOR((len({g}) - len(list_distinct({g}))) * 1.0 / len({g}) * 1e6) / 1e6 "
+            f"ELSE 0.0 END"
+        )
+
+    top_sql = (
+        "CASE WHEN len(toks) > 0 THEN "
+        "FLOOR(list_max([len(list_filter(toks, x -> x = t)) "
+        "for t in list_distinct(toks)]) * 1.0 / len(toks) * 1e6) / 1e6 "
+        "ELSE 0.0 END"
+    )
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               {dup_sql(2)} AS dup_2gram_frac,
+               {dup_sql(3)} AS dup_3gram_frac,
+               {top_sql} AS top_term_frac
+        FROM d
+        ORDER BY doc_id
+    """
+
+
+# Gopher-style rule thresholds (word count window, mean word length window,
+# symbol ratio cap, minimum stopword hits)
+QW_MIN, QW_MAX = 5, 10_000
+WL_MIN, WL_MAX = 2.0, 12.0
+SYMBOL_MAX = 0.3
+STOP_MIN = 1
+_STOPS = ("the", "a", "of", "and", "to")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-rule flags per document (Gopher §A1-style): word
+    count in range, mean word length in range, symbol-to-char ratio under
+    cap, minimum stopword hits — plus the conjunction as `keep`.
+
+    Pure narrow projection, no shuffle, no Python boundary; at 100 TB this
+    is a scan-speed filter (the rules exist to be cheap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    words = F.filter(toks, lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length("text")
+    n_symbol = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    symbol_ratio = F.when(n_chars > 0, n_symbol / n_chars).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_STOPS)))
+    f_words = (n_words >= QW_MIN) & (n_words <= QW_MAX)
+    f_wl = (mean_wl >= WL_MIN) & (mean_wl <= WL_MAX)
+    f_sym = symbol_ratio <= SYMBOL_MAX
+    f_stop = stop_hits >= STOP_MIN
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        _trunc6(mean_wl).alias("mean_word_len"),
+        _trunc6(symbol_ratio).alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        f_words.alias("ok_word_count"),
+        f_wl.alias("ok_word_len"),
+        f_sym.alias("ok_symbols"),
+        f_stop.alias("ok_stopwords"),
+        (f_words & f_wl & f_sym & f_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def gopher_quality_flags_oracle() -> str:
+    words = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+    mean_wl = (
+        f"CASE WHEN len({words}) > 0 THEN "
+        f"list_sum([CAST(strlen(w) AS DOUBLE) for w in {words}]) / len({words}) "
+        f"ELSE 0.0 END"
+    )
+    n_symbol = "strlen(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    symbol_ratio = (
+        f"CASE WHEN strlen(text) > 0 THEN {n_symbol} * 1.0 / strlen(text) ELSE 0.0 END"
+    )
+    stops = ", ".join(f"'{s}'" for s in _STOPS)
+    stop_hits = f"len(list_filter({words}, w -> w IN ({stops})))"
+    return f"""
+        SELECT doc_id,
+               CAST(len({words}) AS BIGINT) AS n_words,
+               FLOOR(({mean_wl}) * 1e6) / 1e6 AS mean_word_len,
+               FLOOR(({symbol_ratio}) * 1e6) / 1e6 AS symbol_ratio,
+               CAST({stop_hits} AS BIGINT) AS stop_hits,
+               len({words}) BETWEEN {QW_MIN} AND {QW_MAX} AS ok_word_count,
+               ({mean_wl}) BETWEEN {WL_MIN} AND {WL_MAX} AS ok_word_len,
+               ({symbol_ratio}) <= {SYMBOL_MAX} AS ok_symbols,
+               {stop_hits} >= {STOP_MIN} AS ok_stopwords,
+               (len({words}) BETWEEN {QW_MIN} AND {QW_MAX})
+                 AND (({mean_wl}) BETWEEN {WL_MIN} AND {WL_MAX})
+                 AND (({symbol_ratio}) <= {SYMBOL_MAX})
+                 AND ({stop_hits} >= {STOP_MIN}) AS keep
+        FROM documents
+        ORDER BY doc_id
+    """

@@ -1,0 +1,62 @@
+"""Corpus-curation rule operators: decontamination, repetition stats,
+Gopher-style quality flags (SURVEY §2C)."""
+
+from pyspark.sql import functions as F
+
+from etl_schema_spark.operators import curation
+
+from .conftest import assert_matches_oracle
+
+
+def test_decontaminate_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.decontaminate_ngram_overlap(spark, sf_dir),
+        duck,
+        curation.decontaminate_ngram_overlap_oracle(),
+    )
+
+
+def test_decontaminate_excludes_eval_docs(spark, sf_dir):
+    out = curation.decontaminate_ngram_overlap(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % curation.EVAL_MOD == 0).count() == 0
+    bad = out.filter(
+        (F.col("n_overlap") < 1) | (F.col("n_overlap") > F.col("n_shingles"))
+    )
+    assert bad.count() == 0
+
+
+def test_repetition_stats_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.repetition_stats(spark, sf_dir), duck, curation.repetition_stats_oracle()
+    )
+
+
+def test_repetition_bounds(spark, sf_dir):
+    rows = curation.repetition_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        assert 0.0 <= r["dup_3gram_frac"] <= 1.0
+        assert 0.0 < r["top_term_frac"] <= 1.0
+
+
+def test_gopher_flags_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.gopher_quality_flags(spark, sf_dir),
+        duck,
+        curation.gopher_quality_flags_oracle(),
+    )
+
+
+def test_gopher_keep_is_conjunction(spark, sf_dir):
+    df = curation.gopher_quality_flags(spark, sf_dir)
+    bad = df.filter(
+        F.col("keep")
+        != (
+            F.col("ok_word_count")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_stopwords")
+        )
+    )
+    assert bad.count() == 0
