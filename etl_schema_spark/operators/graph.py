@@ -16,6 +16,19 @@ a zero-changed count, so total cost is O(E * diameter) shuffle volume —
 the same data layout GraphX/Pregel would use, expressed as DataFrames so
 AQE still handles skewed hub vertices.
 
+Skew story for hub components at 100 TB: near-dup graphs are Zipfian —
+boilerplate/template families form hub vertices whose edge lists dominate
+a partition. Three mitigations compose here: (1) the per-round edges⋈labels
+join is an equi-join on src, so AQE's skew-join splitting shards a hub's
+edge list across tasks; (2) min-label propagation's combiner (groupBy-min)
+partial-aggregates map-side, so a hub's updates collapse to one row per
+map task before shuffling; (3) diameter — not hub degree — bounds the
+round count, and template families are shallow (a star around the
+template has diameter 2). The known worst case is a long chain (diameter
+O(n)); `max_rounds` caps that pathology, and the large-star/small-star
+algorithm (Kiveris et al.) is the drop-in upgrade if real corpora ever
+exhibit it — same edges/labels layout, different update rule.
+
 The result is fully deterministic (min doc_id reachable), so unlike most
 iterative algorithms this one has an exact SQL oracle: a DuckDB recursive
 CTE computing min-label reachability over the same edge set.

@@ -38,6 +38,21 @@ _DEFAULTS = {
 }
 
 
+# Streaming state-store tuning for 24/7 stateful jobs (session windows,
+# stream-stream joins, applyInPandasWithState). RocksDB spills per-key state
+# to local disk instead of holding it on-heap — the difference between a
+# bounded and an OOM-bound state store when millions of session keys are
+# open; changelog checkpointing ships deltas, not full snapshots.
+STREAMING_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    # bound in-memory write buffers so executor heap stays for the query
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+}
+
+
 def get_spark(
     app_name: str = "etl_schema_spark",
     master: str | None = None,

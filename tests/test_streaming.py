@@ -106,3 +106,29 @@ def test_attribution_join_stream_matches_batch(spark, sf_dir):
     got = {(r.purchase_id, r.click_id) for r in out.collect()}
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_session_window_rocksdb_state_store_matches(spark, sf_dir):
+    """The RocksDB state store (the 24/7 deployment provider: disk-spilled
+    per-key state, changelog checkpoints) must produce identical session
+    windows to the default HDFS-backed provider."""
+    from etl_schema_spark.session import STREAMING_STATE_CONF
+
+    base = streaming.run_available_now(
+        streaming.session_window_stream(spark, sf_dir), "t_sess_default"
+    ).collect()
+    originals = {k: spark.conf.get(k, None) for k in STREAMING_STATE_CONF}
+    for k, v in STREAMING_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        rocks = streaming.run_available_now(
+            streaming.session_window_stream(spark, sf_dir), "t_sess_rocks"
+        ).collect()
+    finally:
+        for k, v in originals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    assert {key(r): r.n_events for r in rocks} == {key(r): r.n_events for r in base}
