@@ -67,7 +67,6 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shingles").cast("bigint").alias("n_shingles"),
             _trunc6(F.col("n_overlap") / F.col("n_shingles")).alias("overlap_frac"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -138,7 +137,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
         top_share.alias("top_term_frac"),
-    ).select("doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_term_frac").orderBy("doc_id")
+    ).select("doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_term_frac")
 
 
 def repetition_stats_oracle() -> str:
@@ -227,7 +226,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_sym.alias("ok_symbols"),
         f_stop.alias("ok_stopwords"),
         (f_words & f_wl & f_sym & f_stop).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def gopher_quality_flags_oracle() -> str:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 
@@ -78,15 +79,21 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     sketch rows only (≤ k·|types| rows — broadcast-sized by construction).
     """
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
+    # h feeds four consumers (sketch, exact intersection x2, exact counts)
+    # and sketch three; persist both so the scan+distinct and the rank
+    # window run once, not per reference (22 -> ~8 exchanges in the plan)
+    h = (
+        ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
     w = Window.partitionBy("event_type").orderBy("h")
     sketch = (
         h.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .withColumn("u", u)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_type = sketch.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("u").alias("u_max")
