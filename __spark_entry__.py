@@ -22,6 +22,7 @@ from etl_schema_spark.operators import (
     dedup,
     graph,
     multimodal,
+    packing,
     relational,
     relational_ext,
     rollups,
@@ -95,6 +96,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
         "repetition_stats": curation.repetition_stats,
         "gopher_quality_flags": curation.gopher_quality_flags,
+        # training-data assembly (packing / chunking / mixture weights)
+        "pack_sequences": packing.pack_sequences,
+        "doc_chunks": packing.doc_chunks,
+        "chunk_dedup": packing.chunk_dedup,
+        "domain_mix_weights": packing.domain_mix_weights,
+        "embedding_quantize": similarity.embedding_quantize,
         # §2A view-layer engine (driver-verified round 1)
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
@@ -187,6 +194,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap_oracle(),
         "repetition_stats": curation.repetition_stats_oracle(),
         "gopher_quality_flags": curation.gopher_quality_flags_oracle(),
+        "pack_sequences": packing.pack_sequences_oracle(),
+        "doc_chunks": packing.doc_chunks_oracle(),
+        "chunk_dedup": packing.chunk_dedup_oracle(),
+        "domain_mix_weights": packing.domain_mix_weights_oracle(),
+        "embedding_quantize": similarity.embedding_quantize_oracle(),
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),

@@ -38,6 +38,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "ann_bruteforce_topk",
     "knn_classify",
+    "pack_sequences",
+    "doc_chunks",
+    "domain_mix_weights",
+    "kmv_set_ops",
     "token_count",
     "multimodal_meta",
     # round-2 additions

@@ -75,11 +75,15 @@ def dup_components(
         prop = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "comp"
         )
+        # checkpoint (not just persist) each round: truncates the lineage so
+        # the plan stays O(1) per round instead of unrolling every prior
+        # round — without it, analysis cost and failure-recompute depth grow
+        # quadratically with the round count
         new_labels = (
             labels.union(prop)
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=False)
         )
         changed = (
             labels.withColumnRenamed("comp", "old")
@@ -100,7 +104,6 @@ def dup_components(
         .withColumn(
             "is_canonical", (F.col("doc_id") == F.col("component_id")).cast("int")
         )
-        .orderBy("doc_id")
     )
 
 

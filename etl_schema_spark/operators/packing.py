@@ -1,0 +1,283 @@
+"""Training-data assembly operators (SURVEY §2C extension): sequence
+packing, sliding-window chunking, and domain mixture weights.
+
+These are the stages that sit *after* filtering/dedup in a pretraining
+pipeline — turning a cleaned corpus into model-ready batches (the
+T5/GPT-3 "packing" step, the RAG/retrieval chunker, and the
+temperature-scaled domain sampler of the Pile / DoReMi family):
+
+  pack_sequences       offset-based greedy packing of docs into
+                       fixed-token-budget training sequences, per source
+                       shard (parity target: the reference's per-dataset
+                       date-sharded table assembly, e.g.
+                       schema/repo.go table partitioning + the batch
+                       assembly of cmd/generate_schema_docs pipelines)
+  doc_chunks           fixed-size token windows with overlap stride per
+                       document (retrieval/context chunking)
+  domain_mix_weights   per-source token shares -> temperature-scaled
+                       sampling weights (tau = 0.5 via sqrt)
+
+Scale notes:
+- pack_sequences packs within a (source) shard: one shuffle on the shard
+  key, one window pass per shard. Packing is shard-local *by design* —
+  the real pipeline packs within a file/shard, never globally — so there
+  is no global ordering bottleneck. For a skewed mega-source, sub-shard
+  with hash(doc_id) % K as part of the partition key (same semantics:
+  packing never promises cross-shard ordering).
+- doc_chunks is a narrow projection + per-row explode (~n_tok/stride
+  rows out per doc): zero shuffle, whole-stage-codegen end to end.
+- domain_mix_weights aggregates to |domains| rows, then two 1-row scalar
+  broadcast joins for the normalizing constants — the groupBy is the
+  only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..sources.catalog import load_table
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+CHUNK_TOKENS = 32  # tokens per retrieval chunk
+CHUNK_STRIDE = 24  # chunk stride (8-token overlap)
+
+
+def _trunc6(c: Column) -> Column:
+    return F.floor(c * 1e6) / 1e6
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Offset-based packing: docs are laid out in doc_id order within each
+    source shard; a doc belongs to the bin its *start offset* falls in
+    (floor(start/budget)), so a straddling doc counts fully toward its
+    start bin and `fill_frac` may exceed 1 — the standard "document
+    boundaries don't split" packing contract.
+
+    Output: one row per (source, bin) with doc count, token total, the
+    doc_id span, and the fill fraction against the budget.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_off = F.sum("n_tok").over(w) - F.col("n_tok")
+    return (
+        docs.withColumn("bin_id", F.floor(start_off / PACK_BUDGET))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "source",
+            F.col("bin_id").cast("bigint").alias("bin_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "first_doc",
+            "last_doc",
+            _trunc6(F.col("n_tokens") / PACK_BUDGET).alias("fill_frac"),
+        )
+    )
+
+
+def pack_sequences_oracle() -> str:
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(text, '\s+')) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) - n_tok AS start_off
+          FROM t
+        )
+        SELECT source,
+               CAST(FLOOR(start_off * 1.0 / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc,
+               FLOOR(SUM(n_tok) * 1.0 / {PACK_BUDGET} * 1e6) / 1e6 AS fill_frac
+        FROM c
+        GROUP BY source, CAST(FLOOR(start_off * 1.0 / {PACK_BUDGET}) AS BIGINT)
+        ORDER BY source, bin_id
+    """
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (CHUNK_TOKENS wide, CHUNK_STRIDE apart) — the retrieval/context
+    chunker. Emits the chunk's md5 rather than its text so downstream
+    chunk-level dedup is join-ready on an 8-byte-comparable key.
+
+    Narrow per-row explode, no shuffle; chunk construction is
+    slice/concat_ws inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    chunk = F.slice("toks", F.col("start_tok") + 1, F.lit(CHUNK_TOKENS))
+    return (
+        docs.select(
+            "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start_tok")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+def doc_chunks_oracle() -> str:
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(s AS BIGINT) AS start_tok,
+               CAST(len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS BIGINT)
+                 AS n_tok,
+               md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' '))
+                 AS chunk_hash
+        FROM d, LATERAL (
+          SELECT unnest(generate_series(0, greatest(len(toks) - 1, 0),
+                                        {CHUNK_STRIDE})) AS s
+        ) g
+        ORDER BY doc_id, chunk_idx
+    """
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (sub-document) dedup report — the CCNet/RefinedWeb
+    paragraph-dedup contract applied to the token-window chunks of
+    doc_chunks: a chunk is duplicated if its md5 key occurs more than once
+    corpus-wide; each doc reports how much of it is duplicated material.
+
+    Plan: chunk table → one groupBy(chunk_hash) for global occurrence
+    counts → rejoin on the hash key → one groupBy(doc). Both shuffles key
+    on high-cardinality uniform md5 values, so there is no skew axis; at
+    100 TB this is the standard two-pass "count, then annotate" shape.
+    """
+    chunks = doc_chunks(spark, sf_dir).select("doc_id", "chunk_hash")
+    occ = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(occ, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_dup_chunks").cast("bigint").alias("n_dup_chunks"),
+            _trunc6(F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_chunk_frac"),
+        )
+    )
+
+
+def chunk_dedup_oracle() -> str:
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          FROM documents
+        ), chunks AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' '))
+                   AS chunk_hash
+          FROM d, LATERAL (
+            SELECT unnest(generate_series(0, greatest(len(toks) - 1, 0),
+                                          {CHUNK_STRIDE})) AS s
+          ) g
+        ), occ AS (
+          SELECT chunk_hash, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_hash
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               FLOOR(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*) * 1e6) / 1e6 AS dup_chunk_frac
+        FROM chunks JOIN occ USING (chunk_hash)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights (tau = 0.5): each
+    source's token share is re-weighted as sqrt(share) and renormalized —
+    the Pile-style flattening that upsamples small domains.
+
+    Output per source: doc/token counts, raw token share, the mixture
+    weight, and the implied upsampling factor (weight / share).
+    """
+    # per is |domains| rows but its subtree is the full corpus scan+agg;
+    # it feeds three consumers (tot, z, output) — persist so the corpus is
+    # scanned once, not per scalar constant
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_tokens") / F.col("tot")
+    )
+    z = shared.agg(F.sum(F.sqrt("share")).alias("z"))
+    return shared.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        _trunc6(F.col("share")).alias("token_share"),
+        _trunc6(F.sqrt("share") / F.col("z")).alias("mix_weight"),
+        _trunc6(F.sqrt("share") / F.col("z") / F.col("share")).alias("upsample"),
+    )
+
+
+def domain_mix_weights_oracle() -> str:
+    return r"""
+        WITH per AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ), t AS (
+          SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM per
+        ), s AS (
+          SELECT per.*, n_tokens / tot AS share FROM per, t
+        ), z AS (
+          SELECT SUM(sqrt(share)) AS z FROM s
+        )
+        SELECT source, n_docs, n_tokens,
+               FLOOR(share * 1e6) / 1e6 AS token_share,
+               FLOOR(sqrt(share) / z * 1e6) / 1e6 AS mix_weight,
+               FLOOR(sqrt(share) / z / share * 1e6) / 1e6 AS upsample
+        FROM s, z
+        ORDER BY source
+    """

@@ -523,3 +523,71 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+Q_MAX = 127  # int8 symmetric quantization range
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization with reconstruction
+    error — the storage story that makes billion-vector ANN affordable
+    (4× smaller than float32, 16× than float64; IVF/LSH probes then scan
+    int8 codes).
+
+    q_i = floor(x_i/scale + 0.5) with scale = max|x|/127 (floor(x+0.5)
+    because engine round() implementations disagree on .5 boundaries);
+    reported per vector: the scale, max |x − q·scale| reconstruction
+    error, the integer L1 norm of the codes, and the nonzero-code count.
+    Every output is order-independent (max / integer sums), so the result
+    is bit-portable — no float-summation-order hazard between engines.
+
+    Narrow projection, zero shuffle: at 100 TB this runs at scan speed,
+    like the codec passes in multimodal.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(float(Q_MAX))
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5)
+    )
+    err = F.zip_with(
+        "embedding", "q", lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale"))
+    )
+    return (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            _trunc6(F.col("scale")).alias("scale6"),
+            _trunc6(F.array_max(err)).alias("max_err"),
+            F.aggregate(
+                "q", F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x).cast("bigint")
+            ).alias("q_l1"),
+            F.size(F.filter("q", lambda x: x != 0)).cast("bigint").alias("q_nnz"),
+        )
+    )
+
+
+def embedding_quantize_oracle() -> str:
+    return f"""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max([abs(CAST(x AS DOUBLE)) for x in embedding])
+                   / {Q_MAX}.0 AS scale
+          FROM embeddings
+        ), qd AS (
+          SELECT vec_id, embedding, scale,
+                 [FLOOR(CAST(x AS DOUBLE) / scale + 0.5) for x in embedding] AS q
+          FROM s WHERE scale > 0
+        )
+        SELECT vec_id,
+               FLOOR(scale * 1e6) / 1e6 AS scale6,
+               FLOOR(list_max([abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale)
+                               for i in range(1, len(embedding) + 1)]) * 1e6)
+                 / 1e6 AS max_err,
+               CAST(list_sum([CAST(abs(x) AS BIGINT) for x in q]) AS BIGINT) AS q_l1,
+               CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nnz
+        FROM qd
+        ORDER BY vec_id
+    """

@@ -55,7 +55,7 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> D
         "event_type",
         F.col("distinct_exact").cast("bigint").alias("distinct_exact"),
         (F.floor(est * 1e4) / 1e4).alias("distinct_est"),
-    ).orderBy("event_type")
+    )
 
 
 def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
@@ -139,10 +139,12 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     )
     n_exact = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     est_i = F.col("n_common") / F.col("theta")
+    # every post-sketch relation is <= |types|^2 rows: broadcast them all so
+    # the assembly is exchange-free instead of defaulting to SMJ
     return (
-        pairs.join(common, ["type_a", "type_b"], "left")
+        pairs.join(F.broadcast(common), ["type_a", "type_b"], "left")
         .na.fill(0, ["n_common"])
-        .join(exact_inter, ["type_a", "type_b"], "left")
+        .join(F.broadcast(exact_inter), ["type_a", "type_b"], "left")
         .na.fill(0, ["inter_exact"])
         .join(
             F.broadcast(n_exact.select(F.col("event_type").alias("type_a"),
@@ -166,7 +168,6 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
             .cast("bigint")
             .alias("union_exact"),
         )
-        .orderBy("type_a", "type_b")
     )
 
 
@@ -277,7 +278,6 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "freq_exact")
         .agg(F.min("cnt").alias("freq_est"))
         .select("user_id", "freq_exact", "freq_est")
-        .orderBy("user_id")
     )
 
 

@@ -30,6 +30,7 @@ ALLPAIRS_OK = {
     "q11_important_stock",
     "q15_top_supplier",
     "zipf_term_stats",
+    "domain_mix_weights",  # two broadcast 1-row normalizing constants
     # per-type sketch summaries pair up via a theta join over <= |types|^2
     # rows (sketch metadata, not data) — intended BNLJ at any scale
     "kmv_set_ops",

@@ -163,3 +163,25 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     # banding with 4x4 bits keeps candidate sets small; recall must still
     # beat random chance by a wide margin for the probe to be useful
     assert recall >= 0.3, f"recall@{similarity.TOP_K} = {recall:.2f}"
+
+
+def test_embedding_quantize_oracle(spark, sf_dir, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.embedding_quantize(spark, sf_dir),
+        duck,
+        similarity.embedding_quantize_oracle(),
+    )
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    # max reconstruction error of symmetric int8 is <= scale/2 per element
+    from pyspark.sql import functions as F
+
+    bad = (
+        similarity.embedding_quantize(spark, sf_dir)
+        # scale6/max_err are floor-truncated; allow one ulp of the 1e-6 grid
+        .filter(F.col("max_err") > F.col("scale6") / 2 + 1e-6)
+    )
+    assert bad.count() == 0
