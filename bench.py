@@ -38,10 +38,6 @@ HEADLINE = [
     "tfidf_top_terms",
     "ann_bruteforce_topk",
     "knn_classify",
-    "pack_sequences",
-    "doc_chunks",
-    "domain_mix_weights",
-    "kmv_set_ops",
     "token_count",
     "multimodal_meta",
     # round-2 additions
@@ -50,6 +46,11 @@ HEADLINE = [
     "embedding_cosine_dup",
     "cms_frequency_estimate",
     "multimodal_decode_ppm",
+    "pack_sequences",
+    "doc_chunks",
+    "chunk_dedup",
+    "domain_mix_weights",
+    "kmv_set_ops",
 ]
 
 

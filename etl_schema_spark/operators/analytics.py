@@ -345,3 +345,88 @@ def churned_users_oracle() -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+
+def multigrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics view *family* as one query: every geographic grain
+    with and without a segmentation dimension, via GROUPING SETS.
+
+    The reference materializes 13 statistics views from one template —
+    continents/countries/regions/cities each as a plain geo rollup AND an
+    `_asn`-segmented variant plus a global `_asn` view
+    (views/statistics/v0_continents.sql vs v0_continents_asn.sql vs
+    v0_global_asn.sql, fanned out by create_dataset_views.sh). That is a
+    grain *cross*: {global, region, nation} × {all, per-segment}. One
+    GROUPING SETS pass computes all six members over a single read of the
+    fact — Catalyst expands to Expand + one hash aggregate — instead of
+    six view scans. Order priority stands in for the ASN segment.
+
+    Revenue is an exact DECIMAL sum cast to double once per group, so the
+    result is order-independent and bit-portable (see module docstring).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    gsets = [
+        [],
+        ["r_name"],
+        ["r_name", "n_name"],
+        ["o_orderpriority"],
+        ["r_name", "o_orderpriority"],
+        ["r_name", "n_name", "o_orderpriority"],
+    ]
+    return (
+        joined.groupingSets(gsets, "r_name", "n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_rev"),
+            (
+                F.grouping("r_name") * 4
+                + F.grouping("n_name") * 2
+                + F.grouping("o_orderpriority")
+            )
+            .cast("bigint")
+            .alias("gid"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "o_orderpriority",
+            "gid",
+            F.col("_n").cast("bigint").alias("n_orders"),
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            _trunc6(F.col("_rev").cast("double") / F.col("_n")).alias("avg_order"),
+        )
+    )
+
+
+def multigrain_stats_oracle() -> str:
+    return """
+        SELECT r_name, n_name, o_orderpriority,
+               CAST(GROUPING(r_name) * 4 + GROUPING(n_name) * 2
+                    + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS revenue,
+               FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS avg_order
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS (
+          (), (r_name), (r_name, n_name), (o_orderpriority),
+          (r_name, o_orderpriority), (r_name, n_name, o_orderpriority)
+        )
+        ORDER BY gid, r_name, n_name, o_orderpriority
+    """

@@ -66,3 +66,26 @@ def test_rollup_single_expand_no_reread(spark, sf_dir):
     )
     assert plan.count("FileScan parquet") <= 4  # 4 tables, each read once
     assert "Expand" in plan  # rollup = one Expand, not three scans
+
+
+def test_multigrain_stats_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.multigrain_stats(spark, sf_dir),
+        duck,
+        analytics.multigrain_stats_oracle(),
+    )
+
+
+def test_multigrain_grains_reconcile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = analytics.multigrain_stats(spark, sf_dir).cache()
+    # gid bits: grouping(r)*4 + grouping(n)*2 + grouping(p);
+    # () -> 7 (global), (r_name) -> 3 (region grain)
+    assert {r["gid"] for r in df.select("gid").distinct().collect()} == {0, 1, 2, 3, 6, 7}
+    total = df.filter(F.col("gid") == 7).collect()
+    per_region = df.filter(F.col("gid") == 3)
+    assert len(total) == 1
+    assert (
+        per_region.agg(F.sum("n_orders")).collect()[0][0] == total[0]["n_orders"]
+    )
