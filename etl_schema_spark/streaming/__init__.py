@@ -2,8 +2,10 @@ from .jobs import (
     attribution_join_stream,
     events_stream,
     hourly_counts_stream,
+    merge_upsert_batch,
     run_available_now,
     session_window_stream,
+    upsert_hourly_sink,
 )
 from .stateful import dedup_stream, ewma_anomaly_stream
 
@@ -11,8 +13,10 @@ __all__ = [
     "attribution_join_stream",
     "events_stream",
     "hourly_counts_stream",
+    "merge_upsert_batch",
     "session_window_stream",
     "run_available_now",
+    "upsert_hourly_sink",
     "dedup_stream",
     "ewma_anomaly_stream",
 ]

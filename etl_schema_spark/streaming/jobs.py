@@ -129,3 +129,84 @@ def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts", "amount")
+
+
+def merge_upsert_batch(
+    batch_df: DataFrame,
+    target: str,
+    keys: list[str],
+    part_col: str = "date",
+) -> None:
+    """Key-merge one (micro)batch into a partitioned parquet target:
+    last-write-wins on `keys`, touching only the partitions the batch
+    spans. This is the exactly-once-to-parquet recipe when the sink has no
+    transactions: the merge is a deterministic function of (target state,
+    batch), so re-running a replayed batch converges to the same files.
+
+    Scale: only affected partitions are read back and rewritten — a day's
+    micro-batch never rewrites the year. The affected-partition list is
+    collected to the driver, but it is bounded by the batch's event-time
+    span (a handful of dates), not by data volume.
+
+    Reference parity: the reference's loader contract is "reload of the
+    same archive must not duplicate rows" (schema/sync_tables_with_schema.sh
+    re-syncs destructively; gardener reprocesses date partitions in place) —
+    this is that contract for a streaming writer.
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    incoming = batch_df.dropDuplicates(keys)
+    try:
+        existing = spark.read.parquet(target)
+        have_target = True
+    except AnalysisException:
+        have_target = False
+    if have_target:
+        parts = [r[0] for r in incoming.select(part_col).distinct().collect()]
+        kept = (
+            existing.filter(F.col(part_col).isin(parts))
+            .join(incoming.select(*keys), keys, "left_anti")
+            .unionByName(incoming)
+            # materialize before the write: the write overwrites the very
+            # partitions this plan reads
+            .localCheckpoint(eager=True)
+        )
+    else:
+        kept = incoming
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    kept.write.mode("overwrite").partitionBy(part_col).parquet(target)
+
+
+def upsert_hourly_sink(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
+    """Stream hourly counts into a partitioned parquet target with
+    exactly-once semantics: a batch-id ledger skips replayed batches
+    (foreachBatch may redeliver after failure), and the merge itself is
+    idempotent so even a crash between data write and ledger write
+    converges on redelivery.
+
+    Returns the final target table as a DataFrame.
+    """
+    import os
+
+    agg = hourly_counts_stream(spark, sf_dir).withColumn("date", F.to_date("hour"))
+    ledger = os.path.join(target, "_batches")
+    os.makedirs(ledger, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        merge_upsert_batch(batch_df, target, ["hour", "event_type"], "date")
+        with open(marker, "w") as f:
+            f.write("done")
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(target, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
