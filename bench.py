@@ -70,17 +70,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+    def one_pass() -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 4)
+            total += dt
+        return timings, total
+
+    # primary metric: first (cold) pass — methodology unchanged since
+    # round 1 so totals stay comparable. The second pass re-times every
+    # query with whole-stage codegen already JIT-compiled: that's the
+    # data-proportional cost that dominates at 100 TB (the cold pass is
+    # ~60% one-time JVM compilation at sf0.1).
+    timings, total = one_pass()
+    warm, warm_total = one_pass()
 
     print(
         json.dumps(
@@ -89,6 +99,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(warm_total, 4),
                 "sf": sf,
             }
         )

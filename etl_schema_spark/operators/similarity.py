@@ -156,7 +156,6 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
         .withColumn("cosine", _trunc6(cos))
         .filter(cos >= tau)
         .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
     )
 
 
