@@ -213,3 +213,66 @@ def bigquery_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+Z_BITS = 16  # per-dimension resolution of the z-order curve
+
+
+def zorder_key(cols: Sequence, bits: int = Z_BITS):
+    """Interleave the bits of pre-normalized dimension columns into one
+    Morton (z-order) key. Inputs must already be integers in [0, 2^bits);
+    use `write_zordered` for the end-to-end normalize+cluster+write path.
+    """
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    for i in range(bits):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + (n - 1 - d)))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = Z_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster a table on a z-order (Morton) curve over `cols` and write
+    parquet — the multi-dimensional layout trick (Delta OPTIMIZE ZORDER,
+    Iceberg sort orders) that makes row-group min/max pruning effective on
+    EVERY z-ordered column at once, where a plain sort only prunes its
+    leading column. At 100 TB the scan savings on the second predicate
+    column routinely dwarf the one-time clustering shuffle.
+
+    Each dimension is rank-normalized (percent_rank) to [0, 2^bits) before
+    interleaving, so skewed value distributions still spread evenly along
+    the curve. Rank needs a global sort per dimension here; on a cluster
+    swap in approxQuantile-derived bucket boundaries for the same effect
+    with one pass and no global window (the curve only needs *monotone*
+    per-dimension bucketing, not exact ranks).
+
+    The write goes through repartitionByRange(z) + sortWithinPartitions(z):
+    range partitioning gives disjoint z-ranges per file, so every file —
+    and every row group inside it — covers a tight hyper-rectangle of the
+    dimension space.
+    """
+    from pyspark.sql import Window
+
+    top = F.lit((1 << bits) - 1)
+    norm_cols = []
+    work = df
+    for c in cols:
+        w = Window.orderBy(F.col(c))
+        nc = f"_z_{c}"
+        work = work.withColumn(nc, F.floor(F.percent_rank().over(w) * top).cast("bigint"))
+        norm_cols.append(nc)
+    work = work.withColumn("_z", zorder_key([F.col(c) for c in norm_cols], bits))
+    (
+        work.repartitionByRange(max(df.sparkSession.sparkContext.defaultParallelism, 8), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *norm_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -129,3 +129,58 @@ def test_refresh_partitions_incremental_equals_full(spark, sf_dir, tmp_path):
     full = {(r.day, r.event_type, r.n, r.total) for r in daily.collect()}
     assert refreshed == full
     assert spark.read.parquet(out).count() == before
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from etl_schema_spark.sinks import zorder_key
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (3, 3)], "a int, b int")
+    got = [
+        r.z for r in df.select(zorder_key([F.col("a"), F.col("b")], bits=2).alias("z")).collect()
+    ]
+    # bit layout per level i: a at 2i+1, b at 2i
+    # (3,0) -> 0b1010 = 10; (0,3) -> 0b0101 = 5; (3,3) -> 0b1111 = 15
+    assert got == [10, 5, 15]
+
+
+def test_zordered_write_prunes_both_dims(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from etl_schema_spark.sinks import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "z")
+    npath = str(tmp_path / "naive")
+    write_zordered(ev, zpath, ["user_id", "value"])
+    ev.repartition(8).write.mode("overwrite").parquet(npath)
+
+    # 2-D box predicate; count row groups whose min/max stats intersect it
+    lo_u, hi_u = 10, 20
+    lo_v, hi_v = 5.0, 10.0
+
+    def hits(path):
+        import glob
+
+        n_total = n_hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                su = g.column(names["user_id"]).statistics
+                sv = g.column(names["value"]).statistics
+                n_total += 1
+                if su.min <= hi_u and su.max >= lo_u and sv.min <= hi_v and sv.max >= lo_v:
+                    n_hit += 1
+        return n_hit, n_total
+
+    z_hit, z_total = hits(zpath)
+    n_hit, n_total = hits(npath)
+    # the naive round-robin layout leaves every row group spanning the full
+    # range (all hit); the z-ordered layout confines the box to a subset
+    assert n_hit == n_total
+    assert z_hit < n_hit
+    # correctness: same rows either way
+    assert (
+        spark.read.parquet(zpath).count() == spark.read.parquet(npath).count()
+    )
