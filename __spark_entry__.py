@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_weights": packing.domain_mix_weights,
         "embedding_quantize": similarity.embedding_quantize,
         "multigrain_stats": analytics.multigrain_stats,
+        "incremental_dedup": dedup.incremental_dedup,
         # §2A view-layer engine (driver-verified round 1)
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_weights": packing.domain_mix_weights_oracle(),
         "embedding_quantize": similarity.embedding_quantize_oracle(),
         "multigrain_stats": analytics.multigrain_stats_oracle(),
+        "incremental_dedup": dedup.incremental_dedup_oracle(),
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),

@@ -452,3 +452,70 @@ def dedup_editdistance_oracle(d_max: int = EDIT_D_MAX) -> str:
         WHERE levenshtein(a.t, b.t) <= {d_max}
         ORDER BY doc_a, doc_b
     """
+
+
+NEW_BATCH_MOD = 10  # doc_id % 10 == 9 -> the arriving "new batch" slice
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an arriving batch against the existing corpus WITHOUT
+    re-deduping the corpus — the ingest-time contract at 100 TB: the
+    corpus contributes only its fingerprint index (content md5s), which
+    in production is a persisted/bucketed table maintained incrementally,
+    never a re-scan of the documents themselves.
+
+    The last doc_id decile stands in for the arriving batch; the rest is
+    the indexed corpus. A new doc is a duplicate iff its normalized
+    content hash already exists in the index (exact tier; the same
+    band-key join extends the check to near-dups — see
+    dedup_minhash_lsh's bucket keys, which are equally index-able).
+
+    Plan: the batch side is small relative to the corpus index, so the
+    join broadcasts the BATCH and streams the index past it map-side —
+    zero shuffle of either full side. Output: one row per new doc with
+    its verdict and the doc it duplicates (min-id corpus holder, NULL if
+    novel).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5(_normalized()).alias("content_md5"))
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
+    batch = hashed.filter(is_new)
+    index = (
+        hashed.filter(~is_new)
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        index.join(
+            F.broadcast(batch.select(F.col("doc_id").alias("new_doc_id"), "content_md5")),
+            "content_md5",
+            "right",
+        )
+        .select(
+            F.col("new_doc_id").alias("doc_id"),
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
+    )
+
+
+def incremental_dedup_oracle() -> str:
+    m = NEW_BATCH_MOD
+    return rf"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5
+          FROM documents
+        ),
+        idx AS (
+          SELECT content_md5, MIN(doc_id) AS dup_of
+          FROM hashed WHERE doc_id % {m} <> {m - 1}
+          GROUP BY content_md5
+        )
+        SELECT b.doc_id,
+               idx.dup_of IS NOT NULL AS is_duplicate,
+               idx.dup_of
+        FROM (SELECT * FROM hashed WHERE doc_id % {m} = {m - 1}) b
+        LEFT JOIN idx USING (content_md5)
+        ORDER BY b.doc_id
+    """

@@ -72,3 +72,22 @@ def test_bigram_surprisal(spark, sf_dir, duck):
     assert_matches_oracle(
         text.bigram_surprisal(spark, sf_dir), duck, text.bigram_surprisal_oracle()
     )
+
+
+def test_incremental_dedup_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.incremental_dedup(spark, sf_dir), duck, dedup.incremental_dedup_oracle()
+    )
+
+
+def test_incremental_dedup_covers_batch_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = dedup.incremental_dedup(spark, sf_dir).cache()
+    m = dedup.NEW_BATCH_MOD
+    # every output doc is from the new-batch slice, and dup_of always
+    # points outside it (at an indexed corpus doc)
+    assert out.filter(F.col("doc_id") % m != m - 1).count() == 0
+    assert out.filter(
+        F.col("is_duplicate") & (F.col("dup_of") % m == m - 1)
+    ).count() == 0
