@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "knn_classify": similarity.knn_classify,
-        "kmeans_clusters": similarity.kmeans_clusters,  # rows-only
+        "kmeans_clusters": similarity.kmeans_clusters,
         "multimodal_meta": multimodal.multimodal_meta,
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,
         "multimodal_resize": multimodal.multimodal_resize,
@@ -247,7 +247,10 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk: rows-only (centroid float reduction not bit-portable)
         "ann_lsh_topk": similarity.ann_lsh_topk_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
-        # kmeans_clusters: rows-only (iterative float centroid reduction)
+        # kmeans upgraded from rows-only in round 2: decimal-exact centroid
+        # means + exact inertia sums make every round bit-portable, so the
+        # oracle unrolls the fixed Lloyd rounds as CTEs
+        "kmeans_clusters": similarity.kmeans_clusters_oracle(),
         "multimodal_meta": multimodal.multimodal_meta_oracle(),
         "multimodal_frame_sample": multimodal.multimodal_frame_sample_oracle(),
         "multimodal_resize": multimodal.multimodal_resize_oracle(),

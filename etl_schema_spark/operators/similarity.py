@@ -462,8 +462,11 @@ KMEANS_ITERS = 3
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding collection (rows-only: float
-    reduction order across the shuffle makes centroid bits engine-specific).
+    """Lloyd's k-means over the embedding collection — fully
+    oracle-checked: the centroid update is a trunc6→DECIMAL exact mean and
+    the inertia an exact decimal sum, so every round's centroids,
+    assignments, and stats are independent of shuffle order and engine
+    (the oracle unrolls the fixed rounds as CTEs and matches bit-for-bit).
 
     Iterative-algorithm pattern on Spark: each iteration is one distributed
     assign (broadcast K centroids, argmin over a deterministic
@@ -501,10 +504,24 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", F.col("best.c_id").alias("cluster"),
                     F.col("best.d2").alias("d2"))
         )
+        # decimal-exact per-dim mean (the centroid_per_label trick): each
+        # coordinate is truncated to 6 dp and summed as DECIMAL, so the new
+        # centroid is independent of shuffle order AND engine — which is
+        # what upgrades this operator from rows-only to fully oracle-checked
         centroids = (
             assigned.select("cluster", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+            .agg(
+                F.sum(
+                    _trunc6(F.col("x").cast("double")).cast("decimal(18,6)")
+                ).alias("_sum"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                _trunc6(F.col("_sum").cast("double") / F.col("_n")).alias("cx"),
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
             .select(
@@ -514,13 +531,16 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
+    # inertia as an exact decimal sum of truncated d2 terms: a plain double
+    # SUM over the shuffle would be accumulation-order-dependent
     return (
         assigned.groupBy("cluster")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            _trunc6(F.sum("d2")).alias("inertia"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(_trunc6(F.col("d2")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("inertia"),
         )
-        .orderBy("cluster")
     )
 
 
@@ -589,4 +609,55 @@ def embedding_quantize_oracle() -> str:
                CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nnz
         FROM qd
         ORDER BY vec_id
+    """
+
+
+def kmeans_clusters_oracle(k: int = None, iters: int = None) -> str:
+    """Exact unrolled-SQL twin of kmeans_clusters: each Lloyd round is one
+    assignment CTE (argmin over d2 with c_id tie-break) + one update CTE
+    (the same trunc6→DECIMAL exact per-dim mean the Spark side uses), so
+    every centroid — and therefore every assignment and the inertia — is
+    bit-identical across engines. Rounds are unrolled because the round
+    count is a fixed hyperparameter, not data-dependent."""
+    k = k if k is not None else KMEANS_K
+    iters = iters if iters is not None else KMEANS_ITERS
+    dd = "[e.emb[i] - c.centroid[i] for i in range(1, len(e.emb) + 1)]"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"""c0 AS (
+          SELECT CAST(vec_id AS INT) AS c_id, emb AS centroid
+          FROM e WHERE vec_id < {k}
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(f"""a{r} AS (
+          SELECT vec_id, emb, c_id, d2 FROM (
+            SELECT e.vec_id, e.emb, c.c_id,
+                   list_dot_product(d.dd, d.dd) AS d2,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(d.dd, d.dd), c.c_id) AS rn
+            FROM e, c{r - 1} c, LATERAL (SELECT {dd} AS dd) d
+          ) WHERE rn = 1
+        )""")
+        if r < iters:
+            ctes.append(f"""c{r} AS (
+          SELECT c_id, list(cx ORDER BY dim) AS centroid FROM (
+            SELECT c_id, dim,
+                   FLOOR(CAST(SUM(CAST(FLOOR(val * 1e6) / 1e6 AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS cx
+            FROM (SELECT c_id, generate_subscripts(emb, 1) AS dim,
+                         unnest(emb) AS val FROM a{r})
+            GROUP BY c_id, dim
+          ) GROUP BY c_id
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT c_id AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CAST(FLOOR(d2 * 1e6) / 1e6 AS DECIMAL(27,6))) AS DOUBLE)
+                 AS inertia
+        FROM a{iters}
+        GROUP BY c_id
+        ORDER BY cluster
     """

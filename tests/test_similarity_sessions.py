@@ -185,3 +185,13 @@ def test_embedding_quantize_error_bound(spark, sf_dir):
         .filter(F.col("max_err") > F.col("scale6") / 2 + 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_kmeans_oracle(spark, sf_dir, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.kmeans_clusters(spark, sf_dir),
+        duck,
+        similarity.kmeans_clusters_oracle(),
+    )
