@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": text.bigram_surprisal,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "embedding_cosine_dup": similarity.embedding_cosine_dup,
-        "ann_ivf_topk": similarity.ann_ivf_topk,  # rows-only
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "knn_classify": similarity.knn_classify,
         "kmeans_clusters": similarity.kmeans_clusters,
@@ -244,7 +244,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": text.bigram_surprisal_oracle(),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
         "embedding_cosine_dup": similarity.embedding_cosine_dup_oracle(),
-        # ann_ivf_topk: rows-only (centroid float reduction not bit-portable)
+        # ann_ivf upgraded from rows-only in round 2: decimal-exact codebook
+        # means make the probe and in-bucket ranking bit-portable
+        "ann_ivf_topk": similarity.ann_ivf_topk_oracle(),
         "ann_lsh_topk": similarity.ann_lsh_topk_oracle(),
         "knn_classify": similarity.knn_classify_oracle(),
         # kmeans upgraded from rows-only in round 2: decimal-exact centroid

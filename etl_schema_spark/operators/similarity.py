@@ -11,8 +11,8 @@
   ann_ivf_topk          IVF-style ANN: coarse quantizer = per-label centroid
                         (k-means assignments stand in for a trained
                         codebook); each query probes its nearest centroid's
-                        bucket only. Rows-only (centroid float reduction is
-                        not portably bit-stable for the oracle hash).
+                        bucket only. Oracle-checked: the codebook uses
+                        decimal-exact pooling, so centroids are bit-portable.
 
 Cosine is computed with an explicit double-precision sequential fold
 (dot / (sqrt(dot_a) * sqrt(dot_b))) in BOTH engines so results compare
@@ -201,19 +201,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coarse codebook = per-label mean vector (labels are cluster
     assignments in the testdata; on a real corpus run k-means first).
-    Rows-only: float centroid reduction order is engine-specific, so no
-    SQL oracle — ann_bruteforce_topk is the exact twin.
+    Fully oracle-checked since round 2: the codebook means use the
+    trunc6→DECIMAL exact pooling (centroid_per_label's trick), so the
+    centroids — and therefore bucket probes and in-bucket rankings — are
+    bit-identical across engines.
 
     Scale: centroids broadcast; the collection is partitioned by bucket
     (repartition on label), so each query's scan touches one bucket —
     1/k of the data — and the final top-k window is per-query.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            F.sum(_trunc6(F.col("x").cast("double")).cast("decimal(18,6)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "label", "pos", _trunc6(F.col("_s").cast("double") / F.col("_n")).alias("cx")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
         .select(
@@ -660,4 +667,58 @@ def kmeans_clusters_oracle(k: int = None, iters: int = None) -> str:
         FROM a{iters}
         GROUP BY c_id
         ORDER BY cluster
+    """
+
+
+def ann_ivf_topk_oracle() -> str:
+    """Exact twin of ann_ivf_topk: decimal-exact codebook means, argmax
+    centroid probe, in-bucket cosine top-k — every stage bit-portable."""
+    q_cent_cos = (
+        "list_dot_product(qe, centroid)"
+        " / (sqrt(list_dot_product(qe, qe))"
+        " * sqrt(list_dot_product(centroid, centroid)))"
+    )
+    b_cos = (
+        "list_dot_product(qe, be)"
+        " / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(be, be)))"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
+            SELECT label, dim,
+                   FLOOR(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e6) / 1e6
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) * 1e6) / 1e6 AS cx
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding) AS val FROM embeddings)
+            GROUP BY label, dim
+          ) GROUP BY label
+        ),
+        q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        assigned AS (
+          SELECT query_id, qe, c_label AS bucket FROM (
+            SELECT q.query_id, q.qe, c.c_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ({q_cent_cos}) DESC, c.c_label ASC) AS rn
+            FROM q CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT a.query_id, a.bucket, b.vec_id AS neighbor_id,
+                 FLOOR(({b_cos}) * 1e6) / 1e6 AS cosine
+          FROM assigned a
+          JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS be
+                FROM embeddings) b
+            ON b.label = a.bucket AND b.vec_id != a.query_id
+        )
+        SELECT query_id, bucket, neighbor_id, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
     """

@@ -195,3 +195,12 @@ def test_kmeans_oracle(spark, sf_dir, duck):
         duck,
         similarity.kmeans_clusters_oracle(),
     )
+
+def test_ann_ivf_oracle(spark, sf_dir, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.ann_ivf_topk(spark, sf_dir),
+        duck,
+        similarity.ann_ivf_topk_oracle(),
+    )
