@@ -147,3 +147,73 @@ def test_reconcile_projects_onto_target(spark, seed):
     assert out.schema == target
     row = out.collect()[0]
     assert (row.a, row.b, row.missing) == (1, "x", None)
+
+
+# --- z-order key algebra ---------------------------------------------------
+
+_coords = st.integers(min_value=0, max_value=(1 << 8) - 1)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=st.lists(st.tuples(_coords, _coords), min_size=2, max_size=30, unique=True))
+def test_zorder_key_is_injective(spark, points):
+    """Distinct (a, b) grid points must map to distinct Morton keys — the
+    curve is a bijection on the grid, which is what makes range
+    partitioning on it a valid clustering."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sinks import zorder_key
+
+    df = spark.createDataFrame(points, "a int, b int")
+    keys = [
+        r.z
+        for r in df.select(zorder_key([F.col("a"), F.col("b")], bits=8).alias("z")).collect()
+    ]
+    assert len(set(keys)) == len(points)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.dictionaries(
+        st.tuples(st.sampled_from(["2024-01-01", "2024-01-02"]), st.sampled_from("abcd")),
+        st.integers(min_value=0, max_value=99),
+        min_size=1,
+        max_size=8,
+    ),
+    upd=st.dictionaries(
+        st.tuples(st.sampled_from(["2024-01-01", "2024-01-02"]), st.sampled_from("abcd")),
+        st.integers(min_value=100, max_value=199),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_merge_upsert_is_lww_map_union(spark, tmp_path_factory, base, upd):
+    """merge_upsert_batch == dict-update semantics: target state is exactly
+    base | upd (last write wins per key), for ANY base/update key sets —
+    and replaying the update batch changes nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.streaming import merge_upsert_batch
+
+    target = str(tmp_path_factory.mktemp("lww") / "t")
+
+    def df_of(m):
+        return spark.createDataFrame(
+            [(d, k, v) for (d, k), v in m.items()], "date string, k string, n int"
+        ).withColumn("date", F.to_date("date"))
+
+    merge_upsert_batch(df_of(base), target, ["date", "k"])
+    merge_upsert_batch(df_of(upd), target, ["date", "k"])
+    merge_upsert_batch(df_of(upd), target, ["date", "k"])  # replay
+    got = {
+        (str(r.date), r.k): r.n for r in spark.read.parquet(target).collect()
+    }
+    assert got == {**base, **upd}
