@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "multigrain_stats": analytics.multigrain_stats,
         "incremental_dedup": dedup.incremental_dedup,
+        "gapfill_locf": analytics.gapfill_locf,
         # §2A view-layer engine (driver-verified round 1)
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": similarity.embedding_quantize_oracle(),
         "multigrain_stats": analytics.multigrain_stats_oracle(),
         "incremental_dedup": dedup.incremental_dedup_oracle(),
+        "gapfill_locf": analytics.gapfill_locf_oracle(),
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),

@@ -430,3 +430,82 @@ def multigrain_stats_oracle() -> str:
         )
         ORDER BY gid, r_name, n_name, o_orderpriority
     """
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with forward fill (LOCF) per event type —
+    the hypertable resampling contract (`time_bucket_gapfill` + `locf`):
+    every hour in the observed range exists in the output, empty hours
+    carry the last observed hourly mean, and `is_gap` marks them.
+
+    The time spine is |types| × hours — metadata-sized next to the events
+    fact, built from a broadcast 1-row min/max. The fill is one window per
+    type ordered by hour (state = one value). Hourly means use the exact
+    DECIMAL decomposition (module docstring), so the filled values are
+    bit-portable. At 100 TB you gap-fill per device/series — swap the
+    partition key; the shape is identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_vdec("value")).cast("double") / F.count(F.lit(1))).alias("vmean"),
+    )
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            _trunc6(F.last("vmean", ignorenulls=True).over(w)).alias("value_locf"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+def gapfill_locf_oracle() -> str:
+    return f"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 COUNT(*) AS n,
+                 CAST(SUM({_VDEC_SQL}) AS DOUBLE) / COUNT(*) AS vmean
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        b AS (
+          SELECT MIN(date_trunc('hour', ts)) AS lo,
+                 MAX(date_trunc('hour', ts)) AS hi
+          FROM events
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        spine AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM types, b
+        )
+        SELECT s.event_type, s.hour,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+               FLOOR(last_value(h.vmean IGNORE NULLS) OVER (
+                 PARTITION BY s.event_type ORDER BY s.hour
+                 ROWS UNBOUNDED PRECEDING) * 1e6) / 1e6 AS value_locf,
+               (h.n IS NULL) AS is_gap
+        FROM spine s
+        LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+        ORDER BY s.event_type, s.hour
+    """

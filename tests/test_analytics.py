@@ -76,6 +76,27 @@ def test_multigrain_stats_oracle(spark, sf_dir, duck):
     )
 
 
+def test_gapfill_locf_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.gapfill_locf(spark, sf_dir),
+        duck,
+        analytics.gapfill_locf_oracle(),
+    )
+
+
+def test_gapfill_locf_dense_spine(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = analytics.gapfill_locf(spark, sf_dir).cache()
+    # Every event_type covers the same dense hourly spine: |types| x hours.
+    per_type = df.groupBy("event_type").count().collect()
+    assert len({r["count"] for r in per_type}) == 1
+    # Gap rows carry forward a value whenever any prior hour was observed,
+    # and never invent events.
+    gaps = df.filter(F.col("is_gap"))
+    assert gaps.filter(F.col("n_events") != 0).count() == 0
+
+
 def test_multigrain_grains_reconcile(spark, sf_dir):
     from pyspark.sql import functions as F
 
