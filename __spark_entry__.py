@@ -23,6 +23,7 @@ from etl_schema_spark.operators import (
     graph,
     multimodal,
     packing,
+    rangejoin,
     relational,
     relational_ext,
     rollups,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churned_users": analytics.churned_users,
         "running_totals": sessions.running_totals,
         "top_clients_per_type": sessions.top_clients_per_type,
+        "range_interval_join": rangejoin.range_interval_join,
     }
 
 
@@ -230,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionized_events": sessions.sessionized_events_oracle(),
         "running_totals": sessions.running_totals_oracle(),
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),
+        "range_interval_join": rangejoin.range_interval_join_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -31,6 +31,7 @@ ALLPAIRS_OK = {
     "q15_top_supplier",
     "zipf_term_stats",
     "domain_mix_weights",  # two broadcast 1-row normalizing constants
+    "gapfill_locf",  # broadcast 1-row global min/max hour bounds onto |types|
     # per-type sketch summaries pair up via a theta join over <= |types|^2
     # rows (sketch metadata, not data) — intended BNLJ at any scale
     "kmv_set_ops",
