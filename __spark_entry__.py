@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": sessions.running_totals,
         "top_clients_per_type": sessions.top_clients_per_type,
         "range_interval_join": rangejoin.range_interval_join,
+        "dedup_minhash_portable": dedup.dedup_minhash_portable,
     }
 
 
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": sessions.running_totals_oracle(),
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),
         "range_interval_join": rangejoin.range_interval_join_oracle(),
+        "dedup_minhash_portable": dedup.dedup_minhash_portable_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -316,6 +316,122 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     )
 
 
+def dedup_minhash_portable(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """MinHash + LSH banding with an md5-derived hash family, so the DuckDB
+    oracle reproduces the *entire* pipeline — signatures, band buckets,
+    candidate set, and verified pairs — bit-for-bit. This is the fully
+    driver-checkable twin of `dedup_minhash_lsh` (same banding S-curve,
+    same exact-Jaccard verification); the xxhash64 variant stays the
+    production path (integer hashing, no 32-byte hex strings on the wire).
+
+    Per seed i, the signature element is the lexicographic MIN of
+    md5("i:" || shingle) — hex-string min orders identically in any ANSI
+    engine. Band buckets fold the band index into the hash
+    (md5("b|" || sig_slice)), so the candidate join is a single-key
+    equi-join on `bucket`. Shuffle volume ~ n * bands, independent of n².
+    """
+    docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("shingles"),
+                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+                    )
+                )
+                for i in range(MINHASH_SEEDS)
+            ]
+        ).alias("minhash"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(f"{b}|"),
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "bucket"
+    )
+    candidates = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        candidates.withColumn("common", common)
+        .withColumn("jaccard", F.floor(jac * 1e6) / 1e6)
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def dedup_minhash_portable_oracle(tau: float = JACCARD_TAU) -> str:
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig_list = ", ".join(
+        f"list_min([md5('{i}:' || x) for x in shingles])" for i in range(MINHASH_SEEDS)
+    )
+    bucket_list = ", ".join(
+        "md5(concat_ws(',', '{b}|', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+        WITH {SHINGLE_CTES_SQL},
+        s AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sig AS (
+          SELECT doc_id, shingles, [{sig_list}] AS mh FROM s
+        ),
+        banded AS (
+          SELECT doc_id, shingles, unnest([{bucket_list}]) AS bucket FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.shingles AS sh_a, b.shingles AS sh_b
+          FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               len(list_intersect(sh_a, sh_b)) AS common,
+               FLOOR(len(list_intersect(sh_a, sh_b)) * 1.0
+                     / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) * 1e6)
+                 / 1e6 AS jaccard
+        FROM cand
+        WHERE len(list_intersect(sh_a, sh_b)) * 1.0
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {tau}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document as a 16-hex-char string.
 

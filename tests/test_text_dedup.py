@@ -44,6 +44,30 @@ def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
         assert len(lsh) / len(exact) >= 0.9
 
 
+def test_minhash_portable_oracle(spark, sf_dir, duck):
+    """The md5-family MinHash+LSH pipeline is reproduced end-to-end by the
+    SQL oracle: signatures, band buckets, candidates, verified pairs."""
+    assert_matches_oracle(
+        dedup.dedup_minhash_portable(spark, sf_dir),
+        duck,
+        dedup.dedup_minhash_portable_oracle(),
+    )
+
+
+def test_minhash_portable_subset_of_exact(spark, sf_dir):
+    """Verification makes precision exact: portable-LSH pairs are a subset
+    of the exact-Jaccard pairs (recall is the banding S-curve)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_minhash_portable(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9
+
+
 def test_simhash(spark, sf_dir, duck):
     assert_matches_oracle(
         dedup.simhash_fingerprint(spark, sf_dir), duck, dedup.simhash_fingerprint_oracle()
