@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_clients_per_type": sessions.top_clients_per_type,
         "range_interval_join": rangejoin.range_interval_join,
         "dedup_minhash_portable": dedup.dedup_minhash_portable,
+        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
     }
 
 
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "top_clients_per_type": sessions.top_clients_per_type_oracle(),
         "range_interval_join": rangejoin.range_interval_join_oracle(),
         "dedup_minhash_portable": dedup.dedup_minhash_portable_oracle(),
+        "histogram_quantile_sketch": sketches.histogram_quantile_sketch_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -339,3 +339,97 @@ def kmv_distinct_estimate_oracle(k: int = KMV_K) -> str:
         FROM agg
         ORDER BY event_type
     """
+
+
+QUANTILE_BINS_PER_DECADE = 20
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (p50/p90/p99) per event_type from a log10-binned
+    histogram sketch — the quantile member of the cross-engine-reproducible
+    sketch family (distinct = KMV, frequency = CMS, quantile = this).
+
+    Parity: views/website/entry07_platform_decile_*.sql uses BigQuery's
+    APPROX_QUANTILES; its t-digest-style internals are engine-specific, so
+    no oracle could check them. A fixed log-binned histogram is the
+    deterministic equivalent: sketch state per group is (bin -> count),
+    O(decades * bins_per_decade) regardless of row count, and two sketches
+    merge by adding counts (mergeability proven in tests). Relative error
+    is bounded by the bin width (10^(1/bins_per_decade) ~ 12%).
+
+    The quantile readout: rank = ceil(q * n), answer = right edge of the
+    first bin whose cumulative count reaches the rank. Ranks are exact
+    integers and edges use the ROUND(POW(10, ...), 6) idiom already proven
+    hash-stable in log_pdf_cdf, so the sketch is oracle-checkable end to
+    end. One shuffle for the bin counts, window + tiny explode for readout.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    binned = (
+        ev.select(
+            "event_type",
+            F.floor(F.log10("value") * QUANTILE_BINS_PER_DECADE).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("n_total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in QUANTILE_QS])).alias("q")
+    return (
+        cum.select("event_type", "bin", "cum", "n_total", qs)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("qbin"), F.first("n_total").alias("n_total"))
+        .select(
+            "event_type",
+            "q",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            "qbin",
+            F.round(
+                F.pow(F.lit(10.0), (F.col("qbin") + 1) / QUANTILE_BINS_PER_DECADE), 6
+            ).alias("q_est"),
+        )
+    )
+
+
+def histogram_quantile_sketch_oracle() -> str:
+    qs = ", ".join(str(q) for q in QUANTILE_QS)
+    return f"""
+        WITH binned AS (
+          SELECT event_type,
+                 FLOOR(log10(value) * {QUANTILE_BINS_PER_DECADE}) AS bin,
+                 COUNT(*) AS n
+          FROM events WHERE value > 0
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bin,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(n) OVER (PARTITION BY event_type) AS n_total
+          FROM binned
+        ),
+        hit AS (
+          SELECT event_type, q, bin, cum, n_total
+          FROM cum CROSS JOIN (SELECT CAST(unnest([{qs}]) AS DOUBLE) AS q) qq
+          WHERE cum >= CEIL(q * n_total)
+        )
+        SELECT event_type, q,
+               CAST(MIN(n_total) AS BIGINT) AS n_total,
+               CAST(MIN(bin) AS BIGINT) AS qbin,
+               ROUND(POW(10, (MIN(bin) + 1.0) / {QUANTILE_BINS_PER_DECADE}), 6) AS q_est
+        FROM hit
+        GROUP BY event_type, q
+        ORDER BY event_type, q
+    """

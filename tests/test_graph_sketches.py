@@ -138,3 +138,58 @@ def test_kmv_set_ops_sanity(spark, sf_dir):
         # bounded; assert a loose 2x band rather than exact agreement
         if r["inter_exact"] > 0:
             assert 0.3 * r["inter_exact"] <= r["inter_est"] <= 3 * r["inter_exact"]
+
+
+def test_histogram_quantile_sketch_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sketches.histogram_quantile_sketch(spark, sf_dir),
+        duck,
+        sketches.histogram_quantile_sketch_oracle(),
+    )
+
+
+def test_histogram_quantile_bounds_exact(spark, sf_dir, duck):
+    """Each estimate is >= the exact quantile and within one bin width
+    (relative error <= 10^(1/bins_per_decade) - 1) above it."""
+    est = {
+        (r["event_type"], r["q"]): r["q_est"]
+        for r in sketches.histogram_quantile_sketch(spark, sf_dir).collect()
+    }
+    assert est
+    width = 10 ** (1.0 / sketches.QUANTILE_BINS_PER_DECADE)
+    for (etype, q), v in est.items():
+        exact = duck.execute(
+            "SELECT quantile_disc(value, ?) FROM events WHERE value > 0 AND event_type = ?",
+            [q, etype],
+        ).fetchone()[0]
+        assert exact <= v * (1 + 1e-9)
+        assert v / exact <= width * (1 + 1e-9)
+
+
+def test_histogram_quantile_sketch_merges(spark, sf_dir):
+    """Sketch state is mergeable: bin counts from disjoint halves add up to
+    the whole corpus's bin counts (the property that makes it a sketch)."""
+    from etl_schema_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    whole = (
+        ev.select(
+            "event_type",
+            F.floor(F.log10("value") * sketches.QUANTILE_BINS_PER_DECADE).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .count()
+    )
+    halves = (
+        ev.withColumn("half", F.col("event_id") % 2)
+        .select(
+            "event_type",
+            "half",
+            F.floor(F.log10("value") * sketches.QUANTILE_BINS_PER_DECADE).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    merged = {(r["event_type"], r["bin"]): r["count"] for r in halves.collect()}
+    for r in whole.collect():
+        assert merged[(r["event_type"], r["bin"])] == r["count"]
