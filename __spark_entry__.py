@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_interval_join": rangejoin.range_interval_join,
         "dedup_minhash_portable": dedup.dedup_minhash_portable,
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
+        "pii_scrub": text.pii_scrub,
     }
 
 
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "range_interval_join": rangejoin.range_interval_join_oracle(),
         "dedup_minhash_portable": dedup.dedup_minhash_portable_oracle(),
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch_oracle(),
+        "pii_scrub": text.pii_scrub_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -418,3 +418,82 @@ def token_count_bpe_oracle() -> str:
                  AS tokens_per_word
         FROM t ORDER BY doc_id
     """
+
+
+# RE2-compatible (no lookaround/backrefs) so Spark's Java regex and any
+# RE2-based SQL engine agree on every match. Replacement order is fixed:
+# email -> ipv4 -> phone (an email can contain digits; never the reverse).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+def scrub_pii(text_col: Column) -> dict[str, Column]:
+    """Core PII scrub: returns the masked text column plus a per-pattern
+    match-count column. Pure regexp builtins — whole-stage codegen, no
+    Python boundary, scan-speed at any corpus size."""
+    out: dict[str, Column] = {}
+    masked = text_col
+    for name, pat, repl in PII_PATTERNS:
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(masked, F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+        masked = F.regexp_replace(masked, pat, repl)
+    out["masked"] = masked
+    return out
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over the corpus: per-doc counts of masked
+    emails / IPv4 addresses / phone numbers, a total, and the md5 of the
+    scrubbed text (the hash proves the masked output itself matches across
+    engines, not just the counts).
+
+    The standard pre-training redaction step (the C4/Dolma pipelines run
+    exactly this shape). One narrow projection — no shuffle, no UDF; at
+    100 TB this runs at parquet scan speed and the masked text would be
+    written back through the partitioned sink unchanged in shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phone"].alias("n_phone"),
+        (cols["n_email"] + cols["n_ipv4"] + cols["n_phone"]).alias("n_pii_total"),
+        F.md5(cols["masked"]).alias("masked_md5"),
+    )
+
+
+def pii_scrub_oracle() -> str:
+    email_pat, ipv4_pat, phone_pat = (p for _, p, _ in PII_PATTERNS)
+    return rf"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text, '{email_pat}', 0)) AS n_email,
+                 regexp_replace(text, '{email_pat}', '[EMAIL]', 'g') AS t1
+          FROM documents
+        ),
+        m2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(t1, '{ipv4_pat}', 0)) AS n_ipv4,
+                 regexp_replace(t1, '{ipv4_pat}', '[IP]', 'g') AS t2
+          FROM m
+        ),
+        m3 AS (
+          SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(t2, '{phone_pat}', 0)) AS n_phone,
+                 regexp_replace(t2, '{phone_pat}', '[PHONE]', 'g') AS t3
+          FROM m2
+        )
+        SELECT doc_id,
+               CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii_total,
+               md5(t3) AS masked_md5
+        FROM m3 ORDER BY doc_id
+    """

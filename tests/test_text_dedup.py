@@ -115,3 +115,51 @@ def test_incremental_dedup_covers_batch_only(spark, sf_dir):
     assert out.filter(
         F.col("is_duplicate") & (F.col("dup_of") % m == m - 1)
     ).count() == 0
+
+
+def test_pii_scrub_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import text as text_ops
+
+    assert_matches_oracle(
+        text_ops.pii_scrub(spark, sf_dir), duck, text_ops.pii_scrub_oracle()
+    )
+
+
+def test_pii_scrub_masks_crafted_inputs(spark, duck):
+    """The synthetic corpus holds no PII, so prove the masking behavior on
+    crafted rows — and prove Spark and DuckDB produce byte-identical masked
+    text for them (the portability claim on non-trivial input)."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.org or 10.0.255.3 now"),
+        (2, "call 555-867-5309 or mail a@b.co; server 192.168.1.1"),
+        (3, "no pii here, just 1234 and a.dot."),
+        (4, "two mails x@y.io z@w.dev and 1.2.3.4 5.6.7.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cols = scrub_pii(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", cols["n_email"].alias("ne"), cols["n_ipv4"].alias("ni"),
+            cols["n_phone"].alias("np"), cols["masked"].alias("masked")
+        ).collect()
+    }
+    assert (got[1]["ne"], got[1]["ni"], got[1]["np"]) == (1, 1, 0)
+    assert got[1]["masked"] == "contact [EMAIL] or [IP] now"
+    assert (got[2]["ne"], got[2]["ni"], got[2]["np"]) == (1, 1, 1)
+    assert got[2]["masked"] == "call [PHONE] or mail [EMAIL]; server [IP]"
+    assert (got[3]["ne"], got[3]["ni"], got[3]["np"]) == (0, 0, 0)
+    assert got[3]["masked"] == rows[2][1]
+    assert (got[4]["ne"], got[4]["ni"], got[4]["np"]) == (2, 2, 0)
+
+    for doc_id, raw in rows:
+        masked = raw
+        for _, pat, repl in PII_PATTERNS:
+            masked = duck.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [masked, pat, repl]
+            ).fetchone()[0]
+        assert masked == got[doc_id]["masked"], doc_id
