@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": dedup.dedup_minhash_portable,
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
         "pii_scrub": text.pii_scrub,
+        "epoch_shuffle": corpus.epoch_shuffle,
     }
 
 
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_portable": dedup.dedup_minhash_portable_oracle(),
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch_oracle(),
         "pii_scrub": text.pii_scrub_oracle(),
+        "epoch_shuffle": corpus.epoch_shuffle_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

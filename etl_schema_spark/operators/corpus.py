@@ -247,3 +247,71 @@ def canonical_pick_oracle() -> str:
         FROM keyed WHERE rn = 1
         ORDER BY content_key
     """
+
+
+EPOCH_SHUFFLE_PARTITIONS = 8
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str, seed: str = "epoch0") -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible global permutation of the
+    corpus (position 1..n) keyed by md5(seed || doc_id) — the
+    training-order randomization step every data loader needs, seedable per
+    epoch and identical on any engine.
+
+    The scale point is the *rank*, not the sort: a global ROW_NUMBER is a
+    single-partition window — the one shape that cannot scale. Here the
+    permutation rank is computed distributed: range-partition by the
+    shuffle key (Spark's total-order sort machinery), count rows per
+    partition (a metadata-sized aggregate), turn counts into cumulative
+    offsets, and add the within-partition rank — position = offset +
+    local rank, exactly the global rank because range partitions are
+    ordered and md5 keys are unique. No stage ever holds more than one
+    partition's rows; the offset table is |partitions| rows, broadcast.
+
+    At 100 TB, writing the result back partitioned by `position div
+    block_size` yields the shuffled shards a data loader streams
+    sequentially — randomness paid once at prep time, not at read time.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "shuffle_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    )
+    # persisted: _pid feeds both the offset aggregate and the rank join, and
+    # range boundaries come from sampling — materializing once guarantees
+    # both consumers see the same partitioning
+    sorted_df = (
+        keyed.repartitionByRange(EPOCH_SHUFFLE_PARTITIONS, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_local = Window.partitionBy("_pid").orderBy("shuffle_key")
+    return (
+        sorted_df.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_offset") + F.row_number().over(w_local)).alias("position"),
+            "doc_id",
+            "source",
+            "shuffle_key",
+        )
+    )
+
+
+def epoch_shuffle_oracle(seed: str = "epoch0") -> str:
+    return f"""
+        SELECT ROW_NUMBER() OVER (ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)))
+                 AS position,
+               doc_id,
+               source,
+               md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+        ORDER BY position
+    """

@@ -110,3 +110,41 @@ def test_multimodal_bmp_meta(spark, sf_dir, duck):
         duck,
         multimodal.multimodal_bmp_meta_oracle(),
     )
+
+
+def test_epoch_shuffle_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        corpus.epoch_shuffle(spark, sf_dir), duck, corpus.epoch_shuffle_oracle()
+    )
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e0 = corpus.epoch_shuffle(spark, sf_dir, seed="epoch0").cache()
+    n = e0.count()
+    # positions are exactly 1..n (a permutation, distributed rank correct)
+    agg = e0.agg(
+        F.min("position").alias("lo"), F.max("position").alias("hi"),
+        F.countDistinct("position").alias("d")
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
+    # a different seed yields a different order of the same docs
+    e1 = corpus.epoch_shuffle(spark, sf_dir, seed="epoch1")
+    moved = (
+        e0.select("doc_id", "position")
+        .join(e1.select("doc_id", F.col("position").alias("p1")), "doc_id")
+        .filter(F.col("position") != F.col("p1"))
+        .count()
+    )
+    assert moved > n * 0.9
+
+
+def test_epoch_shuffle_rank_invariant_to_partitioning(spark, sf_dir, monkeypatch):
+    """The distributed rank equals the global rank no matter how many range
+    partitions carry it (offsets absorb the boundaries)."""
+    monkeypatch.setattr(corpus, "EPOCH_SHUFFLE_PARTITIONS", 3)
+    few = {r["doc_id"]: r["position"] for r in corpus.epoch_shuffle(spark, sf_dir).collect()}
+    monkeypatch.setattr(corpus, "EPOCH_SHUFFLE_PARTITIONS", 17)
+    many = {r["doc_id"]: r["position"] for r in corpus.epoch_shuffle(spark, sf_dir).collect()}
+    assert few == many
