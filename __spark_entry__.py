@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
         "pii_scrub": text.pii_scrub,
         "epoch_shuffle": corpus.epoch_shuffle,
+        "sliding_window_stats": rollups.sliding_window_stats,
     }
 
 
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch_oracle(),
         "pii_scrub": text.pii_scrub_oracle(),
         "epoch_shuffle": corpus.epoch_shuffle_oracle(),
+        "sliding_window_stats": rollups.sliding_window_stats_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

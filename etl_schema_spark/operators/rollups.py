@@ -432,3 +432,68 @@ def multistream_throughput_oracle() -> str:
         GROUP BY user_id, event_type
         ORDER BY user_id, event_type
     """
+
+
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window rollup: per event_type and hour, the count
+    and mean over the trailing 3-hour window — the batch twin of a
+    Structured Streaming `window(ts, "3 hours", "1 hour")` aggregation
+    (streaming/jobs.py holds the tumbling form; this is the overlapping
+    one).
+
+    Computed as hourly partials first (one shuffle, map-side combine),
+    then a RANGE frame over epoch seconds re-aggregates 3 buckets per row —
+    the window reads O(|hours|) pre-aggregated rows, never the raw events
+    again. Means decompose through exact DECIMAL sums so window order
+    can't perturb the float result. The RANGE frame (not ROWS) makes
+    missing hours count as absent instead of sliding over 3 *rows*.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.floor(F.col("value") * 1e6).cast("decimal(18,0)").alias("v6"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v6").alias("s6"))
+        .withColumn("hour_s", F.col("hour").cast("long"))
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rangeBetween(-7200, Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("bigint").alias("n_1h"),
+        (F.floor(F.col("s6").cast("double") / F.col("n") ) / 1e6).alias("mean_1h"),
+        F.sum("n").over(w3).cast("bigint").alias("n_3h"),
+        (
+            F.floor(F.sum("s6").over(w3).cast("double") / F.sum("n").over(w3)) / 1e6
+        ).alias("mean_3h"),
+    )
+
+
+def sliding_window_stats_oracle() -> str:
+    return """
+        WITH hourly AS (
+          SELECT event_type,
+                 date_trunc('hour', ts) AS hour,
+                 CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+                 COUNT(*) AS n,
+                 SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(18,0))) AS s6
+          FROM events
+          GROUP BY 1, 2, 3
+        )
+        SELECT event_type, hour,
+               CAST(n AS BIGINT) AS n_1h,
+               FLOOR(CAST(s6 AS DOUBLE) / n) / 1e6 AS mean_1h,
+               CAST(SUM(n) OVER w3 AS BIGINT) AS n_3h,
+               FLOOR(CAST(SUM(s6) OVER w3 AS DOUBLE) / SUM(n) OVER w3) / 1e6 AS mean_3h
+        FROM hourly
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY hour_s
+                      RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, hour
+    """

@@ -79,3 +79,31 @@ def test_multistream_throughput(spark, sf_dir, duck):
         duck,
         rollups.multistream_throughput_oracle(),
     )
+
+
+def test_sliding_window_stats_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        rollups.sliding_window_stats(spark, sf_dir),
+        duck,
+        rollups.sliding_window_stats_oracle(),
+    )
+
+
+def test_sliding_window_reaggregates_hourly(spark, sf_dir):
+    """n_3h at hour H equals the sum of n_1h over {H-2h, H-1h, H} — the
+    RANGE frame re-aggregates buckets, it doesn't slide over rows."""
+    from pyspark.sql import functions as F
+
+    df = rollups.sliding_window_stats(spark, sf_dir).cache()
+    one = df.select("event_type", F.col("hour").cast("long").alias("h"), "n_1h")
+    expanded = one.select(
+        "event_type",
+        F.explode(
+            F.array(F.col("h"), F.col("h") + 3600, F.col("h") + 7200)
+        ).alias("h_target"),
+        "n_1h",
+    ).groupBy("event_type", "h_target").agg(F.sum("n_1h").alias("expect_3h"))
+    joined = df.select(
+        "event_type", F.col("hour").cast("long").alias("h_target"), "n_3h"
+    ).join(expanded, ["event_type", "h_target"])
+    assert joined.filter(F.col("n_3h") != F.col("expect_3h")).count() == 0
