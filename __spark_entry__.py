@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": text.pii_scrub,
         "epoch_shuffle": corpus.epoch_shuffle,
         "sliding_window_stats": rollups.sliding_window_stats,
+        "source_token_budget": corpus.source_token_budget,
     }
 
 
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_scrub_oracle(),
         "epoch_shuffle": corpus.epoch_shuffle_oracle(),
         "sliding_window_stats": rollups.sliding_window_stats_oracle(),
+        "source_token_budget": corpus.source_token_budget_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

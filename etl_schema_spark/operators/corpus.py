@@ -315,3 +315,57 @@ def epoch_shuffle_oracle(seed: str = "epoch0") -> str:
         FROM documents
         ORDER BY position
     """
+
+
+SOURCE_BUDGET_CHARS = 5_000
+
+
+def source_token_budget(
+    spark: SparkSession, sf_dir: str, budget_chars: int = SOURCE_BUDGET_CHARS
+) -> DataFrame:
+    """Per-source corpus trimming under a size budget: within each source,
+    walk the docs in a deterministic md5 order and keep them until the
+    cumulative character count would exceed the budget — the quota-sampling
+    step that turns `domain_mix_weights` ratios into an actual capped
+    subset (the "take N tokens per domain" stage of a data-mixture build).
+
+    One window per source (cumulative sum in md5 order), filter, no second
+    scan. The md5 ordering makes the kept set a uniform random — but
+    reproducible — sample of each source; at 100 TB the same window runs
+    per (source, shard) with budgets pre-split by the mix weights.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= budget_chars)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("cum_chars").cast("bigint").alias("cum_chars"),
+        )
+    )
+
+
+def source_token_budget_oracle(budget_chars: int = SOURCE_BUDGET_CHARS) -> str:
+    return f"""
+        WITH c AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR))
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_chars
+          FROM documents
+        )
+        SELECT source, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(cum_chars AS BIGINT) AS cum_chars
+        FROM c
+        WHERE cum_chars <= {budget_chars}
+        ORDER BY source, cum_chars
+    """

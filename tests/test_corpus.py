@@ -148,3 +148,25 @@ def test_epoch_shuffle_rank_invariant_to_partitioning(spark, sf_dir, monkeypatch
     monkeypatch.setattr(corpus, "EPOCH_SHUFFLE_PARTITIONS", 17)
     many = {r["doc_id"]: r["position"] for r in corpus.epoch_shuffle(spark, sf_dir).collect()}
     assert few == many
+
+
+def test_source_token_budget_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        corpus.source_token_budget(spark, sf_dir),
+        duck,
+        corpus.source_token_budget_oracle(),
+    )
+
+
+def test_source_token_budget_caps_every_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    budget = 5_000
+    kept = corpus.source_token_budget(spark, sf_dir, budget_chars=budget).cache()
+    # no source exceeds the budget, and the kept set is a prefix: max
+    # cum_chars per source <= budget, and every source with any doc small
+    # enough to fit is represented
+    assert kept.filter(F.col("cum_chars") > budget).count() == 0
+    per_source = kept.groupBy("source").agg(F.max("cum_chars").alias("used"))
+    assert per_source.count() > 0
+    assert per_source.filter(F.col("used") > budget).count() == 0
