@@ -217,3 +217,63 @@ def test_merge_upsert_is_lww_map_union(spark, tmp_path_factory, base, upd):
         (str(r.date), r.k): r.n for r in spark.read.parquet(target).collect()
     }
     assert got == {**base, **upd}
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=20_000), # lo (seconds)
+        st.integers(min_value=0, max_value=3_600),  # width <= bucket
+    ),
+    min_size=1,
+    max_size=12,
+)
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=25_000),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(intervals=intervals_strategy, points=points_strategy)
+def test_interval_point_join_matches_bruteforce(spark, intervals, points):
+    """The bucketed range join equals the naive all-pairs filter for ANY
+    interval/point placement, as long as width <= bucket size — including
+    boundary-straddling intervals and points exactly on lo/hi."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators.rangejoin import interval_point_join
+
+    iv_rows = [
+        (i, k, lo, lo + w) for i, (k, lo, w) in enumerate(intervals)
+    ]
+    pt_rows = [(j, k, ts) for j, (k, ts) in enumerate(points)]
+    expect = {
+        (i, j)
+        for i, k, lo, hi in iv_rows
+        for j, pk, ts in pt_rows
+        if pk == k and lo < ts <= hi
+    }
+    iv = spark.createDataFrame(
+        iv_rows, "iv_id int, k int, lo_s long, hi_s long"
+    ).select(
+        "iv_id", "k",
+        F.col("lo_s").cast("timestamp").alias("lo"),
+        F.col("hi_s").cast("timestamp").alias("hi"),
+    )
+    pt = spark.createDataFrame(pt_rows, "pt_id int, k int, ts_s long").select(
+        "pt_id", "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_point_join(iv, pt, on="k", bucket_seconds=3600).collect()
+    }
+    assert got == expect
