@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_stats": rollups.sliding_window_stats,
         "source_token_budget": corpus.source_token_budget,
         "zscore_outliers": analytics.zscore_outliers,
+        "rolling_active_users": rollups.rolling_active_users,
+        "retention_cohorts": analytics.retention_cohorts,
     }
 
 
@@ -247,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_stats": rollups.sliding_window_stats_oracle(),
         "source_token_budget": corpus.source_token_budget_oracle(),
         "zscore_outliers": analytics.zscore_outliers_oracle(),
+        "rolling_active_users": rollups.rolling_active_users_oracle(),
+        "retention_cohorts": analytics.retention_cohorts_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -575,3 +575,73 @@ def zscore_outliers_oracle() -> str:
         WHERE ABS(zr) > 3.0
         ORDER BY event_id
     """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-seen week,
+    tracked over weeks-since-signup, with the retained fraction — the
+    product-analytics triangle every events store gets asked for.
+
+    Two shuffles total: first-seen week per user (min over one groupBy),
+    then distinct (cohort, weeks_since, user) counts. The cohort dimension
+    re-joins as a broadcast (|weeks| rows). Week arithmetic is integer
+    datediff/7 — no float until the final truncated ratio; date_trunc
+    'week' is Monday-start in Spark and DuckDB alike.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    first_week = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(first_week, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("weeks_since"),
+        )
+        .distinct()
+    )
+    cohort_size = first_week.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            (F.floor(F.col("active_users") / F.col("cohort_users") * 1e6) / 1e6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def retention_cohorts_oracle() -> str:
+    return """
+        WITH ev AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events
+        ),
+        fw AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT ev.user_id, fw.cohort_week,
+                 CAST((ev.week - fw.cohort_week) // 7 AS INT) AS weeks_since
+          FROM ev JOIN fw USING (user_id)
+        ),
+        cs AS (
+          SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_users
+          FROM fw GROUP BY cohort_week
+        )
+        SELECT a.cohort_week, a.weeks_since,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+               CAST(cs.cohort_users AS BIGINT) AS cohort_users,
+               FLOOR(COUNT(DISTINCT a.user_id) * 1.0 / cs.cohort_users * 1e6) / 1e6
+                 AS retention
+        FROM act a JOIN cs USING (cohort_week)
+        GROUP BY a.cohort_week, a.weeks_since, cs.cohort_users
+        ORDER BY a.cohort_week, a.weeks_since
+    """

@@ -497,3 +497,66 @@ def sliding_window_stats_oracle() -> str:
                       RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
         ORDER BY event_type, hour
     """
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day, with the stickiness ratio — the
+    rolling COUNT(DISTINCT) family, which has no algebraic partial
+    aggregate and therefore no native window form.
+
+    The scale-correct shape: reduce the fact to distinct (day, user) pairs
+    first (one shuffle, map-side combine), then *explode each pair into the
+    ≤7 future days it contributes to* — a bounded 7× fan-out of the small
+    distinct table, never of the raw fact — and count distinct users per
+    target day. The naive alternative (self-join days × 7-day ranges of
+    raw events, or collect_set over a window) shuffles the fact per window
+    width. Output keeps only observed days, so partial leading windows are
+    real observations, not spine artifacts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contributions = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contributions.join(days, "day")  # only observed days; broadcast-sized
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.floor(F.col("dau") / F.col("wau") * 1e6) / 1e6).alias("stickiness"),
+        )
+    )
+
+
+def rolling_active_users_oracle() -> str:
+    return """
+        WITH du AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+          FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        wau AS (
+          SELECT d.day, COUNT(DISTINCT du.user_id) AS wau
+          FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day
+        )
+        SELECT day,
+               CAST(dau AS BIGINT) AS dau,
+               CAST(wau AS BIGINT) AS wau,
+               FLOOR(dau * 1.0 / wau * 1e6) / 1e6 AS stickiness
+        FROM dau JOIN wau USING (day)
+        ORDER BY day
+    """

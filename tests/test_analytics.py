@@ -128,3 +128,23 @@ def test_zscore_outliers_are_tail(spark, sf_dir):
     out = analytics.zscore_outliers(spark, sf_dir).cache()
     assert out.count() > 0
     assert out.filter(F.abs("zscore") < 3.0).count() == 0
+
+
+def test_retention_cohorts_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.retention_cohorts(spark, sf_dir),
+        duck,
+        analytics.retention_cohorts_oracle(),
+    )
+
+
+def test_retention_cohorts_triangle(spark, sf_dir):
+    """Week 0 retains every cohort member; later weeks never exceed the
+    cohort size."""
+    from pyspark.sql import functions as F
+
+    df = analytics.retention_cohorts(spark, sf_dir).cache()
+    wk0 = df.filter(F.col("weeks_since") == 0)
+    assert wk0.count() > 0
+    assert wk0.filter(F.col("active_users") != F.col("cohort_users")).count() == 0
+    assert df.filter(F.col("active_users") > F.col("cohort_users")).count() == 0

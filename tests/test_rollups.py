@@ -107,3 +107,20 @@ def test_sliding_window_reaggregates_hourly(spark, sf_dir):
         "event_type", F.col("hour").cast("long").alias("h_target"), "n_3h"
     ).join(expanded, ["event_type", "h_target"])
     assert joined.filter(F.col("n_3h") != F.col("expect_3h")).count() == 0
+
+
+def test_rolling_active_users_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        rollups.rolling_active_users(spark, sf_dir),
+        duck,
+        rollups.rolling_active_users_oracle(),
+    )
+
+
+def test_rolling_active_users_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = rollups.rolling_active_users(spark, sf_dir).cache()
+    # WAU >= DAU always; stickiness in (0, 1]
+    assert df.filter(F.col("wau") < F.col("dau")).count() == 0
+    assert df.filter((F.col("stickiness") <= 0) | (F.col("stickiness") > 1)).count() == 0
