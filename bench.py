@@ -51,6 +51,17 @@ HEADLINE = [
     "chunk_dedup",
     "domain_mix_weights",
     "kmv_set_ops",
+    # late round-2 additions
+    "range_interval_join",
+    "gapfill_locf",
+    "dedup_minhash_portable",
+    "histogram_quantile_sketch",
+    "pii_scrub",
+    "epoch_shuffle",
+    "sliding_window_stats",
+    "zscore_outliers",
+    "rolling_active_users",
+    "retention_cohorts",
 ]
 
 
