@@ -1,6 +1,7 @@
 from .jobs import (
     attribution_join_stream,
     events_stream,
+    hopping_window_stream,
     hourly_counts_stream,
     merge_upsert_batch,
     run_available_now,
@@ -12,6 +13,7 @@ from .stateful import dedup_stream, ewma_anomaly_stream
 __all__ = [
     "attribution_join_stream",
     "events_stream",
+    "hopping_window_stream",
     "hourly_counts_stream",
     "merge_upsert_batch",
     "session_window_stream",

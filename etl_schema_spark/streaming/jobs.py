@@ -60,6 +60,20 @@ def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) 3-hour/1-hour windowed counts per event_type —
+    the streaming twin of rollups.sliding_window_stats. Each event lands in
+    3 window instances; the watermark bounds state to ~3 open windows per
+    type plus the lateness horizon."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_3h"))
+        .select(F.col("w.end").alias("window_end"), "event_type", "n_3h")
+    )
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows: 30-minute gap per user (streaming twin of
     sessions.sessionized_events)."""

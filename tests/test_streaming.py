@@ -178,3 +178,28 @@ def test_merge_upsert_updates_and_preserves(spark, tmp_path):
     streaming.merge_upsert_batch(upd, target, ["date", "k"])
     rows = spark.read.parquet(target).collect()
     assert len(rows) == 3
+
+
+def test_hopping_window_stream_matches_batch(spark, sf_dir):
+    """The streaming 3h/1h hopping window agrees with the batch
+    sliding_window_stats counts on every complete window (streaming also
+    emits leading partial windows whose start precedes the data; batch
+    anchors windows at observed hours — compare on the intersection)."""
+    from etl_schema_spark.operators import rollups
+
+    out = streaming.run_available_now(
+        streaming.hopping_window_stream(spark, sf_dir), "t_hopping"
+    )
+    batch = rollups.sliding_window_stats(spark, sf_dir)
+    # batch rows are keyed by window-END hour H covering (H-2h .. H); the
+    # streaming window [start, end) covering the same 3 hours ends at H+1h
+    got = {
+        (r.window_end, r.event_type): r.n_3h for r in out.collect()
+    }
+    compared = 0
+    for r in batch.collect():
+        key = (r.hour + __import__("datetime").timedelta(hours=1), r.event_type)
+        if key in got:
+            assert got[key] == r.n_3h, key
+            compared += 1
+    assert compared > 100
