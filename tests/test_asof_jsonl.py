@@ -102,3 +102,40 @@ def test_jsonl_quarantines_corrupt_lines(spark, sf_dir, jsonl_dir, tmp_path):
     clean, bad = jsonl.split_corrupt(back)
     assert clean.count() == 10
     assert bad.count() == 2  # truncated object + garbage line both quarantined
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    from etl_schema_spark.sources import csv as csv_src
+
+    csv_dir = str(tmp_path / "events_csv")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(200)
+    )
+    csv_src.write_csv(ev, csv_dir)
+    back = csv_src.read_csv(spark, csv_dir, EVENT_SCHEMA)
+    clean, bad = csv_src.split_corrupt(back)
+    assert bad.count() == 0
+    assert clean.count() == 200
+    a = {r["event_id"]: (r["event_type"], r["value"]) for r in clean.collect()}
+    b = {r["event_id"]: (r["event_type"], r["value"]) for r in ev.collect()}
+    assert a == b
+
+
+def test_csv_quarantines_malformed_rows(spark, sf_dir, tmp_path):
+    from etl_schema_spark.sources import csv as csv_src
+
+    csv_dir = str(tmp_path / "events_csv")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(10)
+    )
+    csv_src.write_csv(ev, csv_dir)
+    extra = tmp_path / "events_csv" / "part-corrupt.csv"
+    extra.write_text("event_id,user_id,event_type,value\nnot_a_long,2,click,1.5\n")
+    back = csv_src.read_csv(spark, csv_dir, EVENT_SCHEMA)
+    clean, bad = csv_src.split_corrupt(back)
+    assert clean.count() == 10
+    assert bad.count() == 1  # the type-mismatched row quarantined
