@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": analytics.zscore_outliers,
         "rolling_active_users": rollups.rolling_active_users,
         "retention_cohorts": analytics.retention_cohorts,
+        "bloom_membership": sketches.bloom_membership,
     }
 
 
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers": analytics.zscore_outliers_oracle(),
         "rolling_active_users": rollups.rolling_active_users_oracle(),
         "retention_cohorts": analytics.retention_cohorts_oracle(),
+        "bloom_membership": sketches.bloom_membership_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

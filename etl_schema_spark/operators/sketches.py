@@ -433,3 +433,147 @@ def histogram_quantile_sketch_oracle() -> str:
         GROUP BY event_type, q
         ORDER BY event_type, q
     """
+
+
+BLOOM_BITS = 1024  # 32 x 32-bit words; masks stay positive in signed 64-bit
+BLOOM_K = 4
+_BLOOM_WORD_BITS = 32
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the fourth member of the portable sketch
+    family (distinct = KMV, frequency = CMS, quantile = histogram,
+    membership = this): per event_type, a 1024-bit filter over the type's
+    user set, then every (type, user) probe summarized against exact
+    membership.
+
+    Hash family is md5-derived (seeded), the filter is 32 x 32-bit words
+    built with a per-(type, word) BIT_OR aggregate — O(types x 32) state,
+    mergeable by OR — so the whole structure, not just its error bound, is
+    oracle-checkable. The probe phase broadcasts the sketch (KB-sized at
+    any corpus size). Output per type: exact members, bloom positives,
+    false positives, false negatives — the last provably zero (a Bloom
+    filter never forgets an inserted key; the test and oracle both assert
+    the invariant end-to-end).
+
+    At 100 TB this is the "have we seen this key" primitive for ingest
+    dedup and join pre-filtering (Spark's own runtime bloom-filter join
+    pushdown plays the same trick engine-side).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select("event_type", "user_id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("seed")
+
+    def bucket(seed_col, key_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("bf"), seed_col.cast("string"),
+                                           F.lit(":"), key_col.cast("string"))), 1, 8),
+                16, 10,
+            ).cast("bigint") % BLOOM_BITS
+        )
+
+    def word_mask(df):
+        return df.withColumn(
+            "word", (F.col("_b") / _BLOOM_WORD_BITS).cast("int")
+        ).withColumn(
+            "mask",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_b % {_BLOOM_WORD_BITS} AS INT))"),
+        ).drop("_b")
+
+    with_bits = word_mask(
+        members.select("event_type", "user_id", seeds).withColumn(
+            "_b", bucket(F.col("seed"), F.col("user_id"))
+        )
+    )
+    sketch = with_bits.groupBy("event_type", "word").agg(F.bit_or("mask").alias("bits"))
+
+    # probe EVERY user against EVERY type's filter (the universe is the
+    # distinct user set; types x users is metadata-sized relative to the fact)
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    probes = word_mask(
+        types.crossJoin(users).select("event_type", "user_id", seeds).withColumn(
+            "_b", bucket(F.col("seed"), F.col("user_id"))
+        )
+    )
+    hit = (
+        probes.join(F.broadcast(sketch), ["event_type", "word"], "left")
+        .withColumn(
+            "bit_set",
+            (F.col("bits").isNotNull())
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.min(F.col("bit_set").cast("int")).alias("all_bits"))
+    )
+    exact = members.withColumn("is_member", F.lit(1))
+    return (
+        hit.join(exact, ["event_type", "user_id"], "left")
+        .na.fill(0, ["is_member"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_member").cast("bigint").alias("exact_members"),
+            F.sum("all_bits").cast("bigint").alias("bloom_positives"),
+            F.sum(F.when((F.col("all_bits") == 1) & (F.col("is_member") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_positives"),
+            F.sum(F.when((F.col("all_bits") == 0) & (F.col("is_member") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_negatives"),
+        )
+    )
+
+
+def bloom_membership_oracle() -> str:
+    bucket = (
+        "(CAST(('0x' || substr(md5('bf' || CAST(seed AS VARCHAR) || ':' "
+        "|| CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {m})"
+    ).format(m=BLOOM_BITS)
+    return f"""
+        WITH members AS (
+          SELECT DISTINCT event_type, user_id FROM events
+        ),
+        seeds AS (SELECT unnest(range(0, {BLOOM_K})) AS seed),
+        bits AS (
+          SELECT event_type, user_id,
+                 CAST({bucket} // {_BLOOM_WORD_BITS} AS INT) AS word,
+                 CAST(1 AS BIGINT) << CAST({bucket} % {_BLOOM_WORD_BITS} AS INT) AS mask
+          FROM members CROSS JOIN seeds
+        ),
+        sketch AS (
+          SELECT event_type, word, BIT_OR(mask) AS bword FROM bits GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT t.event_type, u.user_id,
+                 CAST({bucket} // {_BLOOM_WORD_BITS} AS INT) AS word,
+                 CAST(1 AS BIGINT) << CAST({bucket} % {_BLOOM_WORD_BITS} AS INT) AS mask
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN seeds
+        ),
+        hit AS (
+          SELECT p.event_type, p.user_id,
+                 MIN(CASE WHEN s.bword IS NOT NULL AND (s.bword & p.mask) = p.mask
+                          THEN 1 ELSE 0 END) AS all_bits
+          FROM probes p
+          LEFT JOIN sketch s ON s.event_type = p.event_type AND s.word = p.word
+          GROUP BY 1, 2
+        ),
+        joined AS (
+          SELECT h.event_type, h.user_id, h.all_bits,
+                 CASE WHEN m.user_id IS NULL THEN 0 ELSE 1 END AS is_member
+          FROM hit h LEFT JOIN members m
+            ON m.event_type = h.event_type AND m.user_id = h.user_id
+        )
+        SELECT event_type,
+               CAST(SUM(is_member) AS BIGINT) AS exact_members,
+               CAST(SUM(all_bits) AS BIGINT) AS bloom_positives,
+               CAST(SUM(CASE WHEN all_bits = 1 AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS false_positives,
+               CAST(SUM(CASE WHEN all_bits = 0 AND is_member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS false_negatives
+        FROM joined
+        GROUP BY event_type
+        ORDER BY event_type
+    """

@@ -193,3 +193,21 @@ def test_histogram_quantile_sketch_merges(spark, sf_dir):
     merged = {(r["event_type"], r["bin"]): r["count"] for r in halves.collect()}
     for r in whole.collect():
         assert merged[(r["event_type"], r["bin"])] == r["count"]
+
+
+def test_bloom_membership_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sketches.bloom_membership(spark, sf_dir),
+        duck,
+        sketches.bloom_membership_oracle(),
+    )
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """The defining Bloom invariant: every inserted key probes positive."""
+    rows = sketches.bloom_membership(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["false_negatives"] == 0
+        assert r["bloom_positives"] >= r["exact_members"]
+        assert r["bloom_positives"] == r["exact_members"] + r["false_positives"]

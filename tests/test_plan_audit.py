@@ -35,6 +35,9 @@ ALLPAIRS_OK = {
     # per-type sketch summaries pair up via a theta join over <= |types|^2
     # rows (sketch metadata, not data) — intended BNLJ at any scale
     "kmv_set_ops",
+    # probe universe = |types| x |distinct users| — dimension-sized cross
+    # join by definition (the fact is reduced to distinct pairs first)
+    "bloom_membership",
 }
 
 QUERIES = entry.queries()
