@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": rollups.rolling_active_users,
         "retention_cohorts": analytics.retention_cohorts,
         "bloom_membership": sketches.bloom_membership,
+        "linear_trend": analytics.linear_trend,
     }
 
 
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": rollups.rolling_active_users_oracle(),
         "retention_cohorts": analytics.retention_cohorts_oracle(),
         "bloom_membership": sketches.bloom_membership_oracle(),
+        "linear_trend": analytics.linear_trend_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

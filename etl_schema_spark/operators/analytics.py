@@ -645,3 +645,82 @@ def retention_cohorts_oracle() -> str:
         GROUP BY a.cohort_week, a.weeks_since, cs.cohort_users
         ORDER BY a.cohort_week, a.weeks_since
     """
+
+
+def linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of value over time: slope (value/day), intercept,
+    and R² — the regression member of the exact-moment family
+    (`corr_value_hour` proves the portability argument; this reuses it).
+
+    x = epoch-day (exact integer), y = value through the DECIMAL
+    decomposition; the five co-moment sums are exact and order-independent,
+    and the closed-form combine is a handful of IEEE ops per group. One
+    partial-aggregated shuffle over |types| groups — trend detection at
+    100 TB costs one scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).alias("x"),
+            _vdec().alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("x")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2num = (n * sxy - sx * sy) * (n * sxy - sx * sy)
+    r2den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return base.select(
+        "event_type",
+        "n",
+        _trunc6(slope).alias("slope_per_day"),
+        _trunc6(intercept).alias("intercept"),
+        _trunc6(r2num / r2den).alias("r2"),
+    )
+
+
+def linear_trend_oracle() -> str:
+    return f"""
+        WITH moments AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS sx,
+                 SUM({_VDEC_SQL}) AS sy,
+                 SUM({_VDEC_SQL} * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400)) AS sxy,
+                 SUM((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400)
+                     * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400)) AS sxx,
+                 SUM({_VDEC_SQL} * {_VDEC_SQL}) AS syy
+          FROM events
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               FLOOR((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e6) / 1e6 AS slope_per_day,
+               FLOOR((CAST(sy AS DOUBLE)
+                      - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / n * 1e6) / 1e6 AS intercept,
+               FLOOR((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1e6) / 1e6 AS r2
+        FROM moments ORDER BY event_type
+    """

@@ -148,3 +148,40 @@ def test_retention_cohorts_triangle(spark, sf_dir):
     assert wk0.count() > 0
     assert wk0.filter(F.col("active_users") != F.col("cohort_users")).count() == 0
     assert df.filter(F.col("active_users") > F.col("cohort_users")).count() == 0
+
+
+def test_linear_trend_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.linear_trend(spark, sf_dir),
+        duck,
+        analytics.linear_trend_oracle(),
+    )
+
+
+def test_linear_trend_matches_numpy(spark, sf_dir):
+    """Closed-form slopes agree with numpy's lstsq on the same (truncated)
+    inputs — the estimator is real OLS, not merely self-consistent."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    got = {r["event_type"]: r for r in analytics.linear_trend(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 86400).alias("x"),
+            (F.floor(F.col("value") * 1e6) / 1e6).alias("y"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    for etype, pts in by_type.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[etype]["slope_per_day"] - slope) < 1e-4, etype
+        assert abs(got[etype]["intercept"] - intercept) < 1e-2, etype
