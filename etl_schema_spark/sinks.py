@@ -50,8 +50,11 @@ def write_partitioned(
     partition_cols: Sequence[str] = (),
     mode: str = "overwrite",
     max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    fmt: str = "parquet",
 ) -> None:
-    """Partitioned parquet write with dynamic partition overwrite.
+    """Partitioned columnar write (parquet by default; `fmt="orc"` for the
+    other splittable columnar container Spark ships natively) with dynamic
+    partition overwrite.
 
     Repartitions on the partition columns first so each output partition is
     produced by a bounded number of tasks — the difference between O(days)
@@ -66,7 +69,8 @@ def write_partitioned(
         writer.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 
