@@ -65,3 +65,14 @@ def test_scans_prune_columns(spark, sf_dir):
     )
     # q6 needs 4 lineitem columns; the 16-column full width must not appear
     assert "l_returnflag" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_registry_contract():
+    """Every oracle key pairs with a queries() entry; the rows-only set is
+    exactly the declared one; counts match the documented inventory."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"dedup_minhash_lsh"}
+    assert len(qs) == 107  # keep in lockstep with SURVEY §7 / README
