@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": sketches.bloom_membership,
         "linear_trend": analytics.linear_trend,
         "multimodal_wav_energy": multimodal.multimodal_wav_energy,
+        "curation_pipeline": curation.curation_pipeline,
     }
 
 
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": sketches.bloom_membership_oracle(),
         "linear_trend": analytics.linear_trend_oracle(),
         "multimodal_wav_energy": multimodal.multimodal_wav_energy_oracle(),
+        "curation_pipeline": curation.curation_pipeline_oracle(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_editdistance": dedup.dedup_editdistance_oracle(),

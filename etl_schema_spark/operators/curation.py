@@ -259,3 +259,125 @@ def gopher_quality_flags_oracle() -> str:
         FROM documents
         ORDER BY doc_id
     """
+
+
+CURATION_BUDGET_CHARS = 5_000
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation capstone: quality rules → PII scrub → exact
+    dedup on the *scrubbed* text → per-source token budget, composed from
+    the library operators in one declarative plan (no intermediate
+    materialization — Catalyst sees the whole chain and prunes columns
+    through every stage).
+
+    The stage order is the production one: cheap scan-speed filters first
+    (quality, masking), the dedup shuffle only over survivors, the budget
+    window only over dedup winners. Output is the final kept set with its
+    lineage columns (pii count, content hash, running budget).
+    """
+    from pyspark.sql import Window
+
+    from .text import scrub_pii
+    from ..sources.catalog import load_table as _load
+
+    flags = gopher_quality_flags(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    docs = _load(spark, sf_dir, "documents").join(flags, "doc_id")
+    cols = scrub_pii(F.col("text"))
+    scrubbed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (cols["n_email"] + cols["n_ipv4"] + cols["n_phone"]).alias("n_pii_total"),
+        F.md5(cols["masked"]).alias("content_md5"),
+    )
+    w_dup = Window.partitionBy("content_md5").orderBy("doc_id")
+    deduped = (
+        scrubbed.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deduped.withColumn("cum_chars", F.sum("n_chars").over(w_budget))
+        .filter(F.col("cum_chars") <= CURATION_BUDGET_CHARS)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_pii_total").cast("bigint").alias("n_pii_total"),
+            "content_md5",
+            F.col("cum_chars").cast("bigint").alias("cum_chars"),
+        )
+    )
+
+
+def curation_pipeline_oracle() -> str:
+    from .text import PII_PATTERNS
+
+    words = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+    mean_wl = (
+        f"CASE WHEN len({words}) > 0 THEN "
+        f"list_sum([CAST(strlen(w) AS DOUBLE) for w in {words}]) / len({words}) "
+        f"ELSE 0.0 END"
+    )
+    n_symbol = "strlen(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    symbol_ratio = (
+        f"CASE WHEN strlen(text) > 0 THEN {n_symbol} * 1.0 / strlen(text) ELSE 0.0 END"
+    )
+    stops = ", ".join(f"'{s}'" for s in _STOPS)
+    stop_hits = f"len(list_filter({words}, w -> w IN ({stops})))"
+    keep = (
+        f"len({words}) BETWEEN {QW_MIN} AND {QW_MAX}"
+        f" AND ({mean_wl}) BETWEEN {WL_MIN} AND {WL_MAX}"
+        f" AND ({symbol_ratio}) <= {SYMBOL_MAX}"
+        f" AND ({stop_hits}) >= {STOP_MIN}"
+    )
+    email_pat, ipv4_pat, phone_pat = (p for _, p, _ in PII_PATTERNS)
+    return f"""
+        WITH kept AS (
+          SELECT doc_id, source, n_chars, text FROM documents WHERE {keep}
+        ),
+        m AS (
+          SELECT doc_id, source, n_chars,
+                 len(regexp_extract_all(text, '{email_pat}', 0)) AS ne,
+                 regexp_replace(text, '{email_pat}', '[EMAIL]', 'g') AS t1
+          FROM kept
+        ),
+        m2 AS (
+          SELECT doc_id, source, n_chars, ne,
+                 len(regexp_extract_all(t1, '{ipv4_pat}', 0)) AS ni,
+                 regexp_replace(t1, '{ipv4_pat}', '[IP]', 'g') AS t2
+          FROM m
+        ),
+        m3 AS (
+          SELECT doc_id, source, n_chars,
+                 ne + ni + len(regexp_extract_all(t2, '{phone_pat}', 0)) AS n_pii_total,
+                 md5(regexp_replace(t2, '{phone_pat}', '[PHONE]', 'g')) AS content_md5
+          FROM m2
+        ),
+        dedup AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+          FROM m3
+        ),
+        budget AS (
+          SELECT doc_id, source, n_chars, n_pii_total, content_md5,
+                 SUM(n_chars) OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR))
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_chars
+          FROM dedup WHERE rn = 1
+        )
+        SELECT doc_id, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_pii_total AS BIGINT) AS n_pii_total,
+               content_md5,
+               CAST(cum_chars AS BIGINT) AS cum_chars
+        FROM budget
+        WHERE cum_chars <= {CURATION_BUDGET_CHARS}
+        ORDER BY doc_id
+    """

@@ -60,3 +60,33 @@ def test_gopher_keep_is_conjunction(spark, sf_dir):
         )
     )
     assert bad.count() == 0
+
+
+def test_curation_pipeline_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.curation_pipeline(spark, sf_dir),
+        duck,
+        curation.curation_pipeline_oracle(),
+    )
+
+
+def test_curation_pipeline_stages_compose(spark, sf_dir):
+    """The composed pipeline is consistent with its constituent operators:
+    every survivor passes the quality keep bit, content hashes are unique
+    (dedup), and no source exceeds the budget."""
+    from pyspark.sql import functions as F
+
+    out = curation.curation_pipeline(spark, sf_dir).cache()
+    n = out.count()
+    assert 0 < n
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    quality_keep = {
+        r["doc_id"]
+        for r in curation.gopher_quality_flags(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_ids <= quality_keep
+    assert out.select("content_md5").distinct().count() == n
+    assert out.filter(F.col("cum_chars") > curation.CURATION_BUDGET_CHARS).count() == 0
