@@ -44,69 +44,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver evaluates the first 50 entries, so
-    # queries without a round-1 verdict (all of §2C) come first, then the
-    # four re-fixed §2B oracles, then the already-driver-verified tail.
+    # ROTATION POLICY (pinned — rounds 1 and 2 both lost verdicts to this):
+    # the driver scores only the FIRST 50 entries each round. Order as:
+    #   1. entries with NO driver verdict yet (new this round or never
+    #      scored because they landed past the cap),
+    #   2. entries whose implementation changed since their last verdict,
+    #   3. everything else, OLDEST verdict first (re-verification rotation).
+    # When adding an operator, insert it in group 1 — an entry appended at
+    # the tail will NOT be scored this round.
     return {
-        # §2C LLM-data-pipeline operators (driver-unverified in round 1)
-        "dedup_exact": dedup.dedup_exact,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_editdistance": dedup.dedup_editdistance,
-        "dup_components": graph.dup_components,
-        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # rows-only
-        "simhash_fingerprint": dedup.simhash_fingerprint,
-        "doc_fingerprint": text.doc_fingerprint,
-        "token_count": text.token_count,
-        "token_count_bpe": text.token_count_bpe,
-        "text_quality": text.text_quality,
-        "langid_heuristic": text.langid_heuristic,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "bigram_surprisal": text.bigram_surprisal,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "embedding_cosine_dup": similarity.embedding_cosine_dup,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "knn_classify": similarity.knn_classify,
-        "kmeans_clusters": similarity.kmeans_clusters,
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "json_extract_props": corpus.json_extract_props,
-        "stratified_sample": corpus.stratified_sample,
-        "zipf_term_stats": corpus.zipf_term_stats,
-        "centroid_per_label": corpus.centroid_per_label,
-        "canonical_pick": corpus.canonical_pick,
-        # §2B oracles re-fixed this round (HUGEINT→BIGINT cast)
-        "q12_shipmode": relational_ext.q12_shipmode,
-        "pivot_event_counts": analytics.pivot_event_counts,
-        "sessionized_events": sessions.sessionized_events,
-        "time_weighted_value": analytics.time_weighted_value,
-        # view families added round 2 (tiered validity chain, trailing
-        # window, templated raw-layer join)
-        "tiered_views": view_families.tiered_views,
-        "trailing_window_view": view_families.trailing_window_view,
-        "joined_view_template": view_families.joined_view_template,
-        # real-codec multimodal path (pure-Python PPM/BMP codecs)
-        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
-        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
-        # sketch family (md5-portable hash families, oracle-checkable)
-        "cms_frequency_estimate": sketches.cms_frequency_estimate,
-        "kmv_set_ops": sketches.kmv_set_ops,
-        # corpus-curation rules (decontamination / repetition / quality)
-        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
-        "repetition_stats": curation.repetition_stats,
-        "gopher_quality_flags": curation.gopher_quality_flags,
-        # training-data assembly (packing / chunking / mixture weights)
+        # -- group 1: no driver verdict yet (late-round-2 additions that
+        #    landed past the 50-entry cap) --------------------------------
+        "range_interval_join": rangejoin.range_interval_join,
+        "dedup_minhash_portable": dedup.dedup_minhash_portable,
+        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
+        "pii_scrub": text.pii_scrub,
+        "epoch_shuffle": corpus.epoch_shuffle,
+        "sliding_window_stats": rollups.sliding_window_stats,
+        "source_token_budget": corpus.source_token_budget,
+        "zscore_outliers": analytics.zscore_outliers,
+        "rolling_active_users": rollups.rolling_active_users,
+        "retention_cohorts": analytics.retention_cohorts,
+        "bloom_membership": sketches.bloom_membership,
+        "linear_trend": analytics.linear_trend,
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,
+        "curation_pipeline": curation.curation_pipeline,
+        # -- group 1 (cont.): new round-3 operators ----------------------
+        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
+        # -- group 2: implementation changed since last verdict ----------
+        # (pack_sequences + source_token_budget: per-source windows moved
+        # to the distributed two-phase running sum this round)
         "pack_sequences": packing.pack_sequences,
-        "doc_chunks": packing.doc_chunks,
-        "chunk_dedup": packing.chunk_dedup,
-        "domain_mix_weights": packing.domain_mix_weights,
-        "embedding_quantize": similarity.embedding_quantize,
-        "multigrain_stats": analytics.multigrain_stats,
-        "incremental_dedup": dedup.incremental_dedup,
-        "gapfill_locf": analytics.gapfill_locf,
-        # §2A view-layer engine (driver-verified round 1)
+        # -- group 3: verified tail, oldest (round-1) verdicts first -----
         "raw_view_events": views_layer.raw_view,
         "extended_view_events": views_layer.extended_view,
         "unified_view_events": views_layer.unified_view,
@@ -126,7 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean(
             s, d, direction="download", fleet="complete"
         ),
-        # §2B relational core (driver-verified round 1)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier": relational.q5_local_supplier,
@@ -156,20 +124,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churned_users": analytics.churned_users,
         "running_totals": sessions.running_totals,
         "top_clients_per_type": sessions.top_clients_per_type,
-        "range_interval_join": rangejoin.range_interval_join,
-        "dedup_minhash_portable": dedup.dedup_minhash_portable,
-        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
-        "pii_scrub": text.pii_scrub,
-        "epoch_shuffle": corpus.epoch_shuffle,
-        "sliding_window_stats": rollups.sliding_window_stats,
-        "source_token_budget": corpus.source_token_budget,
-        "zscore_outliers": analytics.zscore_outliers,
-        "rolling_active_users": rollups.rolling_active_users,
-        "retention_cohorts": analytics.retention_cohorts,
-        "bloom_membership": sketches.bloom_membership,
-        "linear_trend": analytics.linear_trend,
-        "multimodal_wav_energy": multimodal.multimodal_wav_energy,
-        "curation_pipeline": curation.curation_pipeline,
+        # -- group 3 (cont.): round-2 verdicts (newest) ------------------
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_editdistance": dedup.dedup_editdistance,
+        "dup_components": graph.dup_components,
+        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # rows-only
+        "simhash_fingerprint": dedup.simhash_fingerprint,
+        "doc_fingerprint": text.doc_fingerprint,
+        "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
+        "text_quality": text.text_quality,
+        "langid_heuristic": text.langid_heuristic,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "bigram_surprisal": text.bigram_surprisal,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "embedding_cosine_dup": similarity.embedding_cosine_dup,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "knn_classify": similarity.knn_classify,
+        "kmeans_clusters": similarity.kmeans_clusters,
+        "multimodal_meta": multimodal.multimodal_meta,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "json_extract_props": corpus.json_extract_props,
+        "stratified_sample": corpus.stratified_sample,
+        "zipf_term_stats": corpus.zipf_term_stats,
+        "centroid_per_label": corpus.centroid_per_label,
+        "canonical_pick": corpus.canonical_pick,
+        "q12_shipmode": relational_ext.q12_shipmode,
+        "pivot_event_counts": analytics.pivot_event_counts,
+        "sessionized_events": sessions.sessionized_events,
+        "time_weighted_value": analytics.time_weighted_value,
+        "tiered_views": view_families.tiered_views,
+        "trailing_window_view": view_families.trailing_window_view,
+        "joined_view_template": view_families.joined_view_template,
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
+        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
+        "cms_frequency_estimate": sketches.cms_frequency_estimate,
+        "kmv_set_ops": sketches.kmv_set_ops,
+        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
+        "repetition_stats": curation.repetition_stats,
+        "gopher_quality_flags": curation.gopher_quality_flags,
+        "doc_chunks": packing.doc_chunks,
+        "chunk_dedup": packing.chunk_dedup,
+        "domain_mix_weights": packing.domain_mix_weights,
+        "embedding_quantize": similarity.embedding_quantize,
+        "multigrain_stats": analytics.multigrain_stats,
+        "incremental_dedup": dedup.incremental_dedup,
+        "gapfill_locf": analytics.gapfill_locf,
     }
 
 
@@ -223,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm_oracle(),
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta_oracle(),
         "tiered_views": view_families.tiered_views_oracle(),
+        "autojoin_tiered_counts": view_families.autojoin_tiered_counts_oracle(),
         "trailing_window_view": view_families.trailing_window_view_oracle(),
         "joined_view_template": view_families.joined_view_template_oracle(),
         "q12_shipmode": relational_ext.q12_oracle(),

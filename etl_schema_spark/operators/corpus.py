@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import cpu_parallel, load_table
+from .distributed import grouped_running_sum
 
 
 def _trunc6(c: Column) -> Column:
@@ -329,20 +330,19 @@ def source_token_budget(
     step that turns `domain_mix_weights` ratios into an actual capped
     subset (the "take N tokens per domain" stage of a data-mixture build).
 
-    One window per source (cumulative sum in md5 order), filter, no second
-    scan. The md5 ordering makes the kept set a uniform random — but
-    reproducible — sample of each source; at 100 TB the same window runs
-    per (source, shard) with budgets pre-split by the mix weights.
+    The per-source cumulative sum comes from the distributed two-phase
+    pattern (``distributed.grouped_running_sum``: range-partition by
+    (source, md5 key) + broadcast prefix offsets + partition-local
+    window) — never ``Window.partitionBy(source)``, which would sort an
+    entire source in one task at 100 TB. The md5 ordering makes the kept
+    set a uniform random — but reproducible — sample of each source.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped_running_sum(
+        docs, "source", F.md5(F.col("doc_id").cast("string")), "n_chars", "cum_chars"
     )
     return (
-        docs.withColumn("cum_chars", F.sum("n_chars").over(w))
-        .filter(F.col("cum_chars") <= budget_chars)
+        cum.filter(F.col("cum_chars") <= budget_chars)
         .select(
             "source",
             "doc_id",

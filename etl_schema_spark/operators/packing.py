@@ -18,12 +18,13 @@ temperature-scaled domain sampler of the Pile / DoReMi family):
                        sampling weights (tau = 0.5 via sqrt)
 
 Scale notes:
-- pack_sequences packs within a (source) shard: one shuffle on the shard
-  key, one window pass per shard. Packing is shard-local *by design* —
-  the real pipeline packs within a file/shard, never globally — so there
-  is no global ordering bottleneck. For a skewed mega-source, sub-shard
-  with hash(doc_id) % K as part of the partition key (same semantics:
-  packing never promises cross-shard ordering).
+- pack_sequences needs a per-source running token offset. ``source`` is a
+  low-cardinality key, so ``Window.partitionBy(source)`` would be a
+  single-reducer sort over a whole source — instead the offset comes from
+  ``distributed.grouped_running_sum`` (range-partition by (source,
+  doc_id) + broadcast per-(source, partition) prefix offsets + a
+  (partition, source)-local window): no task ever holds more than one
+  range partition's worth of one source.
 - doc_chunks is a narrow projection + per-row explode (~n_tok/stride
   rows out per doc): zero shuffle, whole-stage-codegen end to end.
 - domain_mix_weights aggregates to |domains| rows, then two 1-row scalar
@@ -33,11 +34,12 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
+from .distributed import grouped_running_sum
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
 CHUNK_TOKENS = 32  # tokens per retrieval chunk
@@ -59,18 +61,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per (source, bin) with doc count, token total, the
     doc_id span, and the fill fraction against the budget.
+
+    The running start offset is computed via the distributed two-phase
+    pattern (grouped_running_sum) — never ``Window.partitionBy(source)``,
+    which would sort an entire source in one task at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start_off = F.sum("n_tok").over(w) - F.col("n_tok")
+    cum = grouped_running_sum(docs, "source", "doc_id", "n_tok", "cum_tok")
+    start_off = F.col("cum_tok") - F.col("n_tok")
     return (
-        docs.withColumn("bin_id", F.floor(start_off / PACK_BUDGET))
+        cum.withColumn("bin_id", F.floor(start_off / PACK_BUDGET))
         .groupBy("source", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

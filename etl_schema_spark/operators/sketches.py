@@ -440,7 +440,9 @@ BLOOM_K = 4
 _BLOOM_WORD_BITS = 32
 
 
-def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_membership(
+    spark: SparkSession, sf_dir: str, probe_fraction: float = 1.0
+) -> DataFrame:
     """Bloom-filter membership — the fourth member of the portable sketch
     family (distinct = KMV, frequency = CMS, quantile = histogram,
     membership = this): per event_type, a 1024-bit filter over the type's
@@ -459,6 +461,15 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the "have we seen this key" primitive for ingest
     dedup and join pre-filtering (Spark's own runtime bloom-filter join
     pushdown plays the same trick engine-side).
+
+    Probe-universe caveat: the probe phase walks |types| × |distinct
+    users| — LINEAR in the key universe, but NOT metadata-sized when
+    distinct users approach corpus cardinality (a web corpus's client-IP
+    column, say). The exhaustive universe is the validation default;
+    at scale pass ``probe_fraction`` < 1 to probe a deterministic
+    md5-sampled subset of users (the summary's FP-rate estimate is
+    unbiased under the uniform hash sample; the zero-FN invariant is
+    unaffected — every sampled member still probes positive).
     """
     ev = load_table(spark, sf_dir, "events")
     members = ev.select("event_type", "user_id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -488,9 +499,19 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = with_bits.groupBy("event_type", "word").agg(F.bit_or("mask").alias("bits"))
 
-    # probe EVERY user against EVERY type's filter (the universe is the
-    # distinct user set; types x users is metadata-sized relative to the fact)
+    # probe the user universe against every type's filter — exhaustive by
+    # default (validation mode); probe_fraction md5-samples the universe
+    # deterministically for the at-scale summary
     users = ev.select("user_id").distinct()
+    if probe_fraction < 1.0:
+        cut = int(probe_fraction * 10_000)
+        users = users.filter(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("probe:"), F.col("user_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("bigint") % 10_000
+            < cut
+        )
     types = ev.select("event_type").distinct()
     probes = word_mask(
         types.crossJoin(users).select("event_type", "user_id", seeds).withColumn(

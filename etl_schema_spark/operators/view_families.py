@@ -290,6 +290,97 @@ def joined_view_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.query(spark, "autoload.ndt7_joined")
 
 
+# --- composed tiered × joined (autojoin dataset family) ---------------------
+
+_TIER_JOINED_TEMPLATE = """
+    SELECT e.event_id AS id,
+           e.partition_date AS date,
+           e.ts,
+           e.user_id,
+           e.event_type,
+           e.value,
+           a.c_name AS client_name,
+           a.c_mktsegment AS client_segment,
+           a.c_nationkey AS client_nation
+    FROM `{{{{.ProjectID}}}}.rc.ndt_{tier}` e
+    LEFT JOIN `{{{{.ProjectID}}}}.raw.annotation` a ON e.user_id = a.c_custkey
+    WHERE e.event_id IS NOT NULL
+"""
+
+
+def autojoin_catalog(project_id: str = "local") -> ViewCatalog:
+    """Composed tiered × joined catalog: ONE generation loop stamps the
+    joined-view template out per validity tier, layered on top of the tier
+    family's own generated DAG.
+
+    Parity: views/autojoin_autoload_v2_ndt/ + create_autojoin_dataset_views.sh
+    — the reference's script loops dataset tiers and instantiates the
+    joined template per tier; here the same composition runs through the
+    catalog (tier views from tier_catalog, the joined template re-stamped
+    per tier, plus a summary view unioning per-tier counts), so the whole
+    DAG resolves dependency-ordered with {{.ProjectID}} substitution.
+    """
+    cat = tier_catalog(project_id)
+    cat.set_acl("autojoin", PUBLIC_ACL)
+    tiers = ["exhaustive"] + [t for t, _, _ in TIER_SPEC]
+    ranks = {"exhaustive": 1, **{t: r for t, r, _ in TIER_SPEC}}
+    for tier in tiers:
+        cat.add(
+            f"autojoin.ndt7_{tier}_joined",
+            _TIER_JOINED_TEMPLATE.format(tier=tier),
+            description=(
+                f"Joined measurement+annotation view over tier '{tier}' "
+                "(create_autojoin_dataset_views.sh composition)"
+            ),
+        )
+    summary = "\n    UNION ALL ".join(
+        f"SELECT '{tier}' AS tier, {ranks[tier]} AS tier_rank,"
+        f" COUNT(*) AS n_rows, COUNT(client_name) AS n_annotated,"
+        f" COUNT(DISTINCT user_id) AS n_users"
+        f" FROM `{{{{.ProjectID}}}}.autojoin.ndt7_{tier}_joined`"
+        for tier in tiers
+    )
+    cat.add(
+        "autojoin.summary",
+        summary,
+        description="Per-tier row/annotation/user counts over the joined family",
+    )
+    return cat
+
+
+def autojoin_tiered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve the composed tiered × joined DAG and return the per-tier
+    joined summary (rows, annotated rows, distinct users).
+
+    The catalog path deliberately queries each tier's joined view (5 scans
+    here — the generation-layer parity check); the single-pass production
+    twin for the counts alone is ``tiered_views``'s conditional-aggregation
+    shape. The annotation side is a broadcast dim in every tier's join.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("raw__events")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("raw__annotation")
+    cat = autojoin_catalog()
+    cat.materialize(spark)
+    return cat.query(spark, "autojoin.summary").orderBy("tier_rank", "tier")
+
+
+def autojoin_tiered_counts_oracle() -> str:
+    preds = _tier_predicates("duckdb")
+    ranks = {"exhaustive": 1, **{t: r for t, r, _ in TIER_SPEC}}
+    parts = "\n        UNION ALL ".join(
+        f"SELECT '{tier}' AS tier, {ranks[tier]} AS tier_rank,"
+        f" COUNT(*) AS n_rows, COUNT(a.c_name) AS n_annotated,"
+        f" COUNT(DISTINCT e.user_id) AS n_users"
+        f" FROM events e LEFT JOIN customer a ON e.user_id = a.c_custkey"
+        f" WHERE e.event_id IS NOT NULL AND ({preds[tier]})"
+        for tier in ["exhaustive"] + [t for t, _, _ in TIER_SPEC]
+    )
+    return f"""
+        {parts}
+        ORDER BY tier_rank, tier
+    """
+
+
 def joined_view_template_oracle() -> str:
     return """
         SELECT e.event_id AS id,

@@ -15,10 +15,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-# rejects unless nanos are surfaced as raw INT64. We read them as longs and
-# rebuild micro-precision timestamps (truncation, matching DuckDB's ns→us
-# cast), keeping the scan vectorized.
+# Columns that may arrive as parquet TIMESTAMP(NANOS), which Spark's
+# vectorized reader rejects unless nanos are surfaced as raw INT64. We read
+# them as longs and rebuild micro-precision timestamps (truncation, matching
+# DuckDB's ns→us cast), keeping the scan vectorized. Testdata generated with
+# TIMESTAMP(MICROS) instead skips this branch and hits the generic
+# NTZ-normalization below.
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 TABLES = (
@@ -47,6 +49,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integral `div` keeps full int64 precision (float division would
             # round above 2^53) and truncates like DuckDB's ns→us cast
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    # The same columns generated as unannotated TIMESTAMP(MICROS) surface as
+    # TIMESTAMP_NTZ, which rejects the numeric casts (ts → long) the event
+    # operators rely on. Session timezone is pinned UTC (session.py) and
+    # DuckDB reads the same bytes as a naive timestamp, so an NTZ→LTZ cast
+    # is value-preserving and restores the exact nanos-era semantics.
+    # Scoped to the declared ts columns — other NTZ columns (o_orderdate,
+    # l_shipdate) keep their on-disk type.
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

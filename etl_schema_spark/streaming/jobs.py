@@ -23,12 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# physical schema of events.parquet: ts is TIMESTAMP(NANOS), surfaced as
-# INT64 under the nanosAsLong conf (see sources.catalog)
+# physical schema of events.parquet: ts is TIMESTAMP(MICROS) without the
+# UTC flag → TIMESTAMP_NTZ; events_stream normalizes it to LTZ exactly like
+# sources.catalog.load_table (session timezone pinned UTC, value-preserving)
 _EVENTS_PHYSICAL = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,13 +41,12 @@ _EVENTS_PHYSICAL = T.StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream (file source; swap for Kafka in
     production — the downstream plan is source-agnostic)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_EVENTS_PHYSICAL)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -211,3 +211,21 @@ def test_bloom_never_false_negative(spark, sf_dir):
         assert r["false_negatives"] == 0
         assert r["bloom_positives"] >= r["exact_members"]
         assert r["bloom_positives"] == r["exact_members"] + r["false_positives"]
+
+
+def test_bloom_membership_sampled_probe(spark, sf_dir):
+    """probe_fraction < 1 probes a deterministic md5 subset of the user
+    universe: per-type counts shrink to the sampled universe, the zero-FN
+    invariant and the positives identity still hold."""
+    full = {r["event_type"]: r for r in sketches.bloom_membership(spark, sf_dir).collect()}
+    sampled = {
+        r["event_type"]: r
+        for r in sketches.bloom_membership(spark, sf_dir, probe_fraction=0.3).collect()
+    }
+    assert set(sampled) == set(full)
+    tot_full = sum(r["exact_members"] + 1 for r in full.values())
+    tot_samp = sum(r["exact_members"] + 1 for r in sampled.values())
+    assert tot_samp < tot_full  # genuinely fewer probes
+    for r in sampled.values():
+        assert r["false_negatives"] == 0
+        assert r["bloom_positives"] == r["exact_members"] + r["false_positives"]

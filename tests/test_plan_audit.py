@@ -53,6 +53,23 @@ def test_no_cartesian_or_rowudf(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF\n{plan}"
 
 
+@pytest.mark.parametrize("name", ["pack_sequences", "source_token_budget"])
+def test_no_single_reducer_source_window(name, spark, sf_dir):
+    """The per-source running sums must use the distributed two-phase
+    pattern: a range partition on (source, order) feeding a (pid, source)
+    local window — never a full-table window partitioned by `source`
+    alone, which is a single task per source at 100 TB. (A source-only
+    window DOES remain over the per-(pid, source) offset table — that
+    input is metadata-sized by construction, so it is exempt.)"""
+    import re
+
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, f"{name}: no range partition\n{plan}"
+    local = re.search(r"windowspecdefinition\(_pid#\d+, source#\d+", plan)
+    assert local, f"{name}: no (pid, source)-local window\n{plan}"
+
+
 def test_scans_prune_columns(spark, sf_dir):
     """The widest fact scans must read only the columns the query needs."""
     from etl_schema_spark.operators import relational
@@ -75,4 +92,4 @@ def test_registry_contract():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"dedup_minhash_lsh"}
-    assert len(qs) == 108  # keep in lockstep with SURVEY §7 / README
+    assert len(qs) == 109  # keep in lockstep with SURVEY §7 / README

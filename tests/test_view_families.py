@@ -59,3 +59,33 @@ def test_joined_view_annotations_present(spark, sf_dir):
     out = vf.joined_view_template(spark, sf_dir)
     # every event's user exists in the annotation dim, so LEFT JOIN misses 0
     assert out.filter(out.client_name.isNull()).count() == 0
+
+
+def test_autojoin_tiered_counts_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        vf.autojoin_tiered_counts(spark, sf_dir),
+        duck,
+        vf.autojoin_tiered_counts_oracle(),
+    )
+
+
+def test_autojoin_catalog_composes_tier_dag(spark, sf_dir):
+    """The composed catalog resolves joined views THROUGH the tier DAG:
+    every tier's joined view depends on its rc tier view, which chains up
+    to etl.common_events; counts agree with the single-pass tiered_views."""
+    cat = vf.autojoin_catalog()
+    order = cat.dependency_order()
+    for tier in ["exhaustive", "all", "sensible", "downloads", "uploads"]:
+        joined = f"autojoin.ndt7_{tier}_joined"
+        assert order.index(f"rc.ndt_{tier}") < order.index(joined)
+        assert order.index(joined) < order.index("autojoin.summary")
+    assert order.index("etl.common_events") < order.index("rc.ndt_exhaustive")
+
+    summary = {
+        r["tier"]: r["n_rows"]
+        for r in vf.autojoin_tiered_counts(spark, sf_dir).collect()
+    }
+    single_pass = {
+        r["tier"]: r["n_rows"] for r in vf.tiered_views(spark, sf_dir).collect()
+    }
+    assert summary == single_pass
