@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": curation.curation_pipeline,
         # -- group 1 (cont.): new round-3 operators ----------------------
         "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
+        "hll_distinct_estimate": sketches.hll_distinct_estimate,
+        "cross_source_overlap": corpus.cross_source_overlap,
+        "vocab_coverage": text.vocab_coverage,
+        "seasonal_baseline": analytics.seasonal_baseline,
         # -- group 2: implementation changed since last verdict ----------
         # (pack_sequences + source_token_budget: per-source windows moved
         # to the distributed two-phase running sum this round)
@@ -213,6 +217,10 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": relational_ext.q11_oracle(),
         "cms_frequency_estimate": sketches.cms_frequency_estimate_oracle(),
         "kmv_set_ops": sketches.kmv_set_ops_oracle(),
+        "hll_distinct_estimate": sketches.hll_distinct_estimate_oracle(),
+        "cross_source_overlap": corpus.cross_source_overlap_oracle(),
+        "vocab_coverage": text.vocab_coverage_oracle(),
+        "seasonal_baseline": analytics.seasonal_baseline_oracle(),
         "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap_oracle(),
         "repetition_stats": curation.repetition_stats_oracle(),
         "gopher_quality_flags": curation.gopher_quality_flags_oracle(),

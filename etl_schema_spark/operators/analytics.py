@@ -724,3 +724,100 @@ def linear_trend_oracle() -> str:
                      * 1e6) / 1e6 AS r2
         FROM moments ORDER BY event_type
     """
+
+
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline and per-day deviation: each
+    (event_type, hour-of-day) gets a corpus-wide mean value (the seasonal
+    profile); each (event_type, date) then reports its actual value sum
+    against the seasonally-expected sum (Σ baseline_mean × hourly count)
+    — the "is today's traffic shaped like a normal day" monitor the
+    reference's hourly website views feed
+    (views/website/entry07_platform_hourly_*.sql; this adds the
+    seasonal-expectation layer on top of the plain hourly rollup).
+
+    Determinism: value sums go through DECIMAL(18,4); the baseline mean is
+    truncated to 6 dp and re-cast to DECIMAL(18,6) so the expected sum
+    (mean × count, summed) is EXACT integer-scaled arithmetic in both
+    engines — no float reduction anywhere until the final display columns.
+
+    Scale: one fact scan partial-aggregated to (type, date, hod) — the
+    only full shuffle; the baseline is |types|×24 rows (broadcast); the
+    daily re-aggregate runs over the already-hourly table. Nothing touches
+    raw rows twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("date"),
+            F.hour("ts").alias("hod"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("event_type", "date", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .persist()
+    )
+    base = (
+        hourly.groupBy("event_type", "hod")
+        .agg(F.sum("n").alias("n_base"), F.sum("s").alias("s_base"))
+        .select(
+            "event_type",
+            "hod",
+            _trunc6(F.col("s_base").cast("double") / F.col("n_base"))
+            .cast("decimal(18,6)")
+            .alias("baseline_mean"),
+        )
+    )
+    daily = (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "date")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("actual"),
+            F.sum(F.col("baseline_mean") * F.col("n")).alias("expected"),
+        )
+    )
+    t4 = lambda c: F.floor(c * 1e4) / 1e4  # noqa: E731
+    return daily.select(
+        "event_type",
+        "date",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        t4(F.col("actual").cast("double")).alias("actual_sum"),
+        t4(F.col("expected").cast("double")).alias("expected_sum"),
+        _trunc6(F.col("actual").cast("double") / F.col("expected").cast("double")).alias(
+            "seasonal_ratio"
+        ),
+    )
+
+
+def seasonal_baseline_oracle() -> str:
+    return """
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(ts AS DATE) AS d,
+                 EXTRACT(hour FROM ts) AS hod,
+                 COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS s
+          FROM events
+          GROUP BY 1, 2, 3
+        ), base AS (
+          SELECT event_type, hod,
+                 CAST(FLOOR(CAST(SUM(s) AS DOUBLE) / SUM(n) * 1e6) / 1e6
+                      AS DECIMAL(18,6)) AS baseline_mean
+          FROM hourly GROUP BY 1, 2
+        )
+        SELECT h.event_type,
+               h.d AS date,
+               CAST(SUM(h.n) AS BIGINT) AS n_events,
+               FLOOR(CAST(SUM(h.s) AS DOUBLE) * 1e4) / 1e4 AS actual_sum,
+               FLOOR(CAST(SUM(b.baseline_mean * h.n) AS DOUBLE) * 1e4) / 1e4
+                 AS expected_sum,
+               FLOOR(CAST(SUM(h.s) AS DOUBLE)
+                     / CAST(SUM(b.baseline_mean * h.n) AS DOUBLE) * 1e6) / 1e6
+                 AS seasonal_ratio
+        FROM hourly h
+        JOIN base b ON b.event_type = h.event_type AND b.hod = h.hod
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

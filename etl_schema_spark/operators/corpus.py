@@ -369,3 +369,85 @@ def source_token_budget_oracle(budget_chars: int = SOURCE_BUDGET_CHARS) -> str:
         WHERE cum_chars <= {budget_chars}
         ORDER BY source, cum_chars
     """
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × source contamination matrix: for every pair of sources,
+    how many exact content hashes they share — the cross-corpus leakage
+    report run before mixing corpora (is Common-Crawl-derived set A
+    already inside set B?), the pairwise form of
+    `decontaminate_ngram_overlap`'s train-vs-eval check.
+
+    Plan: one distinct over (source, md5(text)) — the only full-corpus
+    shuffle, keyed on uniform hashes — then a hash-keyed self-join whose
+    per-key fan-out is bounded by |sources| (a content key appears at most
+    once per source after the distinct), and a groupBy over |sources|²
+    pairs. Per-source totals are a metadata-sized broadcast. Nothing here
+    is all-pairs over rows — only over the handful of sources.
+    """
+    keys = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.md5("text").alias("content_key"))
+        .distinct()
+        .persist()
+    )
+    per_source = keys.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
+    a = keys.select(F.col("source").alias("source_a"), "content_key")
+    b = keys.select(F.col("source").alias("source_b"), "content_key")
+    shared = (
+        a.join(b, "content_key")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_keys").alias("n_a")
+    )
+    nb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_keys").alias("n_b")
+    )
+    pairs = (
+        na.join(nb, F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .na.fill(0, ["n_shared"])
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        _trunc6(
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        ).alias("jaccard"),
+        _trunc6(F.col("n_shared") / F.least("n_a", "n_b")).alias("containment"),
+    )
+
+
+def cross_source_overlap_oracle() -> str:
+    return """
+        WITH keys AS (
+          SELECT DISTINCT source, md5(text) AS content_key FROM documents
+        ), per_source AS (
+          SELECT source, COUNT(*) AS n_keys FROM keys GROUP BY source
+        ), shared AS (
+          SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+          FROM keys a JOIN keys b USING (content_key)
+          WHERE a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT na.source AS source_a,
+               nb.source AS source_b,
+               CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(na.n_keys AS BIGINT) AS n_a,
+               CAST(nb.n_keys AS BIGINT) AS n_b,
+               FLOOR(COALESCE(s.n_shared, 0) * 1.0
+                     / (na.n_keys + nb.n_keys - COALESCE(s.n_shared, 0)) * 1e6) / 1e6
+                 AS jaccard,
+               FLOOR(COALESCE(s.n_shared, 0) * 1.0
+                     / least(na.n_keys, nb.n_keys) * 1e6) / 1e6 AS containment
+        FROM per_source na
+        JOIN per_source nb ON na.source < nb.source
+        LEFT JOIN shared s ON s.source_a = na.source AND s.source_b = nb.source
+        ORDER BY source_a, source_b
+    """

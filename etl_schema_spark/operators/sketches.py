@@ -598,3 +598,120 @@ def bloom_membership_oracle() -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # bias constant for m >= 128
+_HLL_VBITS = 52  # rho bits: md5 chars 3..15 = 52 bits, double-exact
+
+
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type — the
+    industry-standard counter beside KMV, built md5-portable so the whole
+    sketch (registers, harmonic sum, bias/linear-counting corrections) is
+    oracle-checked, not just "close". Engine-native HLLs
+    (approx_count_distinct) hash incompatibly across engines; this one is
+    deterministic everywhere.
+
+    Register index = first 8 md5 bits; rho = position of the leading
+    1-bit in the next 52 bits (+1), via length(bin(v)) — identical string
+    semantics in Spark and DuckDB. The register table is a groupBy(type,
+    register) MAX — partial-aggregated, mergeable (HLL union = elementwise
+    max), O(types × 256) state at any corpus size. The harmonic sum's
+    2^-rho terms span < 53 bits of exponent, so the double sum is EXACT
+    and order-independent — the float reduction itself is portable.
+
+    Corrections per the original paper: linear counting (m·ln(m/V)) when
+    E ≤ 2.5m and empty registers exist; the 2^32 large-range branch is
+    irrelevant at 52-bit hashes. `distinct_exact` (the expensive twin at
+    100 TB) rides along so the error is visible, as in kmv.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("register")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(v == 0, F.lit(_HLL_VBITS + 1))
+        .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(v)))
+        .alias("rho")
+    )
+    regs = (
+        ev.select("event_type", reg, rho)
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0)
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / s
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_exact")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("distinct_exact").cast("bigint").alias("distinct_exact"),
+            (F.floor(est * 1e4) / 1e4).alias("hll_est"),
+            (F.floor(
+                F.abs(est - F.col("distinct_exact"))
+                / F.col("distinct_exact") * 1e4
+            ) / 1e4).alias("rel_err"),
+        )
+    )
+
+
+def hll_distinct_estimate_oracle() -> str:
+    vbits1 = _HLL_VBITS + 1
+    return f"""
+        WITH hashed AS (
+          SELECT event_type,
+                 md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ), parts AS (
+          SELECT event_type,
+                 CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS register,
+                 CAST(('0x' || substr(h, 3, 13)) AS BIGINT) AS v
+          FROM hashed
+        ), regs AS (
+          SELECT event_type, register,
+                 MAX(CASE WHEN v = 0 THEN {vbits1}
+                          ELSE {vbits1} - length(bin(v)) END) AS max_rho
+          FROM parts GROUP BY 1, 2
+        ), per_type AS (
+          SELECT event_type,
+                 SUM(power(2.0, -max_rho)) AS s_present,
+                 COUNT(*) AS n_present
+          FROM regs GROUP BY 1
+        ), est AS (
+          SELECT event_type,
+                 CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                   / (s_present + ({HLL_M} - n_present) * CAST(1.0 AS DOUBLE)) AS raw,
+                 {HLL_M} - n_present AS zeros
+          FROM per_type
+        ), corrected AS (
+          SELECT event_type,
+                 CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+                      THEN {HLL_M} * ln({HLL_M} * 1.0 / zeros)
+                      ELSE raw END AS e
+          FROM est
+        ), exact AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS distinct_exact
+          FROM events GROUP BY 1
+        )
+        SELECT c.event_type,
+               CAST(x.distinct_exact AS BIGINT) AS distinct_exact,
+               FLOOR(c.e * 1e4) / 1e4 AS hll_est,
+               FLOOR(abs(c.e - x.distinct_exact) / x.distinct_exact * 1e4) / 1e4
+                 AS rel_err
+        FROM corrected c JOIN exact x USING (event_type)
+        ORDER BY c.event_type
+    """

@@ -497,3 +497,73 @@ def pii_scrub_oracle() -> str:
                md5(t3) AS masked_md5
         FROM m3 ORDER BY doc_id
     """
+
+
+VOCAB_SIZE = 256
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against a corpus-derived
+    top-N term vocabulary — the tokenizer-fit check run before committing a
+    vocab (a domain whose OOV rate spikes needs vocab or normalization
+    work), and the closed-vocab twin of `token_count_bpe`'s fertility.
+
+    Vocab = top `vocab_size` terms by corpus frequency (ties broken by
+    term, so the set is deterministic). Plan: one explode feeding a
+    partial-aggregated term count, a sort-limit over the *aggregated* term
+    table (never the token stream) for the vocab, then a broadcast join of
+    that vocab back onto the token stream and a per-doc groupBy. The
+    token-stream shuffle keys on doc_id — uniform — and the vocab is KB
+    -sized at any corpus size.
+    """
+    toks = (
+        cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            _trunc6(F.col("n_oov") / F.col("n_tok")).alias("oov_frac"),
+        )
+    )
+
+
+def vocab_coverage_oracle(vocab_size: int = VOCAB_SIZE) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+          FROM documents
+        ), t AS (
+          SELECT doc_id, term FROM toks WHERE term <> ''
+        ), counts AS (
+          SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+        ), vocab AS (
+          SELECT term FROM counts ORDER BY cnt DESC, term LIMIT {vocab_size}
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+               FLOOR(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*) * 1e6) / 1e6 AS oov_frac
+        FROM t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """

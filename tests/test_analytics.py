@@ -185,3 +185,22 @@ def test_linear_trend_matches_numpy(spark, sf_dir):
         slope, intercept = np.polyfit(x, y, 1)
         assert abs(got[etype]["slope_per_day"] - slope) < 1e-4, etype
         assert abs(got[etype]["intercept"] - intercept) < 1e-2, etype
+
+
+def test_seasonal_baseline_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.seasonal_baseline(spark, sf_dir),
+        duck,
+        analytics.seasonal_baseline_oracle(),
+    )
+
+
+def test_seasonal_baseline_ratio_centers_on_one(spark, sf_dir):
+    """Expected sums are built from the global per-hod means, so across all
+    days the actual/expected ratio must average near 1."""
+    rows = analytics.seasonal_baseline(spark, sf_dir).collect()
+    assert rows
+    mean_ratio = sum(r["seasonal_ratio"] for r in rows) / len(rows)
+    assert 0.8 < mean_ratio < 1.2
+    for r in rows:
+        assert r["expected_sum"] > 0

@@ -195,3 +195,25 @@ def test_wav_codec_roundtrip():
         decode_wav(b"JUNK" + wav[4:])
     with pytest.raises(ValueError):
         decode_wav(wav[:20])
+
+
+def test_cross_source_overlap_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        corpus.cross_source_overlap(spark, sf_dir),
+        duck,
+        corpus.cross_source_overlap_oracle(),
+    )
+
+
+def test_cross_source_overlap_symmetric_complete(spark, sf_dir):
+    """Every unordered source pair appears exactly once, a<b, and shared
+    counts never exceed either side."""
+    rows = corpus.cross_source_overlap(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+    n_sources = len({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2

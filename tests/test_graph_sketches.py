@@ -229,3 +229,18 @@ def test_bloom_membership_sampled_probe(spark, sf_dir):
     for r in sampled.values():
         assert r["false_negatives"] == 0
         assert r["bloom_positives"] == r["exact_members"] + r["false_positives"]
+
+
+def test_hll_distinct_estimate_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sketches.hll_distinct_estimate(spark, sf_dir),
+        duck,
+        sketches.hll_distinct_estimate_oracle(),
+    )
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """HLL with 256 registers has ~6.5% standard error; assert every type
+    lands within 4 sigma so a broken rho/register mapping can't pass."""
+    for r in sketches.hll_distinct_estimate(spark, sf_dir).collect():
+        assert r["rel_err"] < 0.26, (r["event_type"], r["rel_err"])

@@ -163,3 +163,20 @@ def test_pii_scrub_masks_crafted_inputs(spark, duck):
                 "SELECT regexp_replace(?, ?, ?, 'g')", [masked, pat, repl]
             ).fetchone()[0]
         assert masked == got[doc_id]["masked"], doc_id
+
+
+def test_vocab_coverage_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.vocab_coverage(spark, sf_dir), duck, text.vocab_coverage_oracle()
+    )
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    rows = text.vocab_coverage(spark, sf_dir).collect()
+    assert rows  # every doc with tokens appears
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tok"]
+    # a 256-term vocab over a synthetic corpus must cover a nontrivial share
+    tot = sum(r["n_tok"] for r in rows)
+    oov = sum(r["n_oov"] for r in rows)
+    assert oov < tot
