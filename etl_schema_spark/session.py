@@ -31,6 +31,12 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Unannotated parquet TIMESTAMP(MICROS) columns read as TIMESTAMP_LTZ
+    # directly at the scan instead of TIMESTAMP_NTZ + a per-row cast in every
+    # events operator (the session timezone is pinned UTC below, so the two
+    # types are value-identical here and the cast was pure overhead — it cost
+    # 1.8-3.4x on the events-scan path at sf0.1).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     # Whole-stage codegen stays on (default); Python round-trips are confined
     # to the few Pandas-UDF operators (multimodal decode), Arrow-batched.

@@ -39,27 +39,47 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Column pruning + predicate pushdown are preserved by
-    returning the raw scan (no .cache, no collect)."""
+def _set_reader_confs(spark: SparkSession) -> None:
+    """Runtime confs the scans rely on, set defensively so load_table works
+    in sessions not built by session.get_spark (e.g. a driver harness).
+
+    - nanosAsLong: TIMESTAMP(NANOS) columns surface as raw INT64, keeping the
+      vectorized reader on (it rejects nanos otherwise).
+    - inferTimestampNTZ off: unannotated TIMESTAMP(MICROS) columns surface as
+      TIMESTAMP_LTZ at the scan. The session timezone is pinned UTC
+      (session.py) and DuckDB reads the same bytes as a naive timestamp, so
+      this is value-identical to NTZ + cast — but the cast disappears from
+      every downstream plan (it cost 1.8-3.4x on the events path at sf0.1).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def normalize_nanos(df: DataFrame, name: str) -> DataFrame:
+    """Rebuild micro-precision timestamps from nanos-era INT64 columns.
+    Shared by the batch and streaming readers so the two paths cannot
+    diverge on testdata vintage."""
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             # integral `div` keeps full int64 precision (float division would
             # round above 2^53) and truncates like DuckDB's ns→us cast
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    # The same columns generated as unannotated TIMESTAMP(MICROS) surface as
-    # TIMESTAMP_NTZ, which rejects the numeric casts (ts → long) the event
-    # operators rely on. Session timezone is pinned UTC (session.py) and
-    # DuckDB reads the same bytes as a naive timestamp, so an NTZ→LTZ cast
-    # is value-preserving and restores the exact nanos-era semantics.
-    # Scoped to the declared ts columns — other NTZ columns (o_orderdate,
-    # l_shipdate) keep their on-disk type.
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def physical_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Footer-only schema probe (driver-side, no data scan) — the schema a
+    readStream must declare to read the same bytes the batch path reads."""
+    _set_reader_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown are preserved by
+    returning the raw scan (no .cache, no collect)."""
+    _set_reader_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_nanos(df, name)
 
 
 def cpu_parallel(df: DataFrame) -> DataFrame:

@@ -21,32 +21,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# physical schema of events.parquet: ts is TIMESTAMP(MICROS) without the
-# UTC flag → TIMESTAMP_NTZ; events_stream normalizes it to LTZ exactly like
-# sources.catalog.load_table (session timezone pinned UTC, value-preserving)
-_EVENTS_PHYSICAL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from etl_schema_spark.sources.catalog import normalize_nanos, physical_schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream (file source; swap for Kafka in
-    production — the downstream plan is source-agnostic)."""
+    production — the downstream plan is source-agnostic).
+
+    The declared schema comes from the same footer probe the batch reader
+    uses (catalog.physical_schema), so nanos-era testdata (ts as INT64) and
+    micros-era testdata (ts as TIMESTAMP, NTZ inference off) both stream
+    correctly — the batch/stream readers cannot diverge on data vintage."""
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(physical_schema(spark, sf_dir, "events"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_nanos(raw, "events")
 
 
 def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
