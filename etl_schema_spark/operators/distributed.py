@@ -26,6 +26,7 @@ as in epoch_shuffle).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,32 +50,54 @@ def grouped_running_sum(
     """
     order_c = F.col(order_col) if isinstance(order_col, str) else order_col
     value_c = F.col(value_col) if isinstance(value_col, str) else value_col
-    keyed = df.withColumn("_ord", order_c).withColumn("_val", value_c)
+
+    # Temp columns must not clobber caller columns; escalate with leading
+    # underscores until free (plan-audit regexes match `_+pid`).
+    def tmp(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    c_ord, c_val, c_pid, c_goff, c_psum = (
+        tmp("_ord"), tmp("_val"), tmp("_pid"), tmp("_goff"), tmp("_psum")
+    )
+    keyed = df.withColumn(c_ord, order_c).withColumn(c_val, value_c)
     # Range partition on (group, order): each group's rows split across
     # many partitions but stay contiguous-and-ordered across the split.
+    #
+    # DETERMINISM: correctness requires the offsets branch and the final
+    # join to observe the IDENTICAL partition assignment. A lost partition
+    # that recomputes through the range shuffle could re-split differently
+    # (boundary sampling over a nondeterministically-ordered upstream) and
+    # silently corrupt the sums. MEMORY_AND_DISK_2 guards both loss modes:
+    # memory pressure spills to disk instead of dropping, and node failure
+    # is covered by the second replica — while keeping lineage in the plan
+    # (a localCheckpoint would hide the rangepartitioning the plan audit
+    # asserts, and would error on any genuine double loss anyway).
     ranged = (
-        keyed.repartitionByRange(num_partitions, F.col(group_col), F.col("_ord"))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        keyed.repartitionByRange(num_partitions, F.col(group_col), F.col(c_ord))
+        .withColumn(c_pid, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK_2)
     )
-    per = ranged.groupBy("_pid", group_col).agg(F.sum("_val").alias("_psum"))
+    per = ranged.groupBy(c_pid, group_col).agg(F.sum(c_val).alias(c_psum))
     w_off = (
         Window.partitionBy(group_col)
-        .orderBy("_pid")
+        .orderBy(c_pid)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = per.select(
-        "_pid",
+        c_pid,
         group_col,
-        F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_goff"),
+        F.coalesce(F.sum(c_psum).over(w_off), F.lit(0)).alias(c_goff),
     )
     w_local = (
-        Window.partitionBy("_pid", group_col)
-        .orderBy("_ord")
+        Window.partitionBy(c_pid, group_col)
+        .orderBy(c_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.join(F.broadcast(offsets), ["_pid", group_col])
-        .withColumn(out_col, F.col("_goff") + F.sum("_val").over(w_local))
-        .drop("_pid", "_goff", "_ord", "_val")
+        ranged.join(F.broadcast(offsets), [c_pid, group_col])
+        .withColumn(out_col, F.col(c_goff) + F.sum(c_val).over(w_local))
+        .drop(c_pid, c_goff, c_ord, c_val)
     )

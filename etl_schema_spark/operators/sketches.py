@@ -469,7 +469,10 @@ def bloom_membership(
     at scale pass ``probe_fraction`` < 1 to probe a deterministic
     md5-sampled subset of users (the summary's FP-rate estimate is
     unbiased under the uniform hash sample; the zero-FN invariant is
-    unaffected — every sampled member still probes positive).
+    unaffected — every sampled member still probes positive). In sampled
+    mode every output count (exact_members included) refers to the SAMPLED
+    probe universe, not the full one — the schema stays fixed across modes
+    so callers compare like against like.
     """
     ev = load_table(spark, sf_dir, "events")
     members = ev.select("event_type", "user_id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -503,8 +506,13 @@ def bloom_membership(
     # default (validation mode); probe_fraction md5-samples the universe
     # deterministically for the at-scale summary
     users = ev.select("user_id").distinct()
+    if not 0.0 < probe_fraction <= 1.0:
+        raise ValueError(f"probe_fraction must be in (0, 1], got {probe_fraction}")
     if probe_fraction < 1.0:
-        cut = int(probe_fraction * 10_000)
+        # round, and never let a tiny positive fraction truncate to an
+        # empty probe set (cut=0 would vacuously satisfy the zero-FN
+        # invariant while summarizing nothing)
+        cut = max(1, round(probe_fraction * 10_000))
         users = users.filter(
             F.conv(
                 F.substring(F.md5(F.concat(F.lit("probe:"), F.col("user_id").cast("string"))), 1, 8),

@@ -66,7 +66,7 @@ def test_no_single_reducer_source_window(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, f"{name}: no range partition\n{plan}"
-    local = re.search(r"windowspecdefinition\(_pid#\d+, source#\d+", plan)
+    local = re.search(r"windowspecdefinition\(_+pid#\d+, source#\d+", plan)
     assert local, f"{name}: no (pid, source)-local window\n{plan}"
 
 
