@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_schema_spark import functions as table_functions
+from etl_schema_spark import streaming
 from etl_schema_spark.operators import (
     analytics,
     asof,
@@ -53,6 +54,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # When adding an operator, insert it in group 1 — an entry appended at
     # the tail will NOT be scored this round.
     return {
+        # -- group 1: new round-4 operators (no driver verdict yet) -------
+        "streaming_hourly_counts": streaming.streaming_hourly_counts,
+        "streaming_session_windows": streaming.streaming_session_windows,
+        "quality_logreg_score": curation.quality_logreg_score,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
+        "mix_epoch_plan": packing.mix_epoch_plan,
+        "dup_cluster_stats": graph.dup_cluster_stats,
         # -- group 2: implementation changed since last verdict ----------
         # (cross_source_overlap: totals pairing rebuilt join-free in r4 to
         # clear the no-nested-loop plan audit)
@@ -187,6 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_hourly_counts": streaming.streaming_hourly_counts_oracle(),
+        "streaming_session_windows": streaming.streaming_session_windows_oracle(),
+        "quality_logreg_score": curation.quality_logreg_score_oracle(),
+        "embedding_decontaminate": similarity.embedding_decontaminate_oracle(),
+        "mix_epoch_plan": packing.mix_epoch_plan_oracle(),
+        "dup_cluster_stats": graph.dup_cluster_stats_oracle(),
         "raw_view_events": views_layer.raw_view_oracle(),
         "extended_view_events": views_layer.extended_view_oracle(),
         "unified_view_events": views_layer.unified_view_oracle(),

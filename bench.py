@@ -62,6 +62,11 @@ HEADLINE = [
     "zscore_outliers",
     "rolling_active_users",
     "retention_cohorts",
+    # round-4 additions
+    "quality_logreg_score",
+    "embedding_decontaminate",
+    "mix_epoch_plan",
+    "streaming_hourly_counts",
 ]
 
 

@@ -381,3 +381,88 @@ def curation_pipeline_oracle() -> str:
         WHERE cum_chars <= {CURATION_BUDGET_CHARS}
         ORDER BY doc_id
     """
+
+
+# --- hashed-feature linear quality scorer ---------------------------------
+
+QLR_BUCKETS = 64  # hashed feature space (hashing-trick dimensionality)
+QLR_WEIGHT_RANGE = 1000  # integer weights in [-1000, 1000], i.e. +-1.0 at 3dp
+
+
+def _qlr_token_weight(tok: Column) -> Column:
+    """Integer weight of one token: md5-hash the token into one of
+    QLR_BUCKETS feature buckets, then md5-derive that bucket's fixed
+    integer weight. No RNG state — any engine derives the same model."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("q:"), tok)), 1, 8), 16, 10)
+        .cast("bigint") % QLR_BUCKETS
+    )
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % (2 * QLR_WEIGHT_RANGE + 1)
+    ) - QLR_WEIGHT_RANGE
+
+
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a fixed-weight linear classifier over
+    hashing-trick bag-of-words features — the fasttext-style quality
+    scorer (GPT-3 Appendix A / CCNet) reduced to its Spark-native shape.
+    The weight table here is md5-derived (a stand-in for trained weights:
+    swap `_qlr_token_weight` for a broadcast weight-array lookup when a
+    real model ships — same plan, same cost).
+
+    Per doc: integer weight sum over tokens (EXACT — order-independent
+    across engines and partitionings, unlike a float dot product), the
+    mean-weight score, sigmoid probability, and the keep decision.
+
+    Scale: zero shuffle — one projection over the corpus scan, all
+    arithmetic in whole-stage codegen via higher-order array functions
+    (transform + aggregate); no Python boundary, nothing collected.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower("text"), r"\s+")
+    wsum = F.aggregate(
+        F.transform(toks, _qlr_token_weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    score = F.col("w_sum") / (F.lit(float(QLR_WEIGHT_RANGE)) * F.col("n_tokens"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            wsum.alias("w_sum"),
+        )
+        .withColumn("score", _trunc6(score))
+        .withColumn("prob", _trunc6(F.lit(1.0) / (F.lit(1.0) + F.exp(-score))))
+        .withColumn("keep", (F.col("w_sum") > 0).cast("int"))
+    )
+
+
+def quality_logreg_score_oracle() -> str:
+    r = QLR_WEIGHT_RANGE
+    tok_w = (
+        "((CAST(('0x' || substr(md5('w:' || CAST("
+        f"CAST(('0x' || substr(md5('q:' || t), 1, 8)) AS BIGINT) % {QLR_BUCKETS}"
+        f" AS VARCHAR)), 1, 8)) AS BIGINT) % {2 * r + 1}) - {r})"
+    )
+    return rf"""
+        WITH feat AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(list_sum(list_transform(
+                     string_split_regex(lower(text), '\s+'),
+                     t -> {tok_w})) AS BIGINT) AS w_sum
+          FROM documents
+        )
+        SELECT doc_id, source, n_tokens, w_sum,
+               FLOOR(w_sum / ({r}.0 * n_tokens) * 1e6) / 1e6 AS score,
+               FLOOR(1.0 / (1.0 + exp(-(w_sum / ({r}.0 * n_tokens)))) * 1e6) / 1e6
+                 AS prob,
+               CAST(w_sum > 0 AS INT) AS keep
+        FROM feat ORDER BY doc_id
+    """

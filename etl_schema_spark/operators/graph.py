@@ -129,3 +129,55 @@ def dup_components_oracle(tau: float = JACCARD_TAU) -> str:
         FROM lab
         ORDER BY doc_id
     """
+
+
+def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size profile of the near-dup component graph: for each
+    component size, how many components and how many documents — the
+    dedup-impact report (docs removed if each cluster keeps one canonical
+    = n_docs - n_clusters summed over sizes > 1) that decides whether a
+    corpus needs dedup at all before the expensive drop pass runs.
+
+    Composes dup_components (same iterative min-label propagation, same
+    determinism argument) with two metadata-sized aggregations — the
+    per-size table is at most |distinct sizes| rows.
+    """
+    comp = dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("bigint"), "n_clusters", "n_docs")
+    )
+
+
+def dup_cluster_stats_oracle(tau: float = JACCARD_TAU) -> str:
+    return f"""
+        WITH RECURSIVE {jaccard_pairs_ctes_sql(tau)},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.comp = e.src
+        ),
+        lab AS (
+          SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
+        ),
+        sizes AS (
+          SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM lab GROUP BY component_id
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """

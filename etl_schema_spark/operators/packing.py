@@ -283,3 +283,88 @@ def domain_mix_weights_oracle() -> str:
         FROM s, z
         ORDER BY source
     """
+
+
+# --- epoch allocation plan -------------------------------------------------
+
+EPOCH_DOC_BUDGET = 200  # documents drawn per training epoch
+
+
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the temperature-scaled mix weights into an integer per-source
+    document allocation for one epoch, via largest-remainder apportionment:
+    every source gets floor(budget * weight); the leftover seats go to the
+    largest fractional remainders (ties broken by source name). The output
+    is the sampling plan a dataloader executes — weights are aspirational,
+    an epoch draws whole documents.
+
+    Scale: one corpus scan + aggregation; every window below runs over the
+    |sources| aggregate table (metadata-sized at any corpus scale — an
+    unpartitioned window over ~tens of rows, not a data-sized reducer).
+    Allocations are NOT capped at a source's document count: small sources
+    oversample by repetition (epochs > 1 over the domain), exactly how
+    temperature flattening is used in practice.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("frac"), F.asc("source"))
+    quota = F.lit(float(EPOCH_DOC_BUDGET)) * F.col("w")
+    return (
+        per.withColumn("share", F.col("n_tokens") / F.sum("n_tokens").over(w_all))
+        .withColumn("w", F.sqrt("share") / F.sum(F.sqrt("share")).over(w_all))
+        .withColumn("quota", quota)
+        .withColumn("base", F.floor(quota))
+        .withColumn("frac", quota - F.floor(quota))
+        .withColumn(
+            "leftover", F.lit(EPOCH_DOC_BUDGET) - F.sum("base").over(w_all)
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.floor(F.col("w") * 1e6).cast("bigint").alias("weight_ppm"),
+            F.col("base").cast("bigint").alias("base_alloc"),
+            (F.col("base") + (F.col("rnk") <= F.col("leftover")).cast("bigint"))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+
+
+def mix_epoch_plan_oracle() -> str:
+    b = EPOCH_DOC_BUDGET
+    return rf"""
+        WITH per AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ), sh AS (
+          SELECT *, n_tokens / (SUM(n_tokens) OVER ()) AS share FROM per
+        ), wt AS (
+          SELECT *, sqrt(share) / (SUM(sqrt(share)) OVER ()) AS w FROM sh
+        ), q AS (
+          SELECT *, {b}.0 * w AS quota, FLOOR({b}.0 * w) AS base,
+                 {b}.0 * w - FLOOR({b}.0 * w) AS frac
+          FROM wt
+        ), r AS (
+          SELECT *, {b} - (SUM(base) OVER ()) AS leftover,
+                 ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS rnk
+          FROM q
+        )
+        SELECT source, n_docs,
+               CAST(FLOOR(w * 1e6) AS BIGINT) AS weight_ppm,
+               CAST(base AS BIGINT) AS base_alloc,
+               CAST(base + CAST(rnk <= leftover AS BIGINT) AS BIGINT) AS alloc
+        FROM r ORDER BY source
+    """

@@ -722,3 +722,99 @@ def ann_ivf_topk_oracle() -> str:
         ) WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """
+
+
+# --- train-vs-eval embedding decontamination ------------------------------
+
+DECON_EVAL_MOD = 10  # md5(vec_id) % 10 == 0 -> held-out "eval" split (~10%)
+DECON_TAU = COSINE_TAU
+
+
+def embedding_decontaminate(
+    spark: SparkSession, sf_dir: str, tau: float = DECON_TAU
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: training vectors whose
+    cosine to any held-out eval vector is >= tau — the semantic twin of
+    curation.decontaminate_ngram_overlap (n-gram overlap misses
+    paraphrases; embedding similarity catches them).
+
+    The split is md5-derived from vec_id (deterministic, engine-portable).
+    Candidates come from the shared random-hyperplane LSH band buckets
+    (see ann_lsh_topk): both splits sign against the same md5-derived
+    plane family, band keys equi-join, and only collided (train, eval)
+    id pairs are verified with the exact sequential-fold cosine — never
+    the |train| x |eval| product.
+
+    Scale: the band join ships (id, band, key) triples only; vectors
+    re-attach by vec_id equi-join for verification. Real eval suites are
+    tiny relative to the corpus, so the eval band table broadcasts and
+    the train side never shuffles — the same asymmetry the n-gram
+    decontamination exploits.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    split_hash = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("vec_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % DECON_EVAL_MOD
+    )
+    tagged = emb.withColumn("is_eval", (split_hash == 0).cast("int"))
+    keyed = tagged.select("vec_id", "is_eval", *_band_key_cols(F.col("embedding")))
+    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    ids = keyed.select("vec_id", "is_eval", F.posexplode(bands).alias("band", "key"))
+    cands = (
+        ids.filter(F.col("is_eval") == 0)
+        .select(F.col("vec_id").alias("train_id"), "band", "key")
+        .join(
+            F.broadcast(
+                ids.filter(F.col("is_eval") == 1)
+                .select(F.col("vec_id").alias("eval_id"), "band", "key")
+            ),
+            ["band", "key"],
+        )
+        .select("train_id", "eval_id")
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    tr = tagged.filter(F.col("is_eval") == 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("emb_t"),
+        norm.alias("n_t"),
+    )
+    ev = tagged.filter(F.col("is_eval") == 1).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("emb_e"),
+        norm.alias("n_e"),
+    )
+    cos = _dot(F.col("emb_t"), F.col("emb_e")) / (F.col("n_t") * F.col("n_e"))
+    return (
+        cands.join(tr, "train_id")
+        .join(F.broadcast(ev), "eval_id")
+        .withColumn("cosine", _trunc6(cos))
+        .filter(cos >= tau)
+        .select("train_id", "eval_id", "cosine")
+    )
+
+
+def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
+    band_match = " OR ".join(f"t.k{b} = e.k{b}" for b in range(LSH_BANDS))
+    cos_sql = _COS_SQL.replace("a.embedding", "t.embedding").replace(
+        "b.embedding", "e.embedding"
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 CAST(CAST(('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % {DECON_EVAL_MOD} = 0 AS INT) AS is_eval,
+                 {_lsh_bit_exprs_sql()}
+          FROM embeddings
+        ),
+        keys AS (
+          SELECT vec_id, embedding, is_eval, {_lsh_key_exprs_sql()} FROM sig
+        )
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               FLOOR(({cos_sql}) * 1e6) / 1e6 AS cosine
+        FROM keys t JOIN keys e ON t.is_eval = 0 AND e.is_eval = 1 AND ({band_match})
+        WHERE ({cos_sql}) >= {tau}
+        ORDER BY train_id, eval_id
+    """

@@ -19,6 +19,8 @@ the source is declarative.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,6 +83,75 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_DRAIN_SEQ = itertools.count()
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the watermarked hourly-counts stream drained with
+    Trigger.AvailableNow — an oracle-checked Structured Streaming query.
+
+    Over a bounded file source the whole input arrives in the first
+    micro-batch (one parquet file, under maxFilesPerTrigger), so the
+    watermark never drops a row and the drained result equals the batch
+    GROUP BY — which is exactly what the ANSI oracle states. In production
+    the same plan runs unbounded over Kafka; the oracle then describes the
+    result as of watermark-complete windows.
+    """
+    return run_available_now(
+        hourly_counts_stream(spark, sf_dir), f"sq_hourly_{next(_DRAIN_SEQ)}"
+    )
+
+
+def streaming_hourly_counts_oracle() -> str:
+    return """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: native session windows (30-min gap per user) drained
+    with Trigger.AvailableNow; the streaming twin of
+    sessions.sessionized_events with window-end = last event + gap.
+
+    Same bounded-source argument as streaming_hourly_counts: one
+    micro-batch, nothing late, so the drain equals the gaps-and-islands
+    SQL the oracle spells out (two events merge iff they are strictly
+    closer than the gap — Spark merges overlapping [t, t+gap) ranges).
+    """
+    return run_available_now(
+        session_window_stream(spark, sf_dir), f"sq_sess_{next(_DRAIN_SEQ)}"
+    )
+
+
+def streaming_session_windows_oracle() -> str:
+    gap_sec = 30 * 60
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts) >= {gap_sec}
+                      OR LAG(epoch(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ),
+        numbered AS (
+          SELECT *, SUM(brk) OVER (
+              PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {gap_sec} SECOND AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """
 
 
 def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:

@@ -1,0 +1,97 @@
+"""Round-4 pipeline extensions: streaming registry entries, model-based
+quality scoring, embedding decontamination, epoch allocation, dup-cluster
+profile (SURVEY §2A/§2C)."""
+
+from pyspark.sql import functions as F
+
+from etl_schema_spark import streaming
+from etl_schema_spark.operators import curation, graph, packing, similarity
+from etl_schema_spark.operators.packing import EPOCH_DOC_BUDGET
+
+from .conftest import assert_matches_oracle
+
+
+def test_streaming_hourly_counts_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        streaming.streaming_hourly_counts(spark, sf_dir),
+        duck,
+        streaming.streaming_hourly_counts_oracle(),
+    )
+
+
+def test_streaming_session_windows_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        streaming.streaming_session_windows(spark, sf_dir),
+        duck,
+        streaming.streaming_session_windows_oracle(),
+    )
+
+
+def test_quality_logreg_score_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.quality_logreg_score(spark, sf_dir),
+        duck,
+        curation.quality_logreg_score_oracle(),
+    )
+
+
+def test_quality_logreg_weight_sum_exact(spark, sf_dir):
+    """The weight sum is an exact integer — repartitioning cannot change it
+    (the property float dot products lack)."""
+    out = curation.quality_logreg_score(spark, sf_dir)
+    a = {r.doc_id: r.w_sum for r in out.collect()}
+    b = {
+        r.doc_id: r.w_sum
+        for r in curation.quality_logreg_score(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b
+
+
+def test_embedding_decontaminate_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.embedding_decontaminate(spark, sf_dir),
+        duck,
+        similarity.embedding_decontaminate_oracle(),
+    )
+
+
+def test_embedding_decontaminate_split_is_cross_only(spark, sf_dir):
+    """Every flagged pair crosses the split: train ids never appear as eval
+    ids and vice versa."""
+    out = similarity.embedding_decontaminate(spark, sf_dir).collect()
+    trains = {r.train_id for r in out}
+    evals = {r.eval_id for r in out}
+    assert trains.isdisjoint(evals)
+
+
+def test_mix_epoch_plan_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        packing.mix_epoch_plan(spark, sf_dir), duck, packing.mix_epoch_plan_oracle()
+    )
+
+
+def test_mix_epoch_plan_sums_to_budget(spark, sf_dir):
+    """Largest-remainder apportionment allocates exactly the budget, and
+    every source gets base or base+1."""
+    rows = packing.mix_epoch_plan(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == EPOCH_DOC_BUDGET
+    assert all(r.alloc in (r.base_alloc, r.base_alloc + 1) for r in rows)
+
+
+def test_dup_cluster_stats_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        graph.dup_cluster_stats(spark, sf_dir), duck, graph.dup_cluster_stats_oracle()
+    )
+
+
+def test_dup_cluster_stats_consistent_with_components(spark, sf_dir):
+    """The profile's doc total equals the corpus size, and the n_docs
+    column equals size * count per row."""
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    rows = graph.dup_cluster_stats(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
