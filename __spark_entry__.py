@@ -31,6 +31,7 @@ from etl_schema_spark.operators import (
     sessions,
     similarity,
     sketches,
+    skew,
     text,
     transforms,
     view_families,
@@ -61,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminate": similarity.embedding_decontaminate,
         "mix_epoch_plan": packing.mix_epoch_plan,
         "dup_cluster_stats": graph.dup_cluster_stats,
+        "skew_salted_daily_users": skew.skew_salted_daily_users,
+        "bpe_merge_candidates": text.bpe_merge_candidates,
         # -- group 2: implementation changed since last verdict ----------
         # (cross_source_overlap: totals pairing rebuilt join-free in r4 to
         # clear the no-nested-loop plan audit)
@@ -201,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_decontaminate": similarity.embedding_decontaminate_oracle(),
         "mix_epoch_plan": packing.mix_epoch_plan_oracle(),
         "dup_cluster_stats": graph.dup_cluster_stats_oracle(),
+        "skew_salted_daily_users": skew.skew_salted_daily_users_oracle(),
+        "bpe_merge_candidates": text.bpe_merge_candidates_oracle(),
         "raw_view_events": views_layer.raw_view_oracle(),
         "extended_view_events": views_layer.extended_view_oracle(),
         "unified_view_events": views_layer.unified_view_oracle(),

@@ -84,3 +84,38 @@ def salted_collect(
     if sort:
         merged = merged.withColumn(out, F.array_sort(out))
     return merged
+
+
+def skew_salted_daily_users(spark, sf_dir: str) -> DataFrame:
+    """Registry entry for the salting machinery: per (event_type, date),
+    the sorted distinct-user list assembled with bounded-fan-in two-phase
+    collection. event_type is the canonical skewed key (~4 values over the
+    whole corpus); a plain collect_list would funnel every row of a hot
+    type-day through ONE reducer — salted_collect caps fan-in at
+    group_size / SALT and merges |SALT| chunks.
+
+    Oracle-checked: the sorted-array result is deterministic, so DuckDB's
+    list_sort(list(...)) states the same value (non-algebraic aggregates
+    are exactly the ones where salting earns its keep; sum/count never
+    need it).
+    """
+    from ..sources.catalog import load_table
+
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    return salted_collect(pairs, ["event_type", "day"], "user_id", out="users")
+
+
+def skew_salted_daily_users_oracle() -> str:
+    return """
+        WITH pairs AS (
+          SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+          FROM events
+        )
+        SELECT event_type, day, list_sort(list(user_id)) AS users
+        FROM pairs GROUP BY event_type, day
+        ORDER BY event_type, day
+    """

@@ -567,3 +567,65 @@ def vocab_coverage_oracle(vocab_size: int = VOCAB_SIZE) -> str:
         GROUP BY t.doc_id
         ORDER BY t.doc_id
     """
+
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies within words, ranked — the statistic whose
+    argmax becomes the next merge rule. One round is the honest SQL-shaped
+    kernel (full BPE iterates: re-segment, re-count — the loop composes
+    this operator the way dup_components composes label propagation).
+
+    Plan: lower + whitespace-split (same tokenizer as token_count), one
+    narrow explode to words, an in-row transform to the word's length-1
+    substring pairs, a second explode, then a partial-aggregated count and
+    a sort-limit top-K — no wide rows ever shuffle (pairs are 2 chars),
+    and the top-K is a TakeOrdered, not a global sort.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents"))
+    word = F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    counts = (
+        docs.select(word)
+        .filter(F.length("word") >= 2)
+        .select(pair)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .orderBy("rank")
+    )
+
+
+def bpe_merge_candidates_oracle() -> str:
+    return rf"""
+        WITH words AS (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents
+        ),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(word)),
+                                       i -> substr(word, i, 2))) AS pair
+          FROM words WHERE length(word) >= 2
+        ),
+        counts AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+        )
+        SELECT pair, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+                 AS rank
+        FROM counts
+        QUALIFY rank <= {BPE_TOP_PAIRS}
+        ORDER BY rank
+    """

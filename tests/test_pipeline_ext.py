@@ -95,3 +95,65 @@ def test_dup_cluster_stats_consistent_with_components(spark, sf_dir):
     rows = graph.dup_cluster_stats(spark, sf_dir).collect()
     assert sum(r.n_docs for r in rows) == n_docs
     assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+
+
+def test_skew_salted_daily_users_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import skew
+
+    assert_matches_oracle(
+        skew.skew_salted_daily_users(spark, sf_dir),
+        duck,
+        skew.skew_salted_daily_users_oracle(),
+    )
+
+
+def test_salted_collect_salt_invariant(spark, sf_dir):
+    """The merged sorted arrays are identical for any salt width."""
+    from etl_schema_spark.operators import skew
+    from etl_schema_spark.sources.catalog import load_table
+
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    a = {
+        (r.event_type, r.day): r.users
+        for r in skew.salted_collect(
+            pairs, ["event_type", "day"], "user_id", out="users"
+        ).collect()
+    }
+    b = {
+        (r.event_type, r.day): r.users
+        for r in skew.salted_collect(
+            pairs, ["event_type", "day"], "user_id", salt=3, out="users"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bpe_merge_candidates_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import text
+
+    assert_matches_oracle(
+        text.bpe_merge_candidates(spark, sf_dir),
+        duck,
+        text.bpe_merge_candidates_oracle(),
+    )
+
+
+def test_bpe_merge_candidates_counts(spark, sf_dir):
+    """Spot-check the pair counting against a driver-side recount."""
+    from collections import Counter
+
+    from etl_schema_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    c = Counter()
+    for r in docs:
+        for w in r.text.lower().split():
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    top = text.bpe_merge_candidates(spark, sf_dir).collect()
+    assert top[0].n == max(c.values())
+    assert {(r.pair, r.n) for r in top} <= set(c.items())
