@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_stats": graph.dup_cluster_stats,
         "skew_salted_daily_users": skew.skew_salted_daily_users,
         "bpe_merge_candidates": text.bpe_merge_candidates,
+        "user_transition_matrix": analytics.user_transition_matrix,
+        "session_top_paths": sessions.session_top_paths,
+        "streaming_distinct_keys": streaming.streaming_distinct_keys,
+        "substring_dup_spans": dedup.substring_dup_spans,
         # -- group 2: implementation changed since last verdict ----------
         # (cross_source_overlap: totals pairing rebuilt join-free in r4 to
         # clear the no-nested-loop plan audit)
@@ -206,6 +210,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_stats": graph.dup_cluster_stats_oracle(),
         "skew_salted_daily_users": skew.skew_salted_daily_users_oracle(),
         "bpe_merge_candidates": text.bpe_merge_candidates_oracle(),
+        "user_transition_matrix": analytics.user_transition_matrix_oracle(),
+        "session_top_paths": sessions.session_top_paths_oracle(),
+        "streaming_distinct_keys": streaming.streaming_distinct_keys_oracle(),
+        "substring_dup_spans": dedup.substring_dup_spans_oracle(),
         "raw_view_events": views_layer.raw_view_oracle(),
         "extended_view_events": views_layer.extended_view_oracle(),
         "unified_view_events": views_layer.unified_view_oracle(),

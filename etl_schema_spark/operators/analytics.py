@@ -821,3 +821,54 @@ def seasonal_baseline_oracle() -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+def user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (from_type, to_type) pair, the transition count and the
+    row-normalized probability — the behavioral model behind journey
+    analysis and next-event prediction features.
+
+    Plan: one lead() window per user (high-cardinality partition — embar-
+    rassingly parallel, nothing like a low-cardinality reducer), then a
+    partial-aggregated count over |types|^2 pairs and a metadata-sized
+    normalization window over the aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = (
+        pairs.groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        _trunc6(F.col("n") / F.sum("n").over(w_row)).alias("prob"),
+    )
+
+
+def user_transition_matrix_oracle() -> str:
+    return """
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        ),
+        counts AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               FLOOR(n * 1.0 / (SUM(n) OVER (PARTITION BY from_type)) * 1e6)
+                 / 1e6 AS prob
+        FROM counts ORDER BY from_type, to_type
+    """

@@ -635,3 +635,78 @@ def incremental_dedup_oracle() -> str:
         LEFT JOIN idx USING (content_md5)
         ORDER BY b.doc_id
     """
+
+
+# --- exact-substring window dedup -----------------------------------------
+
+SUBSTR_WIN = 32  # window width (chars)
+SUBSTR_STRIDE = 16  # hop between window starts
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. "Deduplicating
+    Training Data" signal at window granularity): slide a SUBSTR_WIN-char
+    window with SUBSTR_STRIDE hop over every document, hash each window,
+    and report per document how many of its windows also occur verbatim in
+    at least one OTHER document — the cross-doc boilerplate/quotation
+    fraction that exact doc-level dedup cannot see and paragraph chunking
+    blurs.
+
+    Plan: windows are built in-row (sequence + transform + explode of md5
+    hashes — 2·len/stride narrow rows per doc, never the text itself);
+    window→doc-count aggregates with map-side partials on the uniform md5
+    key; the per-window flag joins back on the same key; one final per-doc
+    aggregate. At 100 TB every shuffle is keyed on uniform hashes with no
+    skew axis, and payloads are (hash, id) pairs only.
+    """
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.length("text") >= SUBSTR_WIN)
+    whash = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.length("text") - (SUBSTR_WIN - 1), F.lit(SUBSTR_STRIDE)
+            ),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(SUBSTR_WIN))),
+        )
+    ).alias("whash")
+    wins = docs.select("doc_id", whash).persist(StorageLevel.MEMORY_AND_DISK)
+    hash_docs = (
+        wins.distinct()
+        .groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    flagged = wins.join(hash_docs, "whash").withColumn(
+        "is_dup", (F.col("n_docs_with") >= 2).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_windows"),
+        (F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 1e6) / 1e6).alias("dup_frac"),
+    )
+
+
+def substring_dup_spans_oracle() -> str:
+    return f"""
+        WITH wins AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, length(text) - {SUBSTR_WIN - 2}, {SUBSTR_STRIDE}),
+                     i -> md5(substr(text, i, {SUBSTR_WIN})))) AS whash
+          FROM documents WHERE length(text) >= {SUBSTR_WIN}
+        ),
+        hash_docs AS (
+          SELECT whash, COUNT(*) AS n_docs_with
+          FROM (SELECT DISTINCT doc_id, whash FROM wins)
+          GROUP BY whash
+        )
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CAST(h.n_docs_with >= 2 AS INT)) AS BIGINT)
+                 AS n_dup_windows,
+               FLOOR(SUM(CAST(h.n_docs_with >= 2 AS INT)) * 1.0 / COUNT(*)
+                     * 1e6) / 1e6 AS dup_frac
+        FROM wins w JOIN hash_docs h USING (whash)
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id
+    """

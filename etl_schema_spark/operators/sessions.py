@@ -155,3 +155,95 @@ def top_clients_per_type_oracle() -> str:
         FROM ranked WHERE rank <= {TOP_K_CLIENTS}
         ORDER BY event_type, rank
     """
+
+
+TOP_PATHS = 20
+PATH_MAX_EVENTS = 8
+
+
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K session journeys: the ordered event-type path of each session
+    (first PATH_MAX_EVENTS events, '>'-joined), counted corpus-wide and
+    ranked — the "what do users actually do" report over the sessionized
+    stream.
+
+    Plan: the same gap-sessionization window as sessionized_events, then
+    one per-session sort_array(collect_list(struct)) — deterministic order
+    without a second window — a narrow path projection, a partial-agg
+    count by path, and a TakeOrdered top-K. Session arrays are bounded by
+    the gap (no hot-group risk: a session is one user's burst, not a
+    corpus-wide key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_id = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("evs", lambda e: e["event_type"]), 1, PATH_MAX_EVENTS),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= TOP_PATHS)
+        .orderBy("rank")
+    )
+
+
+def session_top_paths_oracle() -> str:
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          > {SESSION_GAP_MIN * 60}
+                      OR LAG(FLOOR(epoch(ts))) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged
+        ),
+        paths AS (
+          SELECT array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id),
+                              1, {PATH_MAX_EVENTS}), '>') AS path
+          FROM numbered GROUP BY user_id, session_seq
+        ),
+        counts AS (
+          SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM paths GROUP BY path
+        )
+        SELECT path, n_sessions,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC)
+                    AS BIGINT) AS rank
+        FROM counts
+        QUALIFY rank <= {TOP_PATHS}
+        ORDER BY rank
+    """

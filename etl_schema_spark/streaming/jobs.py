@@ -287,3 +287,33 @@ def upsert_hourly_sink(spark: SparkSession, sf_dir: str, target: str) -> DataFra
     )
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+def distinct_keys_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first occurrence of every
+    (user_id, event_type) key. Unbounded state by design here (the drain
+    is bounded); a 24/7 deployment swaps in dropDuplicatesWithinWatermark
+    so keys expire with the lateness horizon — same plan otherwise."""
+    ev = events_stream(spark, sf_dir)
+    return ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: streaming stateful dedup drained via AvailableNow —
+    the "have we seen this key" ingest primitive as a stream. Keys-only
+    output, so the result is deterministic and equals DISTINCT over the
+    bounded source regardless of which physical row the state kept."""
+    return run_available_now(
+        distinct_keys_stream(spark, sf_dir),
+        f"sq_distinct_{next(_DRAIN_SEQ)}",
+        mode="append",
+    )
+
+
+def streaming_distinct_keys_oracle() -> str:
+    return """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """

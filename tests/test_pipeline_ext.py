@@ -157,3 +157,87 @@ def test_bpe_merge_candidates_counts(spark, sf_dir):
     top = text.bpe_merge_candidates(spark, sf_dir).collect()
     assert top[0].n == max(c.values())
     assert {(r.pair, r.n) for r in top} <= set(c.items())
+
+
+def test_user_transition_matrix_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import analytics
+
+    assert_matches_oracle(
+        analytics.user_transition_matrix(spark, sf_dir),
+        duck,
+        analytics.user_transition_matrix_oracle(),
+    )
+
+
+def test_user_transition_matrix_rows_normalize(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_schema_spark.operators import analytics
+
+    rows = analytics.user_transition_matrix(spark, sf_dir).collect()
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r.from_type] += r.prob
+    # trunc6 loses at most 1e-6 per cell
+    assert all(1 - 1e-5 * len(rows) <= v <= 1.0 for v in by_from.values())
+
+
+def test_session_top_paths_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import sessions
+
+    assert_matches_oracle(
+        sessions.session_top_paths(spark, sf_dir),
+        duck,
+        sessions.session_top_paths_oracle(),
+    )
+
+
+def test_session_top_paths_counts_match_sessions(spark, sf_dir):
+    """The top-K paths cover at most every session, and ranking starts
+    at 1."""
+    from etl_schema_spark.operators import sessions
+
+    n_sessions = sessions.sessionized_events(spark, sf_dir).count()
+    top = sessions.session_top_paths(spark, sf_dir).collect()
+    assert sum(r.n_sessions for r in top) <= n_sessions
+    assert top[0].rank == 1
+
+
+def test_streaming_distinct_keys_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        streaming.streaming_distinct_keys(spark, sf_dir),
+        duck,
+        streaming.streaming_distinct_keys_oracle(),
+    )
+
+
+def test_substring_dup_spans_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import dedup
+
+    assert_matches_oracle(
+        dedup.substring_dup_spans(spark, sf_dir),
+        duck,
+        dedup.substring_dup_spans_oracle(),
+    )
+
+
+def test_substring_dup_spans_flags_planted_dup(spark, sf_dir, tmp_path):
+    """Two docs sharing a verbatim 64-char block are both flagged; a
+    unique doc is not."""
+    import pyspark.sql.functions as FF
+
+    from etl_schema_spark.operators import dedup
+
+    block = "x" * 40 + "shared boilerplate sentence here!" + "y" * 40
+    rows = [
+        (1, block + " unique tail one", "en", "s1", 1),
+        (2, "different head text " + block, "en", "s2", 1),
+        (3, "totally unrelated content with no overlap at all " * 4, "en", "s3", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "docs"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r.n_dup_windows for r in dedup.substring_dup_spans(spark, str(d)).collect()}
+    assert out[1] > 0 and out[2] > 0 and out[3] == 0
