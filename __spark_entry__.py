@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_top_paths": sessions.session_top_paths,
         "streaming_distinct_keys": streaming.streaming_distinct_keys,
         "substring_dup_spans": dedup.substring_dup_spans,
+        "streaming_hopping_counts": streaming.streaming_hopping_counts,
+        "streaming_attribution_join": streaming.streaming_attribution_join,
         # -- group 2: implementation changed since last verdict ----------
         # (cross_source_overlap: totals pairing rebuilt join-free in r4 to
         # clear the no-nested-loop plan audit)
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "session_top_paths": sessions.session_top_paths_oracle(),
         "streaming_distinct_keys": streaming.streaming_distinct_keys_oracle(),
         "substring_dup_spans": dedup.substring_dup_spans_oracle(),
+        "streaming_hopping_counts": streaming.streaming_hopping_counts_oracle(),
+        "streaming_attribution_join": streaming.streaming_attribution_join_oracle(),
         "raw_view_events": views_layer.raw_view_oracle(),
         "extended_view_events": views_layer.extended_view_oracle(),
         "unified_view_events": views_layer.unified_view_oracle(),

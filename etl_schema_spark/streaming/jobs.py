@@ -317,3 +317,59 @@ def streaming_distinct_keys_oracle() -> str:
         SELECT DISTINCT user_id, event_type FROM events
         ORDER BY user_id, event_type
     """
+
+
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the 3-hour/1-hour hopping-window stream drained via
+    AvailableNow. Each event lands in exactly three window instances
+    (hourly-aligned starts), which is precisely the 3-way unnest the ANSI
+    oracle states — so overlapping-window semantics, not just row counts,
+    are driver-checked."""
+    return run_available_now(
+        hopping_window_stream(spark, sf_dir), f"sq_hop_{next(_DRAIN_SEQ)}"
+    )
+
+
+def streaming_hopping_counts_oracle() -> str:
+    return """
+        WITH expanded AS (
+          SELECT event_type,
+                 date_trunc('hour', ts) + k * INTERVAL 1 HOUR AS window_end
+          FROM events, (SELECT unnest([1, 2, 3]) AS k)
+        )
+        SELECT window_end, event_type, CAST(COUNT(*) AS BIGINT) AS n_3h
+        FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the watermarked stream-stream interval join drained
+    via AvailableNow — each purchase matched to the same user's clicks in
+    the preceding hour. Over a bounded source both sides are fully
+    buffered before the watermark advances, so the drain equals the batch
+    interval join the oracle states; in 24/7 operation the same plan holds
+    only the watermark horizon of state."""
+    return run_available_now(
+        attribution_join_stream(spark, sf_dir),
+        f"sq_attr_{next(_DRAIN_SEQ)}",
+        mode="append",
+    )
+
+
+def streaming_attribution_join_oracle() -> str:
+    return """
+        SELECT p.user_id AS p_user,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts,
+               c.event_id AS click_id,
+               c.ts AS click_ts,
+               p.value AS amount
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, click_id
+    """

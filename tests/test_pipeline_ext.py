@@ -241,3 +241,19 @@ def test_substring_dup_spans_flags_planted_dup(spark, sf_dir, tmp_path):
     df.write.parquet(str(d / "documents.parquet"))
     out = {r.doc_id: r.n_dup_windows for r in dedup.substring_dup_spans(spark, str(d)).collect()}
     assert out[1] > 0 and out[2] > 0 and out[3] == 0
+
+
+def test_streaming_hopping_counts_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        streaming.streaming_hopping_counts(spark, sf_dir),
+        duck,
+        streaming.streaming_hopping_counts_oracle(),
+    )
+
+
+def test_streaming_attribution_join_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        streaming.streaming_attribution_join(spark, sf_dir),
+        duck,
+        streaming.streaming_attribution_join_oracle(),
+    )
