@@ -457,3 +457,202 @@ def multimodal_wav_energy_oracle() -> str:
         FROM wins
         ORDER BY doc_id, window_idx
     """
+
+
+AHASH_SIDE = 8  # aHash raster side: 8x8 grayscale -> 64-bit fingerprint
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def image_ahash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal twin of dedup_exact:
+    every image is NN-resized to an 8x8 grayscale raster (the REAL PPM
+    codec path, same bytes as multimodal_decode_ppm), aHashed (bit p = 1
+    iff gray_p strictly above the integer-mean gray), and dup clusters
+    form by exact hash equality. Near-identical images (resizes, small
+    crops, re-encodes) collapse to the same 64-bit fingerprint — the cheap
+    first pass an image-corpus dedup runs before any embedding model.
+
+    Output per image: the md5 of the 64-char bit fingerprint, how many
+    images share it, and the canonical (min doc_id) flag.
+
+    Scale: decode + hash run inside mapInPandas (payload bytes never
+    shuffle); the cluster join shuffles (doc_id, 32-char hash) pairs on a
+    uniform hash key with map-side partial counts.
+    """
+    import hashlib
+
+    from ..functions.codecs import encode_ppm, resize_ppm_nn
+
+    docs = binary_payloads(spark, sf_dir).select("doc_id", "payload").filter(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    )
+
+    def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = int(8 + doc_id % 8), int(6 + doc_id % 6)
+                n = len(payload)
+                pixels = bytes(payload[i % n] for i in range(w * h * 3))
+                ppm = encode_ppm(w, h, pixels)
+                # resize_ppm_nn parses the PPM (real header parse) and
+                # returns the resized raw raster
+                raster = resize_ppm_nn(ppm, AHASH_SIDE, AHASH_SIDE)
+                grays = [
+                    (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+                    for p in range(AHASH_SIDE * AHASH_SIDE)
+                ]
+                mean = sum(grays) // len(grays)
+                bits = "".join("1" if g > mean else "0" for g in grays)
+                out["doc_id"].append(doc_id)
+                out["ahash"].append(hashlib.md5(bits.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    hashed = docs.mapInPandas(ahash_batches, AHASH_SCHEMA)
+    clusters = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_imgs"), F.min("doc_id").alias("canonical")
+    )
+    return hashed.join(clusters, "ahash").select(
+        "doc_id",
+        "ahash",
+        F.col("n_imgs").cast("bigint").alias("n_imgs"),
+        (F.col("doc_id") == F.col("canonical")).cast("int").alias("is_canonical"),
+    )
+
+
+def image_ahash_dup_oracle() -> str:
+    # Reproduce the 8x8 NN thumbnail's grayscale arithmetically from the
+    # cyclic text->pixel map (same index algebra as multimodal_decode_ppm),
+    # then the strict-above-integer-mean bit rule.
+    s = AHASH_SIDE
+    w = "(8 + doc_id % 8)"
+    h = "(6 + doc_id % 6)"
+    sx = f"(((p % {s}) * {w}) // {s})"
+    sy = f"(((p // {s}) * {h}) // {s})"
+    base = f"((({sy} * {w}) + {sx}) * 3)"
+    chan = (
+        f"ascii(substr(text, CAST(({base} + {{c}}) % strlen(text) AS INT) + 1, 1))"
+    )
+    gray = f"(({chan.format(c=0)} + {chan.format(c=1)} + {chan.format(c=2)}) // 3)"
+    return f"""
+        WITH grays AS (
+          SELECT doc_id, [{gray} for p in range(0, {s * s})] AS g
+          FROM documents WHERE strlen(text) > 0
+        ),
+        bits AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   [CASE WHEN g[p + 1] > (list_sum(g) // {s * s})
+                         THEN '1' ELSE '0' END
+                    for p in range(0, {s * s})], '')) AS ahash
+          FROM grays
+        ),
+        clusters AS (
+          SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+                 MIN(doc_id) AS canonical
+          FROM bits GROUP BY ahash
+        )
+        SELECT b.doc_id, b.ahash, c.n_imgs,
+               CAST(b.doc_id = c.canonical AS INT) AS is_canonical
+        FROM bits b JOIN clusters c USING (ahash)
+        ORDER BY b.doc_id
+    """
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments over the windowed PCM energy: a window is
+    "active" when its energy is strictly above the clip's mean window
+    energy (integer cross-multiply — energy * n_windows > total — so the
+    threshold is exact, no float mean), and consecutive active windows
+    merge into segments (gaps-and-islands). The silence-trim pass an
+    audio corpus runs before transcription, producing the keep-spans.
+
+    Scale: composes multimodal_wav_energy (payloads never shuffle) with
+    per-doc windows — doc_id is the high-cardinality axis, so both the
+    mean and the island numbering parallelize per clip.
+    """
+    e = multimodal_wav_energy(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id")
+    flagged = (
+        e.withColumn("n_wins", F.count(F.lit(1)).over(w_doc))
+        .withColumn("tot", F.sum("energy").over(w_doc))
+        .filter(F.col("energy") * F.col("n_wins") > F.col("tot"))
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("window_idx")
+    brk = F.when(
+        F.lag("window_idx").over(w_ord).isNull()
+        | (F.col("window_idx") - F.lag("window_idx").over(w_ord) > 1),
+        1,
+    ).otherwise(0)
+    segs = flagged.withColumn("brk", brk).withColumn(
+        "seg_idx",
+        F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return segs.groupBy("doc_id", "seg_idx").agg(
+        F.min("window_idx").alias("start_window"),
+        F.max("window_idx").alias("end_window"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("energy").cast("bigint").alias("seg_energy"),
+    )
+
+
+def audio_vad_segments_oracle() -> str:
+    from ..functions.codecs import WAV_RATE  # noqa: F401  (doc parity)
+
+    n_samples = "(1024 + (doc_id % 7) * 128)"
+    sample = (
+        "((ascii(substr(text, CAST((widx * {win} + i) % strlen(text) AS INT) + 1, 1)) - 64)"
+        " * 256)"
+    ).format(win=WAV_WINDOW)
+    return f"""
+        WITH wins AS (
+          SELECT doc_id, text,
+                 unnest(range(0, {n_samples} // {WAV_WINDOW})) AS widx
+          FROM documents WHERE strlen(text) > 0
+        ),
+        energy AS (
+          SELECT doc_id, CAST(widx AS INT) AS window_idx,
+                 CAST(list_sum([
+                   CAST({sample} AS BIGINT) * {sample}
+                   for i in range(0, {WAV_WINDOW})]) AS BIGINT) AS energy
+          FROM wins
+        ),
+        flagged AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY doc_id) AS n_wins,
+                 SUM(energy) OVER (PARTITION BY doc_id) AS tot
+          FROM energy
+        ),
+        active AS (
+          SELECT doc_id, window_idx, energy FROM flagged
+          WHERE energy * n_wins > tot
+        ),
+        marked AS (
+          SELECT *,
+                 CASE WHEN LAG(window_idx) OVER (
+                          PARTITION BY doc_id ORDER BY window_idx) IS NULL
+                      OR window_idx - LAG(window_idx) OVER (
+                          PARTITION BY doc_id ORDER BY window_idx) > 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM active
+        ),
+        segs AS (
+          SELECT *, SUM(brk) OVER (
+              PARTITION BY doc_id ORDER BY window_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
+          FROM marked
+        )
+        SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+               MIN(window_idx) AS start_window,
+               MAX(window_idx) AS end_window,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(energy) AS BIGINT) AS seg_energy
+        FROM segs GROUP BY doc_id, seg_idx
+        ORDER BY doc_id, seg_idx
+    """

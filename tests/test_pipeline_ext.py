@@ -257,3 +257,54 @@ def test_streaming_attribution_join_oracle(spark, sf_dir, duck):
         duck,
         streaming.streaming_attribution_join_oracle(),
     )
+
+
+def test_image_ahash_dup_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.image_ahash_dup(spark, sf_dir),
+        duck,
+        multimodal.image_ahash_dup_oracle(),
+    )
+
+
+def test_image_ahash_cluster_consistency(spark, sf_dir):
+    """Cluster sizes sum to the corpus; exactly one canonical per hash."""
+    from collections import Counter
+
+    from etl_schema_spark.operators import multimodal
+
+    rows = multimodal.image_ahash_dup(spark, sf_dir).collect()
+    by_hash = Counter(r.ahash for r in rows)
+    assert all(r.n_imgs == by_hash[r.ahash] for r in rows)
+    canon = Counter(r.ahash for r in rows if r.is_canonical)
+    assert set(canon) == set(by_hash) and all(v == 1 for v in canon.values())
+
+
+def test_audio_vad_segments_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import multimodal
+
+    assert_matches_oracle(
+        multimodal.audio_vad_segments(spark, sf_dir),
+        duck,
+        multimodal.audio_vad_segments_oracle(),
+    )
+
+
+def test_audio_vad_segments_are_above_mean_islands(spark, sf_dir):
+    """Every segment's windows are consecutive and strictly above the
+    clip's mean window energy."""
+    from collections import defaultdict
+
+    from etl_schema_spark.operators import multimodal
+
+    energies = defaultdict(dict)
+    for r in multimodal.multimodal_wav_energy(spark, sf_dir).collect():
+        energies[r.doc_id][r.window_idx] = r.energy
+    for r in multimodal.audio_vad_segments(spark, sf_dir).collect():
+        doc = energies[r.doc_id]
+        n, tot = len(doc), sum(doc.values())
+        assert r.end_window - r.start_window + 1 == r.n_windows
+        for wdx in range(r.start_window, r.end_window + 1):
+            assert doc[wdx] * n > tot
