@@ -125,10 +125,14 @@ def zipf_term_stats(spark: SparkSession, sf_dir: str, top_k: int = 30) -> DataFr
     )
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("_total"))
+    # TakeOrdered top-k first (distributed per-partition top-k + merge),
+    # then rank the k survivors — a global row_number window before the
+    # cut would single-reducer-sort the whole vocabulary table
     w = Window.orderBy(F.desc("cnt"), F.col("term"))
     ranked = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        counts.orderBy(F.desc("cnt"), F.col("term"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
         .crossJoin(F.broadcast(total))
     )
     cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)

@@ -204,11 +204,13 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    # TakeOrdered top-K before ranking: distinct-path cardinality grows
+    # with the corpus, so the global rank window runs over K rows, never
+    # the full path table
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(TOP_PATHS)
     w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= TOP_PATHS)
-        .orderBy("rank")
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("bigint")).orderBy(
+        "rank"
     )
 
 

@@ -600,11 +600,13 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # TakeOrdered top-K first (distributed per-partition top-K + merge),
+    # THEN rank the K survivors — a global row_number window before the
+    # cut would single-reducer-sort the whole pair table
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP_PAIRS)
     w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= BPE_TOP_PAIRS)
-        .orderBy("rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).orderBy(
+        "rank"
     )
 
 
