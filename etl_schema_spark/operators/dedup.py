@@ -62,6 +62,20 @@ def _shingles_of(toks: Column) -> Column:
     return F.when(n >= 3, shingles).otherwise(F.array().cast("array<string>"))
 
 
+def _seeded_md5(i: int):
+    """Per-seed shingle hasher for MinHash signatures.
+
+    MUST be built through this closure: passing ``lambda s, i=i: ...``
+    straight to F.transform makes PySpark see a TWO-parameter lambda and
+    bind ``i`` to the array-index column — the f-string then bakes the
+    Column repr into the prefix, collapsing every seed to one degenerate
+    hash family (caught in round 4 by minhash_jaccard_estimate's
+    signature-level oracle; the tau-filtered pair outputs had masked it).
+    """
+    prefix = f"{i}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str):
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
@@ -338,12 +352,7 @@ def dedup_minhash_portable(
         "shingles",
         F.array(
             *[
-                F.array_min(
-                    F.transform(
-                        F.col("shingles"),
-                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-                    )
-                )
+                F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
                 for i in range(MINHASH_SEEDS)
             ]
         ).alias("minhash"),
@@ -709,4 +718,145 @@ def substring_dup_spans_oracle() -> str:
         FROM wins w JOIN hash_docs h USING (whash)
         GROUP BY w.doc_id
         ORDER BY w.doc_id
+    """
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report for the portable MinHash family: for every
+    LSH band-candidate pair, the signature-agreement Jaccard estimate
+    (matching positions / MINHASH_SEEDS — the unbiased MinHash estimator)
+    next to the exact shingle Jaccard, with the absolute error. This is
+    the calibration table that justifies trusting signatures instead of
+    shingle intersections at 100 TB — and it quantifies the banding
+    S-curve's candidate quality on real data.
+
+    Scale: bands explode ids-only (doc_id, bucket); candidate ids shuffle
+    without shingles or signatures, which re-attach by two doc_id
+    equi-joins — the same ids-first discipline as embedding_cosine_dup.
+    """
+    docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
+                for i in range(MINHASH_SEEDS)
+            ]
+        ).alias("minhash"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(f"{b}|"),
+                            *[
+                                F.col("minhash")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        banded.select(F.col("doc_id").alias("doc_a"), "bucket")
+        .join(banded.select(F.col("doc_id").alias("doc_b"), "bucket"), "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    matches = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = common / (F.size("sh_a") + F.size("sh_b") - common)
+    est = F.col("sig_matches") / F.lit(float(MINHASH_SEEDS))
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("sig_matches", matches.cast("bigint"))
+        .withColumn("exact_j", exact)
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            t6(est).alias("est_jaccard"),
+            t6(F.col("exact_j")).alias("jaccard"),
+            t6(F.abs(est - F.col("exact_j"))).alias("abs_err"),
+        )
+    )
+
+
+def minhash_jaccard_estimate_oracle() -> str:
+    n = MINHASH_SEEDS
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig_list = ", ".join(
+        f"list_min([md5('{i}:' || x) for x in shingles])" for i in range(MINHASH_SEEDS)
+    )
+    bucket_list = ", ".join(
+        "md5(concat_ws(',', '{b}|', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    matches = (
+        f"list_sum([CASE WHEN mh_a[i + 1] = mh_b[i + 1] THEN 1 ELSE 0 END "
+        f"for i in range(0, {n})])"
+    )
+    exact = (
+        "(len(list_intersect(sh_a, sh_b)) * 1.0"
+        " / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))))"
+    )
+    return rf"""
+        WITH {SHINGLE_CTES_SQL},
+        s AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sig AS (
+          SELECT doc_id, shingles, [{sig_list}] AS mh FROM s
+        ),
+        banded AS (
+          SELECT doc_id, unnest([{bucket_list}]) AS bucket FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        j AS (
+          SELECT c.doc_a, c.doc_b,
+                 sa.shingles AS sh_a, sb.shingles AS sh_b,
+                 sa.mh AS mh_a, sb.mh AS mh_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST({matches} AS BIGINT) AS sig_matches,
+               FLOOR(({matches}) / {n}.0 * 1e6) / 1e6 AS est_jaccard,
+               FLOOR({exact} * 1e6) / 1e6 AS jaccard,
+               FLOOR(abs(({matches}) / {n}.0 - {exact}) * 1e6) / 1e6 AS abs_err
+        FROM j
+        ORDER BY doc_a, doc_b
     """

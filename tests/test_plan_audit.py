@@ -92,4 +92,4 @@ def test_registry_contract():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {"dedup_minhash_lsh"}
-    assert len(qs) == 129  # keep in lockstep with SURVEY §7 / README
+    assert len(qs) == 130  # keep in lockstep with SURVEY §7 / README
