@@ -255,9 +255,12 @@ def dedup_ngram_jaccard_oracle(tau: float = JACCARD_TAU) -> str:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU) -> DataFrame:
-    """MinHash + LSH banding near-dup detection (rows-only; the xxhash64
-    family is not portable to the SQL oracle — dedup_ngram_jaccard is the
-    exact twin the driver can verify).
+    """MinHash + LSH banding near-dup detection with the production
+    integer hash family (xxhash64 — no 32-byte hex strings on the wire).
+    Oracle-checked by self-consistency since round 5: the output is the
+    exact-Jaccard-verified pair set, which coincides with the portable
+    md5 family's pair set at the same banding when recall saturates (see
+    ``dedup_minhash_lsh_oracle``).
 
     Pipeline: per doc, MINHASH_SEEDS minhashes over shingles; group into
     LSH_BANDS bands; docs sharing any (band, band-signature) bucket become
@@ -439,6 +442,26 @@ def dedup_minhash_portable_oracle(tau: float = JACCARD_TAU) -> str:
               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {tau}
         ORDER BY doc_a, doc_b
     """
+
+
+def dedup_minhash_lsh_oracle(tau: float = JACCARD_TAU) -> str:
+    """Self-consistency oracle for the production (xxhash64) LSH path.
+
+    xxhash64 itself is not portable to DuckDB, but the entry's OUTPUT is
+    the *verified* pair set — exact Jaccard >= tau over the LSH candidate
+    pairs — so the hash family only controls recall, never precision.
+    The oracle re-derives the pair set through the portable md5 family at
+    the identical banding (MINHASH_SEEDS/LSH_BANDS, the
+    ``dedup_minhash_portable`` pipeline): on corpora where both families'
+    banding recall saturates (all near-dup clusters collide in >= 1 band —
+    true of the driver corpora, asserted by
+    tests/test_text_dedup.py::test_minhash_lsh_matches_portable_pairs),
+    the two verified pair sets coincide. A driver mismatch therefore
+    flags a real recall divergence between the families rather than
+    hash-value noise — a strictly stronger signal than the rows-only
+    check this entry carried through round 4.
+    """
+    return dedup_minhash_portable_oracle(tau)
 
 
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

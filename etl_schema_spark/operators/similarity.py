@@ -127,10 +127,19 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     the band join, and the shuffle volume is collision-bounded either way —
     never n². Recall at the tau boundary is the standard banding S-curve
     (measured in tests/test_similarity_sessions.py against the exact twin).
+
+    Band width is n-ADAPTIVE (round 5): fixed 4-bit bands are quadratic in
+    disguise (bucket occupancy ~ n/16), found by the 10× scale run. Beyond
+    ~2.4k vectors the family widens per _adaptive_band_params; at every
+    driver scale the params resolve to the 4×4 baseline the static oracle
+    SQL encodes, so oracle parity is unaffected where the oracle runs.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    keyed = emb.select("vec_id", *_band_key_cols(F.col("embedding")))
-    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    # Parquet count-star resolves from footer metadata — a cheap action that
+    # sizes the band family to the collection (see _adaptive_band_params).
+    n_bits, n_bands = _adaptive_band_params(emb.count())
+    keyed = emb.select("vec_id", *_band_key_cols(F.col("embedding"), n_bits, n_bands))
+    bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     ids = keyed.select("vec_id", F.posexplode(bands).alias("band", "key"))
     pairs = (
         ids.select(F.col("vec_id").alias("vec_a"), "band", "key")
@@ -258,16 +267,40 @@ LSH_BITS = 16
 LSH_BANDS = 4  # 4 bits per band
 LSH_DIM = 64  # testdata embedding dimensionality (planes are fixed-width)
 
+# Adaptive banding (round 5): with FIXED band width, expected bucket
+# occupancy is n / 2^bits, so candidate pairs grow ~n² / 2^bits — the 10x
+# scale run (tools/bench_scale.py) GC-thrashed exactly there. Width must
+# track the collection: bits = ceil(log2(n / target-bucket)) keeps bucket
+# occupancy — and per-band candidate volume — at ~n * target/2, linear in
+# n; bands grow alongside (bands = bits) so the banding S-curve recall of
+# the 4x4 baseline is preserved (p^bits per band falls, 1-(1-p^bits)^bands
+# recovers it). At driver scales (n <= 2400: sf0.001/0.01/0.1) this
+# resolves to the original 4 bits x 4 bands, which is what the static
+# oracle SQL encodes — the adaptivity only engages beyond oracle scales.
+LSH_TARGET_BUCKET = 150
+LSH_MAX_BITS_PER_BAND = 12
 
-def _lsh_planes() -> list[list[float]]:
+
+def _adaptive_band_params(n: int) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for a collection of n vectors."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET * 16:
+        return 4, LSH_BANDS
+    bits = min(LSH_MAX_BITS_PER_BAND, math.ceil(math.log2(n / LSH_TARGET_BUCKET)))
+    return bits, max(LSH_BANDS, bits)
+
+
+def _lsh_planes(n_planes: int = LSH_BITS) -> list[list[float]]:
     """Deterministic random hyperplanes: md5-seeded uniforms in [-1, 1),
     rounded to 6 dp so the same short decimal literals parse to the same
     doubles in Spark and DuckDB. No RNG state — any engine, any run, any
-    cluster size derives the identical family."""
+    cluster size derives the identical family (plane j is the same plane
+    at every width, so wider adaptive families extend, never reshuffle)."""
     import hashlib
 
     planes = []
-    for j in range(LSH_BITS):
+    for j in range(n_planes):
         row = []
         for d in range(LSH_DIM):
             h = int(hashlib.md5(f"lsh{j}_{d}".encode()).hexdigest()[:8], 16)
@@ -276,19 +309,19 @@ def _lsh_planes() -> list[list[float]]:
     return planes
 
 
-def _lsh_sig_bits(col: Column) -> list[Column]:
+def _lsh_sig_bits(col: Column, n_planes: int = LSH_BITS) -> list[Column]:
     return [
         F.when(_dot(col, F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
-        for p in _lsh_planes()
+        for p in _lsh_planes(n_planes)
     ]
 
 
-def _band_key_cols(col: Column) -> list[Column]:
-    """The LSH_BANDS 4-bit band keys of a vector, as columns k0..k{B-1}."""
-    bits = _lsh_sig_bits(col)
+def _band_key_cols(col: Column, bits: int = 4, bands: int = LSH_BANDS) -> list[Column]:
+    """The `bands` band keys of `bits` signature bits each, as k0..k{B-1}."""
+    sig = _lsh_sig_bits(col, bits * bands)
     return [
-        sum(bits[b * 4 + i] * (1 << i) for i in range(4)).alias(f"k{b}")
-        for b in range(LSH_BANDS)
+        sum(sig[b * bits + i] * (1 << i) for i in range(bits)).alias(f"k{b}")
+        for b in range(bands)
     ]
 
 

@@ -94,10 +94,13 @@ def skew_salted_daily_users(spark, sf_dir: str) -> DataFrame:
     type-day through ONE reducer — salted_collect caps fan-in at
     group_size / SALT and merges |SALT| chunks.
 
-    Oracle-checked: the sorted-array result is deterministic, so DuckDB's
-    list_sort(list(...)) states the same value (non-algebraic aggregates
-    are exactly the ones where salting earns its keep; sum/count never
-    need it).
+    Oracle-checked: the sorted list is deterministic, and it is emitted as
+    a '|'-joined STRING (plus n_users) rather than an ARRAY — the driver's
+    pandas canonicalizer sorts on every output column and cannot hash
+    list-typed cells (CORRECTNESS_r04: TypeError unhashable type 'list').
+    tests/test_skew.py keeps the array-form assertion on salted_collect
+    itself. (Non-algebraic aggregates are exactly the ones where salting
+    earns its keep; sum/count partial-aggregate map-side and never need it.)
     """
     from ..sources.catalog import load_table
 
@@ -106,7 +109,13 @@ def skew_salted_daily_users(spark, sf_dir: str) -> DataFrame:
         .select("event_type", F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
-    return salted_collect(pairs, ["event_type", "day"], "user_id", out="users")
+    collected = salted_collect(pairs, ["event_type", "day"], "user_id", out="users")
+    return collected.select(
+        "event_type",
+        "day",
+        F.size("users").alias("n_users"),
+        F.array_join(F.col("users").cast("array<string>"), "|").alias("users"),
+    )
 
 
 def skew_salted_daily_users_oracle() -> str:
@@ -115,7 +124,9 @@ def skew_salted_daily_users_oracle() -> str:
           SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
           FROM events
         )
-        SELECT event_type, day, list_sort(list(user_id)) AS users
+        SELECT event_type, day,
+               COUNT(*) AS n_users,
+               array_to_string(list_sort(list(user_id)), '|') AS users
         FROM pairs GROUP BY event_type, day
         ORDER BY event_type, day
     """

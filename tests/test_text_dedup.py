@@ -44,6 +44,22 @@ def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
         assert len(lsh) / len(exact) >= 0.9
 
 
+def test_minhash_lsh_matches_portable_pairs(spark, sf_dir, duck):
+    """Backing claim of dedup_minhash_lsh_oracle: on the driver corpora the
+    xxhash64-family verified pair set coincides with the portable
+    md5-family pair set at the identical banding (recall saturates for
+    both), so the portable oracle SQL is a valid driver twin for the
+    production-hash entry."""
+    xx = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+    md = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_minhash_portable(spark, sf_dir).collect()
+    }
+    assert xx == md
+    assert_matches_oracle(
+        dedup.dedup_minhash_lsh(spark, sf_dir), duck, dedup.dedup_minhash_lsh_oracle()
+    )
+
+
 def test_minhash_portable_oracle(spark, sf_dir, duck):
     """The md5-family MinHash+LSH pipeline is reproduced end-to-end by the
     SQL oracle: signatures, band buckets, candidates, verified pairs."""

@@ -1,0 +1,73 @@
+"""Scale-evidence runner: times the documents/embeddings/events-bound
+operators at sf0.1 and at the 10x sf1-equivalent corpus produced by
+tools/make_scale.py, and prints a markdown table with the warm-median
+times and the 10x growth ratio per query.
+
+Interpretation targets (VERDICT r4 item 4): scan-bound ops should grow
+~linearly (ratio ~<= 10 plus fixed overhead amortization, so usually
+well under 10 locally); LSH/banded ops should grow with collision
+volume, not candidate-pair volume (ratio ~10, never ~100 — the
+replica-disjoint amplification keeps true pair counts linear, so a
+quadratic candidate explosion would show up immediately).
+
+Usage: python tools/bench_scale.py [base_dir] [big_dir] [passes]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_schema_spark.session import get_spark  # noqa: E402
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+BIG = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1eq"
+PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+# docs/embeddings/events-bound registry entries, heaviest families first
+SCALE_QUERIES = [
+    "embedding_cosine_dup",
+    "embedding_decontaminate",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
+    "simhash_fingerprint",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "token_count",
+    "hourly_rollup",
+    "sessionized_events",
+    "rolling_active_users",
+]
+
+
+def warm_median(fn, spark, sf_dir: str) -> float:
+    times = []
+    for _ in range(PASSES + 1):  # first run is the warmup/cold pass
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    warm = sorted(times[1:])
+    return warm[len(warm) // 2]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench-scale")
+    qs["token_count"](spark, BASE).write.format("noop").mode("overwrite").save()
+
+    print(f"| query | {os.path.basename(BASE)} warm-med s | sf1eq warm-med s | ratio (10x data) |")
+    print("| --- | --- | --- | --- |")
+    for name in SCALE_QUERIES:
+        a = warm_median(qs[name], spark, BASE)
+        b = warm_median(qs[name], spark, BIG)
+        print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
