@@ -872,3 +872,119 @@ def user_transition_matrix_oracle() -> str:
                  / 1e6 AS prob
         FROM counts ORDER BY from_type, to_type
     """
+
+
+MAD_SIGMA = 3.0
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event_type: lower-median of `value`,
+    median absolute deviation (MAD), and how many events sit beyond
+    MAD_SIGMA * MAD — the robust twin of `zscore_outliers` (mean/stddev
+    break under the heavy tails this flags; median/MAD do not).
+
+    Medians are EXACT ORDER STATISTICS (the lower median, element at rank
+    (n+1) div 2), never interpolated — rank selection is integer-exact and
+    engine-portable where interpolation arithmetic is not.
+
+    Scale shape: event_type is a hot key, so ranks come from the
+    distributed two-phase pattern (``distributed.grouped_running_sum`` of
+    1s over a range partition = per-group global rank with bounded task
+    state) — never `row_number() OVER (PARTITION BY event_type)`, which
+    sorts a whole type in one task. Two rank passes (value, then
+    |value - median|), each joined back via broadcast of the
+    |event_type|-sized median tables.
+    """
+    from .distributed import grouped_running_sum
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    target = F.expr("(n + 1) div 2").alias("target")
+
+    r1 = grouped_running_sum(
+        ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
+    )
+    med = (
+        r1.join(F.broadcast(counts.select("event_type", target)), "event_type")
+        .filter(F.col("rk") == F.col("target"))
+        .select("event_type", F.col("value").alias("median"))
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("median"))
+    )
+    r2 = grouped_running_sum(
+        d, "event_type", F.struct("dev", "event_id"), F.lit(1), "rk2"
+    )
+    mad = (
+        r2.join(F.broadcast(counts.select("event_type", target)), "event_type")
+        .filter(F.col("rk2") == F.col("target"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    flagged = d.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("median").alias("med_raw"),
+            F.first("mad").alias("mad_raw"),
+            F.sum(
+                F.when(F.col("dev") > MAD_SIGMA * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.floor(F.col("med_raw") * 1e6) / 1e6).alias("median"),
+            (F.floor(F.col("mad_raw") * 1e6) / 1e6).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+def mad_outliers_oracle() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT event_type, event_id, value FROM events
+        ),
+        counts AS (
+          SELECT event_type, COUNT(*) AS n, (COUNT(*) + 1) // 2 AS target
+          FROM ev GROUP BY event_type
+        ),
+        r1 AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS rk
+          FROM ev
+        ),
+        med AS (
+          SELECT r1.event_type, r1.value AS median
+          FROM r1 JOIN counts USING (event_type) WHERE rk = target
+        ),
+        d AS (
+          SELECT ev.event_type, ev.event_id, ev.value, med.median,
+                 ABS(ev.value - med.median) AS dev
+          FROM ev JOIN med USING (event_type)
+        ),
+        r2 AS (
+          SELECT event_type, dev,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY dev, event_id
+                 ) AS rk2
+          FROM d
+        ),
+        mad AS (
+          SELECT r2.event_type, r2.dev AS mad
+          FROM r2 JOIN counts USING (event_type) WHERE rk2 = target
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(ANY_VALUE(d.median) * 1e6) / 1e6 AS median,
+               FLOOR(ANY_VALUE(mad.mad) * 1e6) / 1e6 AS mad,
+               CAST(SUM(CASE WHEN d.dev > {MAD_SIGMA} * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN mad ON mad.event_type = d.event_type
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """

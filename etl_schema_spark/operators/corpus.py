@@ -467,3 +467,73 @@ def cross_source_overlap_oracle() -> str:
         LEFT JOIN shared s ON s.source_a = na.source AND s.source_b = nb.source
         ORDER BY source_a, source_b
     """
+
+
+RESERVOIR_K = 20
+RESERVOIR_SALTS = 32
+
+
+def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-key sample ("reservoir" semantics done
+    the distributed way): per event_type keep the K events with the
+    smallest md5(event_type:event_id) — a fixed uniform hash order, so the
+    sample is reproducible on any engine, any partitioning, any run, and
+    refreshes stably as data arrives (an event's rank never changes).
+
+    Scale shape: event_type is a HOT key (~5 values over the whole
+    corpus), so a single `row_number() OVER (PARTITION BY event_type)`
+    would sort a fifth of the corpus in one task. Instead the classic
+    two-phase top-K: phase 1 keeps K candidates per (key, salt) — bounded
+    state per reducer, `RESERVOIR_SALTS` reducers per hot key — and
+    phase 2 merges |salts| K-arrays per key (metadata-sized). Same
+    bounded-fan-in idea as skew.salted_collect, specialized to top-K so
+    the merge input is K*salts rows, not the group.
+    """
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    h = F.md5(F.concat_ws(":", "event_type", "event_id"))
+    salted = ev.select(
+        "event_type",
+        "event_id",
+        h.alias("h"),
+        F.pmod(F.col("event_id"), F.lit(RESERVOIR_SALTS)).alias("_salt"),
+    )
+    phase1 = salted.groupBy("event_type", "_salt").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("h", "event_id"))),
+            1,
+            RESERVOIR_K,
+        ).alias("cand")
+    )
+    merged = phase1.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("cand"))), 1, RESERVOIR_K
+        ).alias("top")
+    )
+    return merged.select(
+        "event_type", F.posexplode("top").alias("pos", "c")
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).cast("bigint").alias("sample_rank"),
+        F.col("c.event_id").alias("event_id"),
+        F.col("c.h").alias("h"),
+    ).orderBy("event_type", "sample_rank")
+
+
+def reservoir_sample_per_key_oracle() -> str:
+    return f"""
+        WITH ranked AS (
+          SELECT event_type, event_id,
+                 md5(event_type || ':' || event_id) AS h,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(event_type || ':' || event_id), event_id
+                 ) AS sample_rank
+          FROM events
+        )
+        SELECT event_type, CAST(sample_rank AS BIGINT) AS sample_rank,
+               event_id, h
+        FROM ranked WHERE sample_rank <= {RESERVOIR_K}
+        ORDER BY event_type, sample_rank
+    """

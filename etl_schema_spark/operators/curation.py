@@ -186,15 +186,9 @@ STOP_MIN = 1
 _STOPS = ("the", "a", "of", "and", "to")
 
 
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality-rule flags per document (Gopher §A1-style): word
-    count in range, mean word length in range, symbol-to-char ratio under
-    cap, minimum stopword hits — plus the conjunction as `keep`.
-
-    Pure narrow projection, no shuffle, no Python boundary; at 100 TB this
-    is a scan-speed filter (the rules exist to be cheap).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _gopher_flag_cols() -> dict[str, Column]:
+    """The Gopher-rule expressions over a `text` column, shared by the
+    per-document flags entry and the per-source profile rollup."""
     toks = F.split(F.lower("text"), r"\s+")
     words = F.filter(toks, lambda t: t != F.lit(""))
     n_words = F.size(words)
@@ -215,17 +209,40 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_wl = (mean_wl >= WL_MIN) & (mean_wl <= WL_MAX)
     f_sym = symbol_ratio <= SYMBOL_MAX
     f_stop = stop_hits >= STOP_MIN
+    return {
+        "n_words": n_words,
+        "mean_wl": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+        "ok_word_count": f_words,
+        "ok_word_len": f_wl,
+        "ok_symbols": f_sym,
+        "ok_stopwords": f_stop,
+        "keep": f_words & f_wl & f_sym & f_stop,
+    }
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-rule flags per document (Gopher §A1-style): word
+    count in range, mean word length in range, symbol-to-char ratio under
+    cap, minimum stopword hits — plus the conjunction as `keep`.
+
+    Pure narrow projection, no shuffle, no Python boundary; at 100 TB this
+    is a scan-speed filter (the rules exist to be cheap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = _gopher_flag_cols()
     return docs.select(
         "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        _trunc6(mean_wl).alias("mean_word_len"),
-        _trunc6(symbol_ratio).alias("symbol_ratio"),
-        stop_hits.cast("bigint").alias("stop_hits"),
-        f_words.alias("ok_word_count"),
-        f_wl.alias("ok_word_len"),
-        f_sym.alias("ok_symbols"),
-        f_stop.alias("ok_stopwords"),
-        (f_words & f_wl & f_sym & f_stop).alias("keep"),
+        c["n_words"].cast("bigint").alias("n_words"),
+        _trunc6(c["mean_wl"]).alias("mean_word_len"),
+        _trunc6(c["symbol_ratio"]).alias("symbol_ratio"),
+        c["stop_hits"].cast("bigint").alias("stop_hits"),
+        c["ok_word_count"].alias("ok_word_count"),
+        c["ok_word_len"].alias("ok_word_len"),
+        c["ok_symbols"].alias("ok_symbols"),
+        c["ok_stopwords"].alias("ok_stopwords"),
+        c["keep"].alias("keep"),
     )
 
 
@@ -465,4 +482,101 @@ def quality_logreg_score_oracle() -> str:
                  AS prob,
                CAST(w_sum > 0 AS INT) AS keep
         FROM feat ORDER BY doc_id
+    """
+
+
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document counts, Gopher-rule pass
+    rates, and corpus-share of the kept slice — the rollup a data-mixing
+    decision reads before setting source weights (parity with the
+    reference's per-fleet summary views, e.g. views/statistics/*).
+
+    One scan → per-source algebraic aggregates (sums of 0/1 flags):
+    map-side partial aggregation collapses everything to |sources| rows
+    before the only shuffle. Scan-bound at 100 TB by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = _gopher_flag_cols()
+    flags = docs.select(
+        "source",
+        c["n_words"].alias("n_words"),
+        *[
+            c[k].cast("int").alias(k)
+            for k in ("ok_word_count", "ok_word_len", "ok_symbols", "ok_stopwords", "keep")
+        ],
+    )
+    prof = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        *[
+            _trunc6(F.avg(k)).alias(f"{k}_rate")
+            for k in ("ok_word_count", "ok_word_len", "ok_symbols", "ok_stopwords", "keep")
+        ],
+        F.sum(F.col("keep") * F.col("n_words")).cast("bigint").alias("kept_words"),
+    )
+    total_kept = prof.agg(F.sum("kept_words").alias("_tk"))
+    return (
+        prof.join(F.broadcast(total_kept))
+        .select(
+            "source",
+            "n_docs",
+            "total_words",
+            "ok_word_count_rate",
+            "ok_word_len_rate",
+            "ok_symbols_rate",
+            "ok_stopwords_rate",
+            "keep_rate",
+            "kept_words",
+            _trunc6(F.col("kept_words") / F.col("_tk")).alias("kept_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_quality_profile_oracle() -> str:
+    words = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+    mean_wl = (
+        f"CASE WHEN len({words}) > 0 THEN "
+        f"list_sum([CAST(strlen(w) AS DOUBLE) for w in {words}]) / len({words}) "
+        f"ELSE 0.0 END"
+    )
+    n_symbol = "strlen(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    symbol_ratio = (
+        f"CASE WHEN strlen(text) > 0 THEN {n_symbol} * 1.0 / strlen(text) ELSE 0.0 END"
+    )
+    stops = ", ".join(f"'{s}'" for s in _STOPS)
+    stop_hits = f"len(list_filter({words}, w -> w IN ({stops})))"
+    return f"""
+        WITH flags AS (
+          SELECT source,
+                 len({words}) AS n_words,
+                 CAST(len({words}) BETWEEN {QW_MIN} AND {QW_MAX} AS INT) AS ok_word_count,
+                 CAST(({mean_wl}) BETWEEN {WL_MIN} AND {WL_MAX} AS INT) AS ok_word_len,
+                 CAST(({symbol_ratio}) <= {SYMBOL_MAX} AS INT) AS ok_symbols,
+                 CAST({stop_hits} >= {STOP_MIN} AS INT) AS ok_stopwords,
+                 CAST((len({words}) BETWEEN {QW_MIN} AND {QW_MAX})
+                      AND (({mean_wl}) BETWEEN {WL_MIN} AND {WL_MAX})
+                      AND (({symbol_ratio}) <= {SYMBOL_MAX})
+                      AND ({stop_hits} >= {STOP_MIN}) AS INT) AS keep
+          FROM documents
+        ),
+        prof AS (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS total_words,
+                 FLOOR(AVG(ok_word_count) * 1e6) / 1e6 AS ok_word_count_rate,
+                 FLOOR(AVG(ok_word_len) * 1e6) / 1e6 AS ok_word_len_rate,
+                 FLOOR(AVG(ok_symbols) * 1e6) / 1e6 AS ok_symbols_rate,
+                 FLOOR(AVG(ok_stopwords) * 1e6) / 1e6 AS ok_stopwords_rate,
+                 FLOOR(AVG(keep) * 1e6) / 1e6 AS keep_rate,
+                 CAST(SUM(keep * n_words) AS BIGINT) AS kept_words
+          FROM flags GROUP BY source
+        )
+        SELECT source, n_docs, total_words,
+               ok_word_count_rate, ok_word_len_rate, ok_symbols_rate,
+               ok_stopwords_rate, keep_rate, kept_words,
+               FLOOR(kept_words * 1.0 / (SELECT SUM(kept_words) FROM prof) * 1e6) / 1e6
+                 AS kept_share
+        FROM prof
+        ORDER BY source
     """

@@ -883,3 +883,72 @@ def minhash_jaccard_estimate_oracle() -> str:
         FROM j
         ORDER BY doc_a, doc_b
     """
+
+
+BOUNDARY_M = 5  # token-window width for shared-boundary boilerplate keys
+
+
+def boundary_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-boundary detection: groups of documents sharing their
+    FIRST BOUNDARY_M tokens (template header) or LAST BOUNDARY_M tokens
+    (template footer) — the signal a curation pass uses to strip shared
+    intros/outros before dedup (shared boundaries inflate n-gram overlap
+    between otherwise-unrelated pages).
+
+    Deliberately emits the GROUP profile (kind, boundary key, member
+    count, representative doc), never the pairs: a boilerplate header
+    shared by 10^5 pages is the expected case at crawl scale, and a
+    pair-shaped output would be quadratic in exactly the rows that
+    matter. One scan -> two md5 keys per doc -> one groupBy on the
+    32-byte key; shuffle carries (kind, key, id) only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    head = F.md5(F.concat_ws(" ", F.slice(toks, 1, BOUNDARY_M)))
+    tail = F.md5(F.concat_ws(" ", F.slice(toks, -BOUNDARY_M, BOUNDARY_M)))
+    keyed = docs.filter(n >= BOUNDARY_M).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("head").alias("kind"), head.alias("key")),
+                F.struct(F.lit("tail").alias("kind"), tail.alias("key")),
+            )
+        ).alias("b"),
+    )
+    return (
+        keyed.select("doc_id", F.col("b.kind").alias("kind"), F.col("b.key").alias("key"))
+        .groupBy("kind", "key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("kind", F.col("key").alias("boundary_md5"), "n_docs", "first_doc")
+        .orderBy("kind", "boundary_md5")
+    )
+
+
+def boundary_templates_oracle() -> str:
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, 'head' AS kind,
+                 md5(array_to_string(toks[1:{BOUNDARY_M}], ' ')) AS key
+          FROM d WHERE len(toks) >= {BOUNDARY_M}
+          UNION ALL
+          SELECT doc_id, 'tail' AS kind,
+                 md5(array_to_string(toks[-{BOUNDARY_M}:], ' ')) AS key
+          FROM d WHERE len(toks) >= {BOUNDARY_M}
+        )
+        SELECT kind, key AS boundary_md5,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM keyed
+        GROUP BY kind, key
+        HAVING COUNT(*) >= 2
+        ORDER BY kind, boundary_md5
+    """

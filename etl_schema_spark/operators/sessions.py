@@ -249,3 +249,95 @@ def session_top_paths_oracle() -> str:
         QUALIFY rank <= {TOP_PATHS}
         ORDER BY rank
     """
+
+
+INTERVAL_WIDTH_US = 300 * 1_000_000  # each event covers [ts, ts + 5 min)
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union length of overlapping activity intervals: each event
+    covers [ts, ts+5min); overlapping/adjacent covers merge, and the
+    output is the merged-island count plus total covered time — the
+    "actual active wall-clock" metric that naive per-event sums
+    double-count (parity: the utilization views' busy-time semantics,
+    views/utilization/switch.sql, without the fixed bucketing).
+
+    Classic sweep, one shuffle: per user (high-cardinality key, naturally
+    parallel) order by start; an island opens where start exceeds the
+    running max of all previous ends; island id = running sum of opens;
+    per-island min(start)/max(end) then per-user rollup. All integer
+    microsecond arithmetic (unix_micros) — no float accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + INTERVAL_WIDTH_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0)
+    islands = (
+        ev.withColumn("open", opens)
+        .withColumn(
+            "island",
+            F.sum("open").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("s").alias("start"),
+            F.max("e").alias("end"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("end") - F.col("start")).cast("bigint").alias("covered_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def interval_coverage_oracle() -> str:
+    return f"""
+        WITH iv AS (
+          SELECT user_id,
+                 epoch_us(ts) AS s,
+                 epoch_us(ts) + {INTERVAL_WIDTH_US} AS e
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, s, e,
+                 CASE WHEN MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      )
+                 THEN 1 ELSE 0 END AS open
+          FROM iv
+        ),
+        islands AS (
+          SELECT user_id, s, e,
+                 SUM(open) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS island
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, island, COUNT(*) AS n_events,
+                 MIN(s) AS start, MAX(e) AS "end"
+          FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM("end" - start) AS BIGINT) AS covered_micros
+        FROM agg GROUP BY user_id
+        ORDER BY user_id
+    """

@@ -631,3 +631,262 @@ def bpe_merge_candidates_oracle() -> str:
         QUALIFY rank <= {BPE_TOP_PAIRS}
         ORDER BY rank
     """
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-cost profile: BPE-piece fertility (pieces per
+    whitespace word) and chars-per-piece, aggregated per `lang` — the table
+    a multilingual pretraining budget reads to price context length by
+    language (token_count_bpe gives the per-document view; this is the
+    corpus rollup that drives mixing decisions).
+
+    Exact integer sums (token/word/char totals) are aggregated per
+    language and the ratios derive once per group — order-independent, so
+    no float-accumulation nondeterminism. One scan, map-side partial
+    aggregation to |langs| rows, then the only shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    pieces = F.regexp_extract_all(low, F.lit(BPE_REGEX), F.lit(0))
+    toks = F.filter(pieces, lambda p: p.rlike(r"\S"))
+    ws = F.split(low, r"\s+")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_bpe"),
+        F.size(ws).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_bpe",
+            "total_words",
+            _trunc6(F.col("total_bpe") / F.col("total_words")).alias("fertility"),
+            _trunc6(F.col("total_chars") / F.col("total_bpe")).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenizer_fertility_oracle() -> str:
+    pat = BPE_REGEX.replace("'", "''")
+    return rf"""
+        WITH t AS (
+          SELECT lang,
+                 len(list_filter(regexp_extract_all(lower(text), '{pat}', 0),
+                                 p -> regexp_matches(p, '\S'))) AS n_bpe,
+                 len(string_split_regex(lower(text), '\s+')) AS n_words,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               FLOOR(SUM(n_bpe) * 1.0 / SUM(n_words) * 1e6) / 1e6 AS fertility,
+               FLOOR(SUM(n_chars) * 1.0 / SUM(n_bpe) * 1e6) / 1e6 AS chars_per_piece
+        FROM t GROUP BY lang
+        ORDER BY lang
+    """
+
+
+PMI_MIN_PAIR_DOCS = 5
+PMI_TOP_K = 50
+
+
+def pmi_cooccur_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K term pairs by pointwise mutual information over document-level
+    co-occurrence — the classic collocation/phrase-mining signal (which
+    term pairs appear in the same document far more often than chance).
+
+    PMI(a,b) = ln(N * df_ab / (df_a * df_b)) over document frequencies,
+    with a min-support cut (df_ab >= PMI_MIN_PAIR_DOCS) so rare-pair noise
+    never reaches the ranking.
+
+    Scale: tokens are distinct-reduced per doc BEFORE the pair build, and
+    pairs form via a (doc_id)-keyed self equi-join — per-doc fan-out is
+    bounded by distinct-tokens-per-doc squared (web-doc sized), and the
+    pair counting is one partial-aggregated groupBy. The final top-K is a
+    TakeOrdered over the (already aggregated) pair table, never a global
+    sort of raw pairs. Deterministic total order: (pmi desc, pair asc).
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+            )
+        ).alias("tok"),
+    )
+    n_docs = docs.count()
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.select("doc_id", F.col("tok").alias("tok_a"))
+    b = toks.select("doc_id", F.col("tok").alias("tok_b"))
+    pair_df = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .filter(F.col("df_ab") >= PMI_MIN_PAIR_DOCS)
+    )
+    dfa = df_t.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    dfb = df_t.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.log(F.lit(float(n_docs)) * F.col("df_ab") / (F.col("df_a") * F.col("df_b")))
+    return (
+        pair_df.join(dfa, "tok_a")
+        .join(dfb, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("df_ab").cast("bigint").alias("df_ab"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            _trunc6(pmi).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(PMI_TOP_K)
+    )
+
+
+def pmi_cooccur_terms_oracle() -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(
+            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+          ) AS tok
+          FROM documents
+        ),
+        df_t AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+        pairs AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS df_ab
+          FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY a.tok, b.tok
+          HAVING COUNT(*) >= {PMI_MIN_PAIR_DOCS}
+        )
+        SELECT tok_a, tok_b,
+               CAST(df_ab AS BIGINT) AS df_ab,
+               CAST(fa.df AS BIGINT) AS df_a,
+               CAST(fb.df AS BIGINT) AS df_b,
+               FLOOR(LN((SELECT COUNT(*) FROM documents) * df_ab * 1.0
+                        / (fa.df * fb.df)) * 1e6) / 1e6 AS pmi
+        FROM pairs
+        JOIN df_t fa ON fa.tok = pairs.tok_a
+        JOIN df_t fb ON fb.tok = pairs.tok_b
+        ORDER BY pmi DESC, tok_a, tok_b
+        LIMIT {PMI_TOP_K}
+    """
+
+
+PPL_BUCKETS = 5
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by its mean
+    unigram surprisal under the corpus MLE model (-ln count(t)/T averaged
+    over the doc), split the corpus into PPL_BUCKETS quantile buckets on
+    that score, and flag the middle buckets as `keep` (the CCNet recipe:
+    head = boilerplate/templated, tail = garbled; the middle trains best).
+
+    Scoring corpus == counting corpus, so every token has count >= 1 and
+    the MLE needs no smoothing (same contract as bigram_surprisal).
+
+    Scale shape: bucket boundaries are EXACT order statistics picked by
+    global rank — and the global rank comes from the distributed
+    two-phase pattern (``grouped_running_sum`` of 1s over a constant
+    group: range-partition by score, broadcast per-partition prefix
+    counts), never `row_number() OVER ()` (one task for the corpus).
+    The 4 boundary rows then broadcast back over the scored table; a doc's
+    bucket is how many boundaries its score exceeds, so boundary ties
+    land deterministically in the lower bucket.
+    """
+    from .distributed import grouped_running_sum
+
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    scored = (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            _trunc6(F.avg(-F.log(F.col("c") / F.lit(float(total))))).alias("logprob"),
+        )
+    )
+    n_docs = docs.count()
+    ranked = grouped_running_sum(
+        scored.withColumn("_g", F.lit(1)),
+        "_g",
+        F.struct("logprob", "doc_id"),
+        F.lit(1),
+        "rk",
+    )
+    targets = [(n_docs * q) // PPL_BUCKETS for q in range(1, PPL_BUCKETS)]
+    bounds = ranked.filter(F.col("rk").isin(targets)).select(
+        F.col("logprob").alias("bound")
+    )
+    bucket = F.sum(F.when(F.col("logprob") > F.col("bound"), 1).otherwise(0))
+    return (
+        scored.join(F.broadcast(bounds))
+        .groupBy("doc_id", "n_toks", "logprob")
+        .agg(bucket.cast("bigint").alias("bucket"))
+        .withColumn(
+            "keep", (F.col("bucket") > 0) & (F.col("bucket") < PPL_BUCKETS - 1)
+        )
+        .select("doc_id", "n_toks", "logprob", "bucket", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def perplexity_buckets_oracle() -> str:
+    targets = f"[(n_docs * q) // {PPL_BUCKETS} for q in range(1, {PPL_BUCKETS})]"
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(
+            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+          ) AS tok
+          FROM documents
+        ),
+        counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT COUNT(*) AS t FROM toks),
+        scored AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 FLOOR(AVG(-LN(c * 1.0 / (SELECT t FROM total))) * 1e6) / 1e6
+                   AS logprob
+          FROM toks JOIN counts USING (tok)
+          GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY logprob, doc_id) AS rk,
+                 COUNT(*) OVER () AS n_docs
+          FROM scored
+        ),
+        bounds AS (
+          SELECT logprob AS bound FROM ranked
+          WHERE list_contains({targets}, rk)
+        )
+        SELECT s.doc_id, s.n_toks, s.logprob,
+               CAST(SUM(CASE WHEN s.logprob > b.bound THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bucket,
+               SUM(CASE WHEN s.logprob > b.bound THEN 1 ELSE 0 END) > 0
+                 AND SUM(CASE WHEN s.logprob > b.bound THEN 1 ELSE 0 END)
+                     < {PPL_BUCKETS - 1} AS keep
+        FROM scored s CROSS JOIN bounds b
+        GROUP BY s.doc_id, s.n_toks, s.logprob
+        ORDER BY s.doc_id
+    """

@@ -23,6 +23,11 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Local mode runs driver+executors in ONE JVM whose heap defaults to
+    # 1g — enough for sf0.1, but the 10x scale corpus (tools/make_scale.py)
+    # OOMs shuffle writers there. Size the harness JVM to the machine
+    # (honored only at JVM launch; on a cluster spark-submit owns this).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

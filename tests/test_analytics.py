@@ -204,3 +204,36 @@ def test_seasonal_baseline_ratio_centers_on_one(spark, sf_dir):
     assert 0.8 < mean_ratio < 1.2
     for r in rows:
         assert r["expected_sum"] > 0
+
+
+def test_mad_outliers_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.mad_outliers(spark, sf_dir), duck, analytics.mad_outliers_oracle()
+    )
+
+
+def test_mad_outliers_median_is_order_statistic(spark, sf_dir):
+    """The reported median must be an actual data value of its group
+    (lower median — no interpolation), and MAD-flagged counts must match
+    a driver-side recomputation."""
+    from etl_schema_spark.sources.catalog import load_table
+
+    rows = {r.event_type: r for r in analytics.mad_outliers(spark, sf_dir).collect()}
+    data = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in data:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1]
+        import math
+
+        assert math.floor(med * 1e6) / 1e6 == rows[t].median
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        n_out = sum(1 for v in vals if abs(v - med) > analytics.MAD_SIGMA * mad)
+        assert n_out == rows[t].n_outliers

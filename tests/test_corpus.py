@@ -217,3 +217,37 @@ def test_cross_source_overlap_symmetric_complete(spark, sf_dir):
         assert r["n_shared"] <= min(r["n_a"], r["n_b"])
     n_sources = len({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
     assert len(rows) == n_sources * (n_sources - 1) // 2
+
+
+def test_reservoir_sample_per_key_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        corpus.reservoir_sample_per_key(spark, sf_dir),
+        duck,
+        corpus.reservoir_sample_per_key_oracle(),
+    )
+
+
+def test_reservoir_sample_salt_invariant(spark, sf_dir):
+    """The two-phase bounded-state top-K must equal the direct window
+    row_number result regardless of salt spread (the sample is a pure
+    function of the hash order, not the partitioning)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    h = F.md5(F.concat_ws(":", "event_type", "event_id"))
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    direct = {
+        (r.event_type, r.rk, r.event_id)
+        for r in ev.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= corpus.RESERVOIR_K)
+        .collect()
+    }
+    two_phase = {
+        (r.event_type, r.sample_rank, r.event_id)
+        for r in corpus.reservoir_sample_per_key(spark, sf_dir).collect()
+    }
+    assert two_phase == direct

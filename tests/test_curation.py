@@ -90,3 +90,36 @@ def test_curation_pipeline_stages_compose(spark, sf_dir):
     assert kept_ids <= quality_keep
     assert out.select("content_md5").distinct().count() == n
     assert out.filter(F.col("cum_chars") > curation.CURATION_BUDGET_CHARS).count() == 0
+
+
+def test_source_quality_profile_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.source_quality_profile(spark, sf_dir),
+        duck,
+        curation.source_quality_profile_oracle(),
+    )
+
+
+def test_source_quality_profile_consistent_with_flags(spark, sf_dir):
+    """Per-source keep rates must equal the mean of gopher_quality_flags'
+    per-doc keep bits (same rules, different grain); kept_share sums to 1."""
+    flags = {
+        r.doc_id: r.keep for r in curation.gopher_quality_flags(spark, sf_dir).collect()
+    }
+    from etl_schema_spark.sources.catalog import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for d, k in flags.items():
+        per[src[d]].append(k)
+    prof = {r.source: r for r in curation.source_quality_profile(spark, sf_dir).collect()}
+    for s, ks in per.items():
+        want = math.floor(sum(ks) / len(ks) * 1e6) / 1e6
+        assert prof[s].keep_rate == want, s
+    assert abs(sum(r.kept_share for r in prof.values()) - 1.0) < 1e-4

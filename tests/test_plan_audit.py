@@ -38,6 +38,10 @@ ALLPAIRS_OK = {
     # probe universe = |types| x |distinct users| — dimension-sized cross
     # join by definition (the fact is reduced to distinct pairs first)
     "bloom_membership",
+    # broadcast tiny-side cross joins: a 1-row kept-words total and a
+    # 4-row quantile-boundary table respectively — O(n) BNLJ by design
+    "source_quality_profile",
+    "perplexity_buckets",
 }
 
 QUERIES = entry.queries()

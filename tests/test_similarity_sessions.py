@@ -204,3 +204,21 @@ def test_ann_ivf_oracle(spark, sf_dir, duck):
         duck,
         similarity.ann_ivf_topk_oracle(),
     )
+
+
+def test_interval_coverage_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sessions.interval_coverage(spark, sf_dir),
+        duck,
+        sessions.interval_coverage_oracle(),
+    )
+
+
+def test_interval_coverage_bounds(spark, sf_dir):
+    """Covered time is bounded below by one interval width (any user with
+    events) and above by n_events * width; islands <= events."""
+    w = sessions.INTERVAL_WIDTH_US
+    for r in sessions.interval_coverage(spark, sf_dir).collect():
+        assert r.n_islands <= r.n_events
+        assert r.covered_micros >= w
+        assert r.covered_micros <= r.n_events * w

@@ -196,3 +196,78 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     tot = sum(r["n_tok"] for r in rows)
     oov = sum(r["n_oov"] for r in rows)
     assert oov < tot
+
+
+def test_tokenizer_fertility_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.tokenizer_fertility(spark, sf_dir), duck, text.tokenizer_fertility_oracle()
+    )
+
+
+def test_tokenizer_fertility_vs_per_doc(spark, sf_dir):
+    """The per-lang rollup's totals must equal the sum of token_count_bpe's
+    per-doc counts (same pretokenizer, different grain)."""
+    total_bpe = sum(
+        r.total_bpe for r in text.tokenizer_fertility(spark, sf_dir).collect()
+    )
+    per_doc = sum(
+        r.n_tokens_bpe for r in text.token_count_bpe(spark, sf_dir).collect()
+    )
+    assert total_bpe == per_doc
+
+
+def test_pmi_cooccur_terms_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.pmi_cooccur_terms(spark, sf_dir), duck, text.pmi_cooccur_terms_oracle()
+    )
+
+
+def test_pmi_support_and_bounds(spark, sf_dir):
+    """Every returned pair meets min support; PMI respects df_ab <= min(df)."""
+    rows = text.pmi_cooccur_terms(spark, sf_dir).collect()
+    assert rows, "PMI top-K should be non-empty on the test corpus"
+    for r in rows:
+        assert r.df_ab >= text.PMI_MIN_PAIR_DOCS
+        assert r.df_ab <= min(r.df_a, r.df_b)
+        assert r.tok_a < r.tok_b
+
+
+def test_perplexity_buckets_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.perplexity_buckets(spark, sf_dir), duck, text.perplexity_buckets_oracle()
+    )
+
+
+def test_perplexity_buckets_shape(spark, sf_dir):
+    """Buckets are ~equal-sized quantiles; keep flags exactly the middle."""
+    rows = text.perplexity_buckets(spark, sf_dir).collect()
+    n = len(rows)
+    from collections import Counter
+
+    sizes = Counter(r.bucket for r in rows)
+    assert set(sizes) == set(range(text.PPL_BUCKETS))
+    for b, c in sizes.items():
+        assert abs(c - n / text.PPL_BUCKETS) <= n * 0.1 + 1
+    for r in rows:
+        assert r.keep == (0 < r.bucket < text.PPL_BUCKETS - 1)
+
+
+def test_boundary_templates_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.boundary_templates(spark, sf_dir), duck, dedup.boundary_templates_oracle()
+    )
+
+
+def test_boundary_templates_exact_dups_share_boundaries(spark, sf_dir):
+    """Exact duplicate documents must surface in both a head and a tail
+    group (a dup pair shares its first and last M tokens by definition)."""
+    from pyspark.sql import functions as F
+
+    dup_groups = (
+        dedup.dedup_exact(spark, sf_dir).filter(F.col("n_copies") >= 2).count()
+    )
+    rows = dedup.boundary_templates(spark, sf_dir).collect()
+    kinds = {r.kind for r in rows}
+    if dup_groups:
+        assert kinds == {"head", "tail"}
+        assert all(r.n_docs >= 2 for r in rows)
