@@ -67,6 +67,12 @@ HEADLINE = [
     "embedding_decontaminate",
     "mix_epoch_plan",
     "streaming_hourly_counts",
+    # round-5 additions
+    "perplexity_buckets",
+    "mad_outliers",
+    "interval_coverage",
+    "reservoir_sample_per_key",
+    "pmi_cooccur_terms",
 ]
 
 

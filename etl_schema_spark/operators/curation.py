@@ -580,3 +580,128 @@ def source_quality_profile_oracle() -> str:
         FROM prof
         ORDER BY source
     """
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (by doc_id order) is
+    this document — the dedup-adjacent curation signal that separates
+    original content from recombinations of already-seen text (exact
+    duplicates score 0 unless they are the first copy).
+
+    Scale: one groupBy(shingle) -> min(doc_id) (the first-occurrence
+    index, same shape as a dedup fingerprint table), joined back onto the
+    exploded postings and re-aggregated per doc — two shuffles, both on
+    uniform keys, no self-join anywhere.
+    """
+    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    posting = sh.select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("shingle")
+    )
+    first = posting.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        posting.join(first, "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel")
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            _trunc6(F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_novelty_score_oracle() -> str:
+    return f"""
+        WITH {SHINGLE_CTES_SQL},
+        posting AS (
+          SELECT doc_id, len(shingles) AS n_shingles,
+                 unnest(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0
+        ),
+        first AS (
+          SELECT shingle, MIN(doc_id) AS first_doc FROM posting GROUP BY shingle
+        )
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               FLOOR(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+                     / n_shingles * 1e6) / 1e6 AS novelty
+        FROM posting JOIN first USING (shingle)
+        GROUP BY doc_id, n_shingles
+        ORDER BY doc_id
+    """
+
+
+XLANG_DF_CAP = 50  # ignore shingles seen in more than this many docs
+XLANG_MIN_SHARED = 3  # doc pairs must share at least this many rare shingles
+
+
+def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language verbatim-overlap pairs: documents tagged with
+    DIFFERENT `lang` values that share >= XLANG_MIN_SHARED rare word-3-gram
+    shingles — the mislabeled-language / copy-across-splits signal a
+    multilingual curation pass quarantines (verbatim n-gram reuse across
+    language labels means either a langid error or leaked text).
+
+    Scale: postings are capped at document frequency <= XLANG_DF_CAP
+    before the self-join — boilerplate shingles shared by 10^6 docs are
+    exactly the ones that say nothing about contamination AND would
+    explode a join, so the cap is both the semantic filter and the
+    hot-key bound (same rarity principle as dedup_ngram_jaccard's prefix
+    filter). The join shuffles (shingle, doc_id, lang) postings only.
+    """
+    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    posting = sh.join(langs, "doc_id").select(
+        "doc_id", "lang", F.explode("shingles").alias("shingle")
+    )
+    rare = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= XLANG_DF_CAP
+    )
+    p = posting.join(rare.select("shingle"), "shingle")
+    a = p.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle"
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") != F.col("lang_b")))
+        .groupBy("doc_a", "doc_b", "lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= XLANG_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def cross_lang_contamination_oracle() -> str:
+    return f"""
+        WITH {SHINGLE_CTES_SQL},
+        posting AS (
+          SELECT sh.doc_id, d2.lang, unnest(sh.shingles) AS shingle
+          FROM sh JOIN documents d2 ON d2.doc_id = sh.doc_id
+          WHERE len(sh.shingles) > 0
+        ),
+        rare AS (
+          SELECT shingle FROM posting GROUP BY shingle
+          HAVING COUNT(*) <= {XLANG_DF_CAP}
+        ),
+        p AS (SELECT posting.* FROM posting JOIN rare USING (shingle))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM p a JOIN p b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang <> b.lang
+        GROUP BY a.doc_id, b.doc_id, a.lang, b.lang
+        HAVING COUNT(*) >= {XLANG_MIN_SHARED}
+        ORDER BY doc_a, doc_b
+    """

@@ -205,22 +205,12 @@ def embedding_cosine_dup_exact(
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: probe only the nearest centroid's inverted list.
-
-    Coarse codebook = per-label mean vector (labels are cluster
-    assignments in the testdata; on a real corpus run k-means first).
-    Fully oracle-checked since round 2: the codebook means use the
-    trunc6→DECIMAL exact pooling (centroid_per_label's trick), so the
-    centroids — and therefore bucket probes and in-bucket rankings — are
-    bit-identical across engines.
-
-    Scale: centroids broadcast; the collection is partitioned by bucket
-    (repartition on label), so each query's scan touches one bucket —
-    1/k of the data — and the final top-k window is per-query.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = (
+def _label_codebook(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer codebook: per-label mean vector with decimal-exact
+    pooling (trunc6 inputs summed as DECIMAL(18,6)), so the centroids are
+    bit-portable to the SQL oracle. Shared by ann_ivf_topk (query probe)
+    and semdedup_clusters (full-collection assignment)."""
+    return (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
@@ -237,6 +227,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("pairs"), lambda p: p["cx"]).alias("centroid"),
         )
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: probe only the nearest centroid's inverted list.
+
+    Coarse codebook = per-label mean vector (labels are cluster
+    assignments in the testdata; on a real corpus run k-means first).
+    Fully oracle-checked since round 2: the codebook means use the
+    trunc6→DECIMAL exact pooling (centroid_per_label's trick), so the
+    centroids — and therefore bucket probes and in-bucket rankings — are
+    bit-identical across engines.
+
+    Scale: centroids broadcast; the collection is partitioned by bucket
+    (repartition on label), so each query's scan touches one bucket —
+    1/k of the data — and the final top-k window is per-query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _label_codebook(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -850,4 +858,115 @@ def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
         FROM keys t JOIN keys e ON t.is_eval = 0 AND e.is_eval = 1 AND ({band_match})
         WHERE ({cos_sql}) >= {tau}
         ORDER BY train_id, eval_id
+    """
+
+
+SEM_TAU = COSINE_TAU
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every vector to its nearest
+    coarse-codebook centroid, then mark as duplicate any vector whose
+    cluster contains a SMALLER-id vector within cosine >= SEM_TAU (keep
+    the first, drop the echo — the deterministic version of SemDeDup's
+    keep-one-per-near-clique rule). Output: one row per vector with its
+    cluster, the drop flag, and the witness it duplicates.
+
+    Scale: the codebook broadcasts (|labels| x dim floats — at production
+    scale the cluster count is chosen ~n/target so within-cluster
+    brute-force pairs stay bounded, exactly the SemDeDup recipe); the
+    within-cluster pair join is a plain equi-join on cluster id, and the
+    witness reduction is a partial-aggregated min per vec_id. The
+    assignment table is persisted: three consumers (both pair sides + the
+    final projection), one codebook-scan pass.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _label_codebook(emb)
+    c_cos = _cosine(F.col("embedding"), F.col("centroid"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("c_label")
+    )
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(codebook))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cluster"
+    )
+    pair_cos = _cosine(F.col("emb_a"), F.col("emb_b"))
+    witnesses = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(pair_cos >= SEM_TAU)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_clusters_oracle() -> str:
+    a_cos = (
+        "list_dot_product(a.de, b.de)"
+        " / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de)))"
+    )
+    assign_cos = (
+        "list_dot_product(e.de, c.centroid)"
+        " / (sqrt(list_dot_product(e.de, e.de))"
+        " * sqrt(list_dot_product(c.centroid, c.centroid)))"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
+            SELECT label, dim,
+                   FLOOR(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e6) / 1e6
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) * 1e6) / 1e6 AS cx
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding) AS val FROM embeddings)
+            GROUP BY label, dim
+          ) GROUP BY label
+        ),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+        ),
+        assigned AS (
+          SELECT vec_id, de, c_label AS cluster FROM (
+            SELECT e.vec_id, e.de, c.c_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ({assign_cos}) DESC, c.c_label ASC) AS rn
+            FROM e CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        witnesses AS (
+          SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ({a_cos}) >= {SEM_TAU}
+          GROUP BY b.vec_id
+        )
+        SELECT assigned.vec_id, cluster,
+               witnesses.dup_of IS NOT NULL AS is_dup,
+               witnesses.dup_of
+        FROM assigned LEFT JOIN witnesses ON witnesses.vec_id = assigned.vec_id
+        ORDER BY assigned.vec_id
     """

@@ -890,3 +890,68 @@ def perplexity_buckets_oracle() -> str:
         GROUP BY s.doc_id, s.n_toks, s.logprob
         ORDER BY s.doc_id
     """
+
+
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) plus its normalized form
+    (entropy / ln(distinct_terms)) — the cheap repetitiveness signal: near-0
+    means one term dominates (templated/garbled), near-1 means uniform
+    usage. Complements repetition_stats' n-gram duplicate fractions with a
+    distribution-shaped view.
+
+    Zero shuffle: the term histogram is computed in-row over the token
+    array (same O(distinct*n) counting loop as repetition_stats, the
+    explode-free shape that wins for web-doc-sized rows), and the entropy
+    folds sequentially in double precision.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double"),
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(n / c),
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    norm = F.when(n_distinct > 1, ent / F.log(n_distinct.cast("double"))).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_toks"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        _trunc6(ent).alias("entropy"),
+        _trunc6(norm).alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
+def doc_entropy_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, {toks} AS toks FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 len(toks) AS n_toks,
+                 len(list_distinct(toks)) AS n_distinct,
+                 list_sum([
+                   (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / len(toks))
+                   * LN(len(toks) * 1.0 / len(list_filter(toks, x -> x = t)))
+                   for t in list_distinct(toks)
+                 ]) AS ent
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               FLOOR(ent * 1e6) / 1e6 AS entropy,
+               FLOOR(CASE WHEN n_distinct > 1 THEN ent / LN(n_distinct)
+                          ELSE 0.0 END * 1e6) / 1e6 AS norm_entropy
+        FROM h
+        ORDER BY doc_id
+    """

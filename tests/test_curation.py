@@ -123,3 +123,48 @@ def test_source_quality_profile_consistent_with_flags(spark, sf_dir):
         want = math.floor(sum(ks) / len(ks) * 1e6) / 1e6
         assert prof[s].keep_rate == want, s
     assert abs(sum(r.kept_share for r in prof.values()) - 1.0) < 1e-4
+
+
+def test_ngram_novelty_score_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.ngram_novelty_score(spark, sf_dir),
+        duck,
+        curation.ngram_novelty_score_oracle(),
+    )
+
+
+def test_ngram_novelty_exact_dups_score_zero(spark, sf_dir):
+    """A later exact copy contributes no first occurrences: novelty == 0
+    for every non-first member of an exact-dup group."""
+    from etl_schema_spark.operators import dedup
+
+    copies = {
+        r.keep_doc_id: r.n_copies
+        for r in dedup.dedup_exact(spark, sf_dir).collect()
+        if r.n_copies >= 2
+    }
+    if not copies:
+        return
+    nov = {r.doc_id: r.novelty for r in curation.ngram_novelty_score(spark, sf_dir).collect()}
+    # find the dup groups again to get members
+    from etl_schema_spark.sources.catalog import load_table
+
+    texts = {}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        texts.setdefault(r.text.lower(), []).append(r.doc_id)
+    checked = 0
+    for ids in texts.values():
+        if len(ids) >= 2:
+            for d in sorted(ids)[1:]:
+                if d in nov:
+                    assert nov[d] == 0.0, d
+                    checked += 1
+    assert checked > 0
+
+
+def test_cross_lang_contamination_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        curation.cross_lang_contamination(spark, sf_dir),
+        duck,
+        curation.cross_lang_contamination_oracle(),
+    )

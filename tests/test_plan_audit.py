@@ -42,6 +42,9 @@ ALLPAIRS_OK = {
     # 4-row quantile-boundary table respectively — O(n) BNLJ by design
     "source_quality_profile",
     "perplexity_buckets",
+    # codebook assignment: every vector scores |labels| broadcast
+    # centroids — the canonical IVF probe shape (same as ann_ivf/kmeans)
+    "semdedup_clusters",
 }
 
 QUERIES = entry.queries()

@@ -222,3 +222,28 @@ def test_interval_coverage_bounds(spark, sf_dir):
         assert r.n_islands <= r.n_events
         assert r.covered_micros >= w
         assert r.covered_micros <= r.n_events * w
+
+
+def test_semdedup_clusters_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.semdedup_clusters(spark, sf_dir),
+        duck,
+        similarity.semdedup_clusters_oracle(),
+    )
+
+
+def test_semdedup_witness_rules(spark, sf_dir):
+    """Witness is always a smaller id in the same cluster; the first
+    vector of every cluster is never dropped."""
+    rows = similarity.semdedup_clusters(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for c, rs in by_cluster.items():
+        first = min(r.vec_id for r in rs)
+        for r in rs:
+            if r.vec_id == first:
+                assert not r.is_dup
+            if r.is_dup:
+                assert r.dup_of < r.vec_id
+                assert any(o.vec_id == r.dup_of and o.cluster == c for o in rs)

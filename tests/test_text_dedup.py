@@ -271,3 +271,20 @@ def test_boundary_templates_exact_dups_share_boundaries(spark, sf_dir):
     if dup_groups:
         assert kinds == {"head", "tail"}
         assert all(r.n_docs >= 2 for r in rows)
+
+
+def test_doc_entropy_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.doc_entropy(spark, sf_dir), duck, text.doc_entropy_oracle()
+    )
+
+
+def test_doc_entropy_bounds(spark, sf_dir):
+    """0 <= entropy <= ln(n_distinct); norm in [0, 1]; single-term docs 0."""
+    import math
+
+    for r in text.doc_entropy(spark, sf_dir).collect():
+        assert -1e-9 <= r.entropy <= math.log(max(r.n_distinct, 2)) + 1e-9
+        assert -1e-9 <= r.norm_entropy <= 1 + 1e-9
+        if r.n_distinct == 1:
+            assert r.entropy == 0.0

@@ -41,6 +41,15 @@ SCALE_QUERIES = [
     "hourly_rollup",
     "sessionized_events",
     "rolling_active_users",
+    # round-5 operators
+    "perplexity_buckets",
+    "pmi_cooccur_terms",
+    "mad_outliers",
+    "interval_coverage",
+    "reservoir_sample_per_key",
+    "boundary_templates",
+    "source_quality_profile",
+    "tokenizer_fertility",
 ]
 
 
