@@ -988,3 +988,135 @@ def mad_outliers_oracle() -> str:
         GROUP BY d.event_type
         ORDER BY d.event_type
     """
+
+
+TAIL_PCTS = (50, 95, 99)
+
+
+def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of `value` per event_type as ORDER STATISTICS
+    (the value at rank ceil(p/100 * n) — the "nearest-rank" percentile
+    definition, integer-exact and engine-portable where interpolated
+    percentiles are not).
+
+    Scale shape: one two-phase distributed rank pass
+    (``distributed.grouped_running_sum`` of 1s over a range partition by
+    (event_type, value)) serves ALL percentiles at once — the rank table
+    is computed once and filtered against the |types| x |percentiles|
+    broadcast target list. Never `percentile() OVER (PARTITION BY
+    event_type)` or a per-type sort in one task.
+    """
+    from .distributed import grouped_running_sum
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    targets = counts.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in TAIL_PCTS])).alias("pct"),
+    ).withColumn("target", F.ceil(F.col("pct") / 100.0 * F.col("n")).cast("bigint"))
+    ranked = grouped_running_sum(
+        ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets.select("event_type", "pct", "target", "n")),
+            ["event_type"],
+        )
+        .filter(F.col("rk") == F.col("target"))
+        .select(
+            "event_type",
+            F.col("pct").cast("bigint").alias("pct"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.floor(F.col("value") * 1e6) / 1e6).alias("value_at_pct"),
+        )
+        .orderBy("event_type", "pct")
+    )
+
+
+def tail_latency_percentiles_oracle() -> str:
+    pcts = ", ".join(str(p) for p in TAIL_PCTS)
+    return f"""
+        WITH ev AS (SELECT event_type, event_id, value FROM events),
+        counts AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
+        targets AS (
+          SELECT event_type, n, unnest([{pcts}]) AS pct FROM counts
+        ),
+        t2 AS (
+          SELECT event_type, n, pct,
+                 CAST(CEIL(pct / 100.0 * n) AS BIGINT) AS target
+          FROM targets
+        ),
+        ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                 ) AS rk
+          FROM ev
+        )
+        SELECT t2.event_type,
+               CAST(t2.pct AS BIGINT) AS pct,
+               CAST(t2.n AS BIGINT) AS n,
+               FLOOR(ranked.value * 1e6) / 1e6 AS value_at_pct
+        FROM t2 JOIN ranked
+          ON ranked.event_type = t2.event_type AND ranked.rk = t2.target
+        ORDER BY t2.event_type, t2.pct
+    """
+
+
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the corpus-skew summary
+    a sampling/mixing decision reads (0 = every user contributes equally,
+    ->1 = a few users dominate; the classic long-tail diagnostic for
+    user-generated training data).
+
+    Exact rank formula G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1)/n
+    over counts x sorted ascending — and the global rank i comes from the
+    distributed two-phase pattern (constant-group grouped_running_sum),
+    never a single-task `row_number() OVER ()`. All sums are exact
+    integers until the final division.
+    """
+    from .distributed import grouped_running_sum
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = grouped_running_sum(
+        per_user.withColumn("_g", F.lit(1)),
+        "_g",
+        F.struct("x", "user_id"),
+        F.lit(1),
+        "i",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("weighted"),
+    )
+    gini = (
+        2.0 * F.col("weighted") / (F.col("n_users") * F.col("total_events"))
+        - (F.col("n_users") + 1) / F.col("n_users")
+    )
+    return agg.select(
+        "n_users",
+        "total_events",
+        (F.floor(gini * 1e6) / 1e6).alias("gini"),
+    )
+
+
+def user_activity_gini_oracle() -> str:
+    return """
+        WITH per_user AS (
+          SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per_user
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS total_events,
+               FLOOR((2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                      - (COUNT(*) + 1.0) / COUNT(*)) * 1e6) / 1e6 AS gini
+        FROM ranked
+    """

@@ -952,3 +952,80 @@ def boundary_templates_oracle() -> str:
         HAVING COUNT(*) >= 2
         ORDER BY kind, boundary_md5
     """
+
+
+IMPACT_TAUS = (0.5, 0.7, 0.9)
+
+
+def dedup_impact_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sweep: for each tau in IMPACT_TAUS, how many
+    near-dup pairs exist, how many documents are involved, and how many
+    the keep-smallest rule would drop — the table a curation owner reads
+    to PICK tau before running the expensive dedup (pairs are computed
+    once at the loosest tau; the sweep is a re-aggregation, not a re-run).
+
+    Scale: one prefix-filtered exact-Jaccard pass at min(IMPACT_TAUS)
+    (the existing scale-correct pipeline), then |taus| cheap aggregates
+    over the pair table — pair tables are tiny relative to the corpus by
+    construction (that is the point of dedup).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir, tau=min(IMPACT_TAUS)).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    taus = F.explode(F.array(*[F.lit(t) for t in IMPACT_TAUS])).alias("tau")
+    swept = pairs.select("doc_a", "doc_b", "jaccard", taus).filter(
+        F.col("jaccard") >= F.col("tau")
+    )
+    pair_counts = swept.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_would_drop"),
+    )
+    involved = (
+        swept.select("tau", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("tau")
+        .agg(F.countDistinct("doc").cast("bigint").alias("n_docs_involved"))
+    )
+    return (
+        pair_counts.join(involved, "tau")
+        .select("tau", "n_pairs", "n_docs_involved", "n_would_drop")
+        .orderBy("tau")
+    )
+
+
+def dedup_impact_curve_oracle() -> str:
+    tau_list = ", ".join(f"{t}::DOUBLE" for t in IMPACT_TAUS)
+    base = min(IMPACT_TAUS)
+    return rf"""
+        WITH {SHINGLE_CTES_SQL},
+        jp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 FLOOR(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                       / (len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles))) * 1e6)
+                   / 1e6 AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) >= {base}
+        ),
+        swept AS (
+          SELECT doc_a, doc_b, jaccard, unnest([{tau_list}]) AS tau FROM jp
+        ),
+        hit AS (SELECT * FROM swept WHERE jaccard >= tau),
+        pc AS (
+          SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_would_drop
+          FROM hit GROUP BY tau
+        ),
+        inv AS (
+          SELECT tau, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_involved
+          FROM (
+            SELECT tau, doc_a AS doc FROM hit
+            UNION ALL
+            SELECT tau, doc_b AS doc FROM hit
+          ) GROUP BY tau
+        )
+        SELECT pc.tau, n_pairs, n_docs_involved, n_would_drop
+        FROM pc JOIN inv ON inv.tau = pc.tau
+        ORDER BY pc.tau
+    """

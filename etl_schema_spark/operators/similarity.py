@@ -970,3 +970,92 @@ def semdedup_clusters_oracle() -> str:
         FROM assigned LEFT JOIN witnesses ON witnesses.vec_id = assigned.vec_id
         ORDER BY assigned.vec_id
     """
+
+
+OUTLIER_FRAC = 0.05
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space noise detection: every vector's cosine to its
+    assigned coarse-codebook centroid, with the bottom OUTLIER_FRAC of the
+    corpus flagged — the "doesn't belong anywhere" signal an embedding
+    curation pass quarantines before training (mis-embedded, corrupt, or
+    out-of-domain items sit far from every centroid).
+
+    Scale shape: assignment is the broadcast-codebook probe (one pass);
+    the outlier threshold is an exact order statistic by GLOBAL rank of
+    (c_cos, vec_id) from the distributed two-phase pattern — bounded task
+    state, never a single-task global sort.
+    """
+    from .distributed import grouped_running_sum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _label_codebook(emb)
+    c_cos = _cosine(F.col("embedding"), F.col("centroid"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(codebook))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"), "c_cos")
+    )
+    n = emb.count()
+    cut = max(1, int(OUTLIER_FRAC * n))
+    ranked = grouped_running_sum(
+        assigned.withColumn("_g", F.lit(1)),
+        "_g",
+        F.struct("c_cos", "vec_id"),
+        F.lit(1),
+        "rk",
+    )
+    return ranked.select(
+        "vec_id",
+        "cluster",
+        _trunc6(F.col("c_cos")).alias("centroid_cos"),
+        (F.col("rk") <= cut).alias("is_outlier"),
+    ).orderBy("vec_id")
+
+
+def embedding_outliers_oracle() -> str:
+    assign_cos = (
+        "list_dot_product(e.de, c.centroid)"
+        " / (sqrt(list_dot_product(e.de, e.de))"
+        " * sqrt(list_dot_product(c.centroid, c.centroid)))"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
+            SELECT label, dim,
+                   FLOOR(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e6) / 1e6
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) * 1e6) / 1e6 AS cx
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding) AS val FROM embeddings)
+            GROUP BY label, dim
+          ) GROUP BY label
+        ),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+        ),
+        assigned AS (
+          SELECT vec_id, cluster, c_cos FROM (
+            SELECT e.vec_id, c.c_label AS cluster, ({assign_cos}) AS c_cos,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY ({assign_cos}) DESC, c.c_label ASC) AS rn
+            FROM e CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY c_cos, vec_id) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM assigned
+        )
+        SELECT vec_id, cluster,
+               FLOOR(c_cos * 1e6) / 1e6 AS centroid_cos,
+               rk <= GREATEST(1, CAST({OUTLIER_FRAC} * n AS BIGINT)) AS is_outlier
+        FROM ranked
+        ORDER BY vec_id
+    """

@@ -237,3 +237,40 @@ def test_mad_outliers_median_is_order_statistic(spark, sf_dir):
         mad = devs[(len(devs) + 1) // 2 - 1]
         n_out = sum(1 for v in vals if abs(v - med) > analytics.MAD_SIGMA * mad)
         assert n_out == rows[t].n_outliers
+
+
+def test_tail_latency_percentiles_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.tail_latency_percentiles(spark, sf_dir),
+        duck,
+        analytics.tail_latency_percentiles_oracle(),
+    )
+
+
+def test_tail_percentiles_are_order_statistics(spark, sf_dir):
+    """Each reported value is the exact nearest-rank element of its group."""
+    import math
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    rows = analytics.tail_latency_percentiles(spark, sf_dir).collect()
+    data = {}
+    for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        data.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        vals = sorted(data[r.event_type])
+        want = vals[math.ceil(r.pct / 100 * len(vals)) - 1]
+        assert math.floor(want * 1e6) / 1e6 == r.value_at_pct, (r.event_type, r.pct)
+
+
+def test_user_activity_gini_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.user_activity_gini(spark, sf_dir),
+        duck,
+        analytics.user_activity_gini_oracle(),
+    )
+
+
+def test_gini_bounds_and_uniform_case(spark, sf_dir):
+    r = analytics.user_activity_gini(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.gini < 1.0

@@ -45,6 +45,7 @@ ALLPAIRS_OK = {
     # codebook assignment: every vector scores |labels| broadcast
     # centroids — the canonical IVF probe shape (same as ann_ivf/kmeans)
     "semdedup_clusters",
+    "embedding_outliers",
 }
 
 QUERIES = entry.queries()

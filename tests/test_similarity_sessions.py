@@ -247,3 +247,22 @@ def test_semdedup_witness_rules(spark, sf_dir):
             if r.is_dup:
                 assert r.dup_of < r.vec_id
                 assert any(o.vec_id == r.dup_of and o.cluster == c for o in rs)
+
+
+def test_embedding_outliers_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.embedding_outliers(spark, sf_dir),
+        duck,
+        similarity.embedding_outliers_oracle(),
+    )
+
+
+def test_embedding_outliers_are_lowest_cos(spark, sf_dir):
+    rows = similarity.embedding_outliers(spark, sf_dir).collect()
+    n = len(rows)
+    cut = max(1, int(similarity.OUTLIER_FRAC * n))
+    flagged = sorted(r.centroid_cos for r in rows if r.is_outlier)
+    clean = sorted(r.centroid_cos for r in rows if not r.is_outlier)
+    assert len(flagged) == cut
+    if flagged and clean:
+        assert flagged[-1] <= clean[0] + 1e-9

@@ -288,3 +288,18 @@ def test_doc_entropy_bounds(spark, sf_dir):
         assert -1e-9 <= r.norm_entropy <= 1 + 1e-9
         if r.n_distinct == 1:
             assert r.entropy == 0.0
+
+
+def test_dedup_impact_curve_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.dedup_impact_curve(spark, sf_dir), duck, dedup.dedup_impact_curve_oracle()
+    )
+
+
+def test_dedup_impact_curve_monotone(spark, sf_dir):
+    """Tighter tau can only shrink every count."""
+    rows = sorted(dedup.dedup_impact_curve(spark, sf_dir).collect(), key=lambda r: r.tau)
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_docs_involved <= lo.n_docs_involved
+        assert hi.n_would_drop <= lo.n_would_drop
