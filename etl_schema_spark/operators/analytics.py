@@ -901,6 +901,11 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     target = F.expr("(n + 1) div 2").alias("target")
 
+    # Both rank passes persist their range-partitioned frame inside
+    # grouped_running_sum, so deriving the NEXT stage from the pass's own
+    # output (rather than re-joining the raw `ev` scan) reuses that frame:
+    # one events scan feeds median selection, deviation ranking, and the
+    # final flagging — instead of three scans.
     r1 = grouped_running_sum(
         ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
     )
@@ -909,7 +914,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == F.col("target"))
         .select("event_type", F.col("value").alias("median"))
     )
-    d = ev.join(F.broadcast(med), "event_type").withColumn(
+    d = r1.drop("rk").join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("median"))
     )
     r2 = grouped_running_sum(
@@ -920,7 +925,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk2") == F.col("target"))
         .select("event_type", F.col("dev").alias("mad"))
     )
-    flagged = d.join(F.broadcast(mad), "event_type")
+    flagged = r2.drop("rk2").join(F.broadcast(mad), "event_type")
     return (
         flagged.groupBy("event_type")
         .agg(

@@ -818,13 +818,16 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.count()
+    # corpus token total as a broadcast 1-row aggregate OF the counts table
+    # (not a separate toks.count() action — that would re-run the explode)
+    total = counts.agg(F.sum("c").cast("double").alias("_T"))
     scored = (
         toks.join(counts, "tok")
+        .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-            _trunc6(F.avg(-F.log(F.col("c") / F.lit(float(total))))).alias("logprob"),
+            _trunc6(F.avg(-F.log(F.col("c") / F.col("_T")))).alias("logprob"),
         )
     )
     n_docs = docs.count()
