@@ -373,3 +373,65 @@ def streaming_attribution_join_oracle() -> str:
          AND c.ts >= p.ts - INTERVAL 1 HOUR
         ORDER BY purchase_id, click_id
     """
+
+
+def streaming_ewma_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the custom stateful operator
+    (``stateful.ewma_anomaly_stream``, applyInPandasWithState) drained
+    with Trigger.AvailableNow and oracle-checked STEP-FOR-STEP — the one
+    entry that proves the arbitrary-stateful escape hatch, not just the
+    native windowed aggregates, against an independent engine.
+
+    The per-user EWMA/variance recurrence is inherently sequential, so the
+    oracle unrolls it as a DuckDB RECURSIVE CTE in (ts, event_id) order
+    using the IDENTICAL double-precision update expressions — every
+    intermediate mean/var/z-test reproduces bit-for-bit, the same
+    discipline as kmeans' unrolled Lloyd rounds. (Bounded source -> one
+    micro-batch -> each user's full history through one state pass.)
+    """
+    from .stateful import ewma_anomaly_stream
+
+    out = run_available_now(
+        ewma_anomaly_stream(spark, sf_dir), f"sq_ewma_{next(_DRAIN_SEQ)}", mode="update"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.floor(F.col("ewma_value") * 1e6) / 1e6).alias("ewma_value"),
+        "n_anomalies",
+    ).orderBy("user_id")
+
+
+def streaming_ewma_flags_oracle() -> str:
+    from .stateful import ANOMALY_Z, EWMA_ALPHA
+
+    a = EWMA_ALPHA
+    return f"""
+        WITH RECURSIVE ranked AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS i,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        ),
+        step AS (
+          SELECT user_id, i, n, value AS mean, CAST(0.0 AS DOUBLE) AS var,
+                 0 AS anomalies
+          FROM ranked WHERE i = 1
+          UNION ALL
+          SELECT r.user_id, r.i, s.n,
+                 s.mean + {a} * (r.value - s.mean),
+                 (1 - {a}) * (s.var + {a} * (r.value - s.mean) * (r.value - s.mean)),
+                 s.anomalies + CASE WHEN s.var > 0
+                                     AND ABS(r.value - s.mean) / SQRT(s.var)
+                                         > {ANOMALY_Z}
+                                    THEN 1 ELSE 0 END
+          FROM step s JOIN ranked r ON r.user_id = s.user_id AND r.i = s.i + 1
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               FLOOR(mean * 1e6) / 1e6 AS ewma_value,
+               CAST(anomalies AS BIGINT) AS n_anomalies
+        FROM step WHERE i = n
+        ORDER BY user_id
+    """

@@ -63,8 +63,14 @@ def _ewma_update(
     else:
         mean, var, n = 0.0, 0.0, 0
     anomalies = 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # Concatenate the group's Arrow chunks BEFORE sorting: a group larger
+    # than one Arrow batch arrives as multiple chunks in shuffle order, and
+    # per-chunk sorting would feed the recurrence a nondeterministic
+    # interleaving. Holding one group in memory is the operator's stated
+    # state bound (per-key state machine); event_id breaks ts ties so the
+    # recurrence order — and thus the oracle — is total.
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    for pdf in (whole.sort_values(["ts", "event_id"]),):
         for v in pdf["value"].to_numpy():
             if n > 0 and var > 0:
                 z = abs(v - mean) / (var**0.5)
@@ -87,7 +93,7 @@ def _ewma_update(
 
 def ewma_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA anomaly counts over the events stream."""
-    ev = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     return ev.groupBy("user_id").applyInPandasWithState(
         _ewma_update,
         outputStructType=_OUT_SCHEMA,

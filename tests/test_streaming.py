@@ -203,3 +203,13 @@ def test_hopping_window_stream_matches_batch(spark, sf_dir):
             assert got[key] == r.n_3h, key
             compared += 1
     assert compared > 100
+
+
+def test_streaming_ewma_flags_oracle(spark, sf_dir, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        streaming.streaming_ewma_flags(spark, sf_dir),
+        duck,
+        streaming.streaming_ewma_flags_oracle(),
+    )
