@@ -368,3 +368,81 @@ def mix_epoch_plan_oracle() -> str:
                CAST(base + CAST(rnk <= leftover AS BIGINT) AS BIGINT) AS alloc
         FROM r ORDER BY source
     """
+
+
+SWEEP_BUDGETS = (512, 1024, 2048, 4096)
+
+
+def pack_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-budget sweep: for each candidate sequence length, the bin
+    count, fill statistics, and padding waste the offset-based packing of
+    `pack_sequences` would produce — the table that PICKS the training
+    sequence length before the expensive packing run (longer sequences
+    amortize attention overhead but waste more padding on short tails).
+
+    One two-phase running sum serves every budget: the per-source token
+    offsets are computed once (the expensive range-partitioned pass), and
+    each budget's bin id is pure arithmetic over the same cum column —
+    |budgets| cheap aggregations, not |budgets| repacking runs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+    )
+    cum = grouped_running_sum(docs, "source", "doc_id", "n_tok", "cum_tok")
+    start_off = F.col("cum_tok") - F.col("n_tok")
+    swept = cum.select(
+        "source",
+        "n_tok",
+        start_off.alias("off"),
+        F.explode(F.array(*[F.lit(b) for b in SWEEP_BUDGETS])).alias("budget"),
+    ).withColumn("bin_id", F.floor(F.col("off") / F.col("budget")))
+    bins = swept.groupBy("budget", "source", "bin_id").agg(
+        F.sum("n_tok").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+            _trunc6(F.avg(F.col("bin_tokens") / F.col("budget"))).alias("mean_fill"),
+            _trunc6(
+                F.sum(F.greatest(F.col("budget") - F.col("bin_tokens"), F.lit(0)))
+                / F.sum(F.col("budget"))
+            ).alias("pad_waste_frac"),
+        )
+        .orderBy("budget")
+    )
+
+
+def pack_efficiency_sweep_oracle() -> str:
+    budgets = ", ".join(str(b) for b in SWEEP_BUDGETS)
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(text, '\s+')) AS n_tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) - n_tok AS off
+          FROM t
+        ),
+        swept AS (
+          SELECT source, n_tok, off, unnest([{budgets}]) AS budget FROM c
+        ),
+        bins AS (
+          SELECT budget, source, CAST(FLOOR(off * 1.0 / budget) AS BIGINT) AS bin_id,
+                 SUM(n_tok) AS bin_tokens
+          FROM swept GROUP BY budget, source, bin_id
+        )
+        SELECT budget,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+               FLOOR(AVG(bin_tokens * 1.0 / budget) * 1e6) / 1e6 AS mean_fill,
+               FLOOR(SUM(GREATEST(budget - bin_tokens, 0)) * 1.0
+                     / SUM(budget) * 1e6) / 1e6 AS pad_waste_frac
+        FROM bins GROUP BY budget
+        ORDER BY budget
+    """

@@ -723,3 +723,121 @@ def hll_distinct_estimate_oracle() -> str:
         FROM corrected c JOIN exact x USING (event_type)
         ORDER BY c.event_type
     """
+
+
+def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY contract of the HLL sketch, stated as a query:
+    build per-(event_type, day) register tables, union them with
+    elementwise MAX (HLL merge), and show the merged whole-period
+    estimate EQUALS the sketch built directly over the period — the
+    algebraic property (max of day-partitioned maxes == global max) that
+    lets a 100 TB pipeline keep daily sketches and answer any date-range
+    distinct count without ever re-scanning raw data.
+
+    Output per event_type: day count, the merged estimate, the direct
+    estimate, and the equality bit (always true — asserted by the oracle,
+    not just claimed by a docstring). Registers are the same md5-portable
+    family as hll_distinct_estimate, so every step is hash-checked.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("register")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(v == 0, F.lit(_HLL_VBITS + 1))
+        .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(v)))
+        .alias("rho")
+    )
+    base = ev.select("event_type", F.to_date("ts").alias("day"), reg, rho)
+    daily = base.groupBy("event_type", "day", "register").agg(
+        F.max("rho").alias("day_rho")
+    )
+    merged = daily.groupBy("event_type", "register").agg(
+        F.max("day_rho").alias("max_rho")
+    )
+    direct = base.groupBy("event_type", "register").agg(F.max("rho").alias("max_rho"))
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        per = regs.groupBy("event_type").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0)
+        raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / s
+        zeros = F.lit(HLL_M) - F.col("n_present")
+        est = F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+        ).otherwise(raw)
+        return per.select("event_type", (F.floor(est * 1e4) / 1e4).alias(out))
+
+    days = base.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
+    return (
+        days.join(estimate(merged, "merged_est"), "event_type")
+        .join(estimate(direct, "direct_est"), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "merged_est",
+            "direct_est",
+            (F.col("merged_est") == F.col("direct_est")).alias("merge_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_daily_merge_oracle() -> str:
+    est = """
+          SELECT event_type,
+                 FLOOR(CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m})
+                              / (SUM(POWER(2.0, -max_rho))
+                                 + ({m} - COUNT(*)) * 1.0) <= 2.5 * {m}
+                             AND {m} - COUNT(*) > 0
+                       THEN {m} * LN({m} * 1.0 / ({m} - COUNT(*)))
+                       ELSE (CAST({alpha} AS DOUBLE) * {m} * {m})
+                            / (SUM(POWER(2.0, -max_rho))
+                               + ({m} - COUNT(*)) * 1.0)
+                       END * 1e4) / 1e4 AS {out}
+          FROM {src} GROUP BY event_type
+    """
+    h = "md5('hll:' || CAST(user_id AS VARCHAR))"
+    base = f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(('0x' || substr({h}, 1, 2)) AS BIGINT) AS register,
+               CASE WHEN CAST(('0x' || substr({h}, 3, 13)) AS BIGINT) = 0
+                    THEN {_HLL_VBITS + 1}
+                    ELSE {_HLL_VBITS + 1}
+                         - length(bin(CAST(('0x' || substr({h}, 3, 13)) AS BIGINT)))
+               END AS rho
+        FROM events
+    """
+    kw = dict(alpha=_HLL_ALPHA, m=HLL_M)
+    return f"""
+        WITH base AS ({base}),
+        daily AS (
+          SELECT event_type, day, register, MAX(rho) AS day_rho
+          FROM base GROUP BY event_type, day, register
+        ),
+        merged AS (
+          SELECT event_type, register, MAX(day_rho) AS max_rho
+          FROM daily GROUP BY event_type, register
+        ),
+        direct AS (
+          SELECT event_type, register, MAX(rho) AS max_rho
+          FROM base GROUP BY event_type, register
+        ),
+        m_est AS ({est.format(src="merged", out="merged_est", **kw)}),
+        d_est AS ({est.format(src="direct", out="direct_est", **kw)}),
+        days AS (
+          SELECT event_type, COUNT(DISTINCT day) AS n_days
+          FROM base GROUP BY event_type
+        )
+        SELECT days.event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               merged_est, direct_est,
+               merged_est = direct_est AS merge_exact
+        FROM days
+        JOIN m_est ON m_est.event_type = days.event_type
+        JOIN d_est ON d_est.event_type = days.event_type
+        ORDER BY days.event_type
+    """

@@ -958,3 +958,124 @@ def doc_entropy_oracle() -> str:
         FROM h
         ORDER BY doc_id
     """
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES = {
+    1: ("spark", "sort", "fast"),
+    2: ("window", "stream"),
+    3: ("filter", "group", "value"),
+}
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-K documents per fixed keyword query —
+    the lexical-retrieval primitive a training-data pipeline uses for
+    targeted corpus search, decontamination against eval questions, and
+    hard-negative mining for retrievers (the classic Okapi scoring:
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))).
+
+    Scale: the query terms broadcast (a handful of rows against the
+    corpus postings); postings build with one explode + groupBy(doc,
+    term); df/avgdl are metadata-sized broadcast aggregates; per-query
+    scoring touches only docs containing >= 1 query term, and the final
+    top-K is a per-query window over that filtered set. No corpus-wide
+    sort, no cross join.
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    q_rows = [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms]
+    queries = spark.createDataFrame(q_rows, "query_id int, tok string")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "tok")
+        .join(F.broadcast(df_t.join(F.broadcast(queries), "tok").select("tok", "df")), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("part", idf * tf_part)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            (F.floor(F.sum("part") * 1e6) / 1e6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"), "doc_id",
+            "n_terms_hit", "score",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_retrieval_oracle() -> str:
+    q_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES.items() for t in terms
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(
+            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+          ) AS tok
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+        ),
+        df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        queries(query_id, tok) AS (VALUES {q_rows}),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 COUNT(*) AS n_terms_hit,
+                 SUM(
+                   LN((s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+                   * (tf.tf * ({BM25_K1} + 1)
+                      / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                         + {BM25_B} * dl.dl / s.avgdl)))
+                 ) AS score_raw
+          FROM tf
+          JOIN queries q ON q.tok = tf.tok
+          JOIN df_t ON df_t.tok = tf.tok
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats s
+          GROUP BY q.query_id, tf.doc_id
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, n_terms_hit,
+                 FLOOR(score_raw * 1e6) / 1e6 AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY FLOOR(score_raw * 1e6) / 1e6 DESC, doc_id ASC
+                 ) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(n_terms_hit AS BIGINT) AS n_terms_hit, score
+        FROM ranked WHERE rank <= {BM25_TOP_K}
+        ORDER BY query_id, rank
+    """

@@ -244,3 +244,23 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     lands within 4 sigma so a broken rho/register mapping can't pass."""
     for r in sketches.hll_distinct_estimate(spark, sf_dir).collect():
         assert r["rel_err"] < 0.26, (r["event_type"], r["rel_err"])
+
+
+def test_hll_daily_merge_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import sketches
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        sketches.hll_daily_merge(spark, sf_dir), duck, sketches.hll_daily_merge_oracle()
+    )
+
+
+def test_hll_merge_is_exact_algebra(spark, sf_dir):
+    """Elementwise-max merge of daily sketches MUST equal the direct
+    sketch — not approximately, algebraically."""
+    from etl_schema_spark.operators import sketches
+
+    for r in sketches.hll_daily_merge(spark, sf_dir).collect():
+        assert r.merge_exact
+        assert r.merged_est == r.direct_est

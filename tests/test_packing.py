@@ -86,3 +86,29 @@ def test_chunk_dedup_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
         assert 0.0 <= r["dup_chunk_frac"] <= 1.0
+
+
+def test_pack_efficiency_sweep_oracle(spark, sf_dir, duck):
+    from etl_schema_spark.operators import packing
+
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        packing.pack_efficiency_sweep(spark, sf_dir),
+        duck,
+        packing.pack_efficiency_sweep_oracle(),
+    )
+
+
+def test_pack_sweep_consistent_with_pack_sequences(spark, sf_dir):
+    """The sweep's row at PACK_BUDGET must agree with pack_sequences'
+    actual bins (same offsets, same budget)."""
+    from etl_schema_spark.operators import packing
+
+    seq = packing.pack_sequences(spark, sf_dir).collect()
+    sweep = {
+        r.budget: r for r in packing.pack_efficiency_sweep(spark, sf_dir).collect()
+    }
+    row = sweep[packing.PACK_BUDGET]
+    assert row.n_bins == len(seq)
+    assert row.total_tokens == sum(r.n_tokens for r in seq)

@@ -46,6 +46,8 @@ ALLPAIRS_OK = {
     # centroids — the canonical IVF probe shape (same as ann_ivf/kmeans)
     "semdedup_clusters",
     "embedding_outliers",
+    # broadcast 1-row (n_docs, avgdl) corpus stats onto the postings hits
+    "bm25_retrieval",
 }
 
 QUERIES = entry.queries()

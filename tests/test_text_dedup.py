@@ -303,3 +303,25 @@ def test_dedup_impact_curve_monotone(spark, sf_dir):
         assert hi.n_pairs <= lo.n_pairs
         assert hi.n_docs_involved <= lo.n_docs_involved
         assert hi.n_would_drop <= lo.n_would_drop
+
+
+def test_bm25_retrieval_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.bm25_retrieval(spark, sf_dir), duck, text.bm25_retrieval_oracle()
+    )
+
+
+def test_bm25_scores_rank_sanely(spark, sf_dir):
+    """Scores are positive, ranks dense from 1, and a doc hitting more
+    query terms with equal tf profile can't be beaten by a zero-hit doc
+    (zero-hit docs never appear at all)."""
+    rows = text.bm25_retrieval(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.score > 0 and r.n_terms_hit >= 1
+        per_q[r.query_id].append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
