@@ -277,3 +277,51 @@ def test_interval_point_join_matches_bruteforce(spark, intervals, points):
         for r in interval_point_join(iv, pt, on="k", bucket_seconds=3600).collect()
     }
     assert got == expect
+
+
+# --- distributed two-phase rank/running-sum vs the window oracle ---------
+
+runsum_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "hot"]),       # group (one deliberately hot)
+        st.integers(min_value=0, max_value=50),   # order key (dups allowed)
+        st.integers(min_value=-5, max_value=5),   # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=runsum_strategy)
+def test_grouped_running_sum_equals_window(spark, rows):
+    """The range-partition + broadcast-offset running sum must equal the
+    single-task window formulation for ANY group skew and ANY partition
+    count — including partitions > rows and all rows in one hot group.
+    (Order keys are de-duplicated per group: the helper's contract.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators.distributed import grouped_running_sum
+
+    seen = set()
+    uniq = []
+    for g, o, v in rows:
+        if (g, o) not in seen:
+            seen.add((g, o))
+            uniq.append((g, o, v))
+    df = spark.createDataFrame(uniq, "g string, o int, v int")
+    got = {
+        (r.g, r.o): r.cum
+        for r in grouped_running_sum(df, "g", "o", "v", "cum", num_partitions=5).collect()
+    }
+    w = Window.partitionBy("g").orderBy("o").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.g, r.o): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
