@@ -793,6 +793,12 @@ def embedding_decontaminate(
     decontamination exploits.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Same fixed-width-is-quadratic hazard as embedding_cosine_dup: with
+    # 2^bits buckets, (train, eval) collisions are ~ |train|*|eval|/2^bits
+    # per band — adaptive width keeps eval-bucket occupancy bounded, so
+    # candidates stay ~ |train| * target. Resolves to the oracle's 4x4 at
+    # every driver scale (see _adaptive_band_params).
+    n_bits, n_bands = _adaptive_band_params(emb.count())
     split_hash = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("split:"), F.col("vec_id").cast("string"))), 1, 8),
@@ -800,8 +806,10 @@ def embedding_decontaminate(
         ).cast("bigint") % DECON_EVAL_MOD
     )
     tagged = emb.withColumn("is_eval", (split_hash == 0).cast("int"))
-    keyed = tagged.select("vec_id", "is_eval", *_band_key_cols(F.col("embedding")))
-    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    keyed = tagged.select(
+        "vec_id", "is_eval", *_band_key_cols(F.col("embedding"), n_bits, n_bands)
+    )
+    bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     ids = keyed.select("vec_id", "is_eval", F.posexplode(bands).alias("band", "key"))
     cands = (
         ids.filter(F.col("is_eval") == 0)
