@@ -266,3 +266,32 @@ def test_embedding_outliers_are_lowest_cos(spark, sf_dir):
     assert len(flagged) == cut
     if flagged and clean:
         assert flagged[-1] <= clean[0] + 1e-9
+
+
+def test_adaptive_band_params_pin_oracle_scales():
+    """ORACLE-SAFETY INVARIANT: at every driver scale (embeddings rows:
+    sf0.001=20? sf0.01=200, sf0.1=2000 — all <= 2400) the adaptive family
+    must resolve to exactly the 4x4 the static oracle SQL encodes; beyond
+    that, width grows with log2(n) and bands alongside, monotonically,
+    within the cap."""
+    from etl_schema_spark.operators.similarity import (
+        LSH_MAX_BITS_PER_BAND,
+        _adaptive_band_params,
+    )
+
+    for n in (1, 20, 200, 2000, 2400):
+        assert _adaptive_band_params(n) == (4, 4), n
+    prev_bits = 4
+    for n in (5_000, 20_000, 200_000, 2_000_000, 10**9):
+        bits, bands = _adaptive_band_params(n)
+        assert bits >= prev_bits
+        assert bands >= bits or bits == LSH_MAX_BITS_PER_BAND
+        assert bits <= LSH_MAX_BITS_PER_BAND
+        prev_bits = bits
+    # bucket-occupancy bound: 2^bits >= n / (2 * target) up to the cap
+    from etl_schema_spark.operators.similarity import LSH_TARGET_BUCKET
+
+    for n in (5_000, 50_000, 500_000):
+        bits, _ = _adaptive_band_params(n)
+        if bits < LSH_MAX_BITS_PER_BAND:
+            assert 2**bits >= n / LSH_TARGET_BUCKET / 2
