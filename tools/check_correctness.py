@@ -142,7 +142,8 @@ def main():
             failures.append(name)
         else:
             print(f"ok   {name}: {len(srows)} rows hash-match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    n_run = len([n for n in qs if not ONLY or n in ONLY])
+    print(f"\n{n_run - len(failures)}/{n_run} ok" + (" (filtered)" if ONLY else ""))
     sys.exit(1 if failures else 0)
 
 
