@@ -325,3 +325,74 @@ def test_grouped_running_sum_equals_window(spark, rows):
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+# --- interval-coverage island sweep vs brute-force union -----------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # user
+        st.integers(min_value=0, max_value=2000),  # offset seconds (dups ok)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_interval_sweep_equals_bruteforce_union(spark, rows):
+    """The running-max island sweep must produce exactly the brute-force
+    interval union for ANY overlap pattern — nested intervals, exact
+    duplicates, chains, and disjoint islands."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators.sessions import INTERVAL_WIDTH_US
+
+    width_s = INTERVAL_WIDTH_US // 1_000_000
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + datetime.timedelta(seconds=o)) for u, o in rows],
+        "user_id long, ts timestamp",
+    )
+    # replicate the operator's core on this frame (operator itself is
+    # bound to the events table; the sweep logic is identical)
+    ev = df.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + INTERVAL_WIDTH_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    got = {
+        r.user_id: (r.n_islands, r.covered)
+        for r in ev.withColumn("open", opens)
+        .withColumn("island", F.sum("open").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("b") - F.col("a")).alias("covered"),
+        )
+        .collect()
+    }
+
+    by_user: dict = {}
+    for u, o in rows:
+        by_user.setdefault(u, []).append(o)
+    for u, offs in by_user.items():
+        covered = set()
+        for o in offs:
+            covered.update(range(o, o + width_s))
+        # islands = maximal runs of consecutive covered seconds
+        n_islands = sum(1 for s in covered if s - 1 not in covered)
+        assert got[u] == (n_islands, len(covered) * 1_000_000), u
