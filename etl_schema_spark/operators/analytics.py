@@ -1125,3 +1125,216 @@ def user_activity_gini_oracle() -> str:
                       - (COUNT(*) + 1.0) / COUNT(*)) * 1e6) / 1e6 AS gini
         FROM ranked
     """
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split with cumulative reach: for each day,
+    users whose first-ever event falls on that day (new) vs users active
+    that day with an earlier first day (returning), plus the running
+    distinct-user total (parity: the website views' adoption rollups,
+    views/website/*, which chart first-seen vs repeat cohorts).
+
+    Two shuffles on user_id (per-user first day, then the distinct
+    (user, day) activity set joins it co-partitioned — same key, the
+    exchange is reused), then one metadata-sized day aggregate. The
+    cumulative total is a running sum over ~30 day rows — a driver-safe
+    ordered window over an already-aggregated frame, never over raw rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    active = ev.distinct()
+    per_day = (
+        active.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("n_new"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("n_returning"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        .orderBy("day")
+    )
+
+
+def new_vs_returning_oracle() -> str:
+    return """
+        WITH first_day AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ),
+        active AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        per_day AS (
+          SELECT a.day,
+                 CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                 CAST(SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+          FROM active a JOIN first_day f USING (user_id)
+          GROUP BY a.day
+        )
+        SELECT day, n_new, n_returning,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        FROM per_day
+        ORDER BY day
+    """
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+def windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (the windowFunnel shape): per user, the
+    deepest view -> click -> purchase chain where every later step lands
+    within FUNNEL_WINDOW_HOURS of the user's first view; output is the
+    4-row level histogram (0 = active but never viewed). Unlike
+    ``funnel_conversion`` (unbounded gaps, survivor counts), this bounds
+    the whole chain to a conversion window — the funnel the reference's
+    website views imply for campaign attribution.
+
+    Same decorrelated stepwise-min chain as funnel_conversion: each stage
+    is a grouped MIN co-shuffled on user_id (never a per-user subquery),
+    the deadline rides the join, and the level histogram is a
+    metadata-sized final aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .withColumn(
+            "deadline",
+            F.timestamp_micros(
+                F.unix_micros("t_view") + FUNNEL_WINDOW_HOURS * 3600 * 1000000
+            ),
+        )
+    )
+    t_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .join(t_view.select("user_id", "deadline"), "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("deadline")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    levels = (
+        users.join(t_view.select("user_id", "t_view"), "user_id", "left")
+        .join(t_click, "user_id", "left")
+        .join(t_purchase, "user_id", "left")
+        .select(
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return (
+        levels.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+def windowed_funnel_oracle() -> str:
+    us = FUNNEL_WINDOW_HOURS * 3600 * 1000000
+    return f"""
+        WITH t_view AS (
+          SELECT user_id, MIN(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        dl AS (
+          SELECT user_id, t_view,
+                 epoch_us(t_view) + {us} AS deadline_us
+          FROM t_view
+        ),
+        t_click AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN dl USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.ts > dl.t_view AND epoch_us(e.ts) <= dl.deadline_us
+          GROUP BY e.user_id
+        ),
+        t_purchase AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN t_click c USING (user_id) JOIN dl USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.t_click AND epoch_us(e.ts) <= dl.deadline_us
+          GROUP BY e.user_id
+        ),
+        levels AS (
+          SELECT CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                      WHEN c.t_click IS NOT NULL THEN 2
+                      WHEN v.t_view IS NOT NULL THEN 1
+                      ELSE 0 END AS level
+          FROM (SELECT DISTINCT user_id FROM events) u
+          LEFT JOIN t_view v USING (user_id)
+          LEFT JOIN t_click c USING (user_id)
+          LEFT JOIN t_purchase p USING (user_id)
+        )
+        SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM levels GROUP BY level ORDER BY level
+    """
+
+
+def daily_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distribution of each user's modal event type: for every
+    (user, day) pick the most frequent event_type (ties -> lexicographically
+    smallest), then count users per (day, modal_type) — the "dominant
+    behavior" pivot the website views build per cohort.
+
+    One shuffle on (user_id, day) for the counts; the modal pick is a
+    row_number over that same partitioning (high-cardinality, parallel);
+    the final (day, type) rollup is metadata-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    cnt = ev.groupBy("user_id", "day", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    modal = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        modal.groupBy("day", F.col("event_type").alias("modal_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("day", "modal_type")
+    )
+
+
+def daily_modal_event_oracle() -> str:
+    return """
+        WITH cnt AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, CAST(ts AS DATE), event_type
+        ),
+        modal AS (
+          SELECT user_id, day, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                    ORDER BY n DESC, event_type ASC) AS rn
+          FROM cnt
+        )
+        SELECT day, event_type AS modal_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM modal WHERE rn = 1
+        GROUP BY day, event_type
+        ORDER BY day, modal_type
+    """

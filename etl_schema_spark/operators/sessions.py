@@ -341,3 +341,76 @@ def interval_coverage_oracle() -> str:
         FROM agg GROUP BY user_id
         ORDER BY user_id
     """
+
+
+def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval-overlap depth per user: with each event covering
+    [ts, ts+5min) (the same half-open intervals as
+    :func:`interval_coverage`), the maximum number of simultaneously open
+    intervals and the first instant that depth is reached — the
+    "max concurrent streams" metric of the utilization views
+    (views/utilization/switch.sql's busy-depth semantics, unbucketed).
+
+    Classic sweep line in ONE shuffle on user_id: union of (+1 at start,
+    -1 at end) deltas, running sum ordered by (t, delta) — the delta
+    tie-break processes closes before opens at the same instant, which is
+    exactly half-open-interval semantics. Peak + first-peak-time come from
+    windows over the same partition; integer microseconds throughout.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("s")
+    )
+    starts = ev.select("user_id", F.col("s").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "user_id", (F.col("s") + INTERVAL_WIDTH_US).alias("t"), F.lit(-1).alias("delta")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "delta")
+    sweep = (
+        starts.unionByName(ends)
+        .withColumn(
+            "running",
+            F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("peak", F.max("running").over(Window.partitionBy("user_id")))
+    )
+    return (
+        sweep.filter(F.col("running") == F.col("peak"))
+        .groupBy("user_id")
+        .agg(
+            F.max("peak").cast("int").alias("peak_overlap"),
+            F.min("t").cast("bigint").alias("t_first_peak_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def concurrency_peak_oracle() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS s FROM events
+        ),
+        sweep AS (
+          SELECT user_id, t, delta FROM (
+            SELECT user_id, s AS t, 1 AS delta FROM ev
+            UNION ALL
+            SELECT user_id, s + {INTERVAL_WIDTH_US} AS t, -1 AS delta FROM ev
+          )
+        ),
+        run AS (
+          SELECT user_id, t,
+                 SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM sweep
+        ),
+        peaked AS (
+          SELECT user_id, t, running,
+                 MAX(running) OVER (PARTITION BY user_id) AS peak
+          FROM run
+        )
+        SELECT user_id,
+               CAST(MAX(peak) AS INT) AS peak_overlap,
+               CAST(MIN(t) AS BIGINT) AS t_first_peak_micros
+        FROM peaked WHERE running = peak
+        GROUP BY user_id
+        ORDER BY user_id
+    """

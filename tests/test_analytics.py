@@ -274,3 +274,80 @@ def test_user_activity_gini_oracle(spark, sf_dir, duck):
 def test_gini_bounds_and_uniform_case(spark, sf_dir):
     r = analytics.user_activity_gini(spark, sf_dir).collect()[0]
     assert 0.0 <= r.gini < 1.0
+
+
+def test_new_vs_returning_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.new_vs_returning(spark, sf_dir),
+        duck,
+        analytics.new_vs_returning_oracle(),
+    )
+
+
+def test_new_vs_returning_invariants(spark, sf_dir):
+    """cum_users is a monotone running sum of n_new; day-1 has no
+    returning users; total new across days == distinct users."""
+    rows = analytics.new_vs_returning(spark, sf_dir).collect()
+    assert rows[0].n_returning == 0
+    running = 0
+    for r in rows:
+        running += r.n_new
+        assert r.cum_users == running
+    from etl_schema_spark.sources.catalog import load_table
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert running == n_users
+
+
+def test_windowed_funnel_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.windowed_funnel(spark, sf_dir),
+        duck,
+        analytics.windowed_funnel_oracle(),
+    )
+
+
+def test_windowed_funnel_bounded_by_unbounded(spark, sf_dir):
+    """The 24h-window funnel can never convert MORE users than the
+    unbounded funnel_conversion at each stage, and levels partition the
+    active-user set."""
+    lv = {r.level: r.n_users for r in analytics.windowed_funnel(spark, sf_dir).collect()}
+    fc = analytics.funnel_conversion(spark, sf_dir).collect()[0]
+    assert sum(lv.values()) > 0
+    assert lv.get(3, 0) <= fc.n_purchase_after_click
+    assert lv.get(2, 0) + lv.get(3, 0) <= fc.n_click_after_view
+    assert lv.get(1, 0) + lv.get(2, 0) + lv.get(3, 0) == fc.n_view
+
+
+def test_daily_modal_event_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.daily_modal_event(spark, sf_dir),
+        duck,
+        analytics.daily_modal_event_oracle(),
+    )
+
+
+def test_daily_modal_event_partitions_users(spark, sf_dir):
+    """Each (user, day) contributes to exactly one modal row, so per-day
+    user counts sum to the day's active-user count."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    modal = {
+        r.day: r.total
+        for r in analytics.daily_modal_event(spark, sf_dir)
+        .groupBy("day")
+        .agg(F.sum("n_users").alias("total"))
+        .collect()
+    }
+    active = {
+        r.day: r.total
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .collect()
+    }
+    assert modal == active

@@ -139,3 +139,31 @@ def test_csv_quarantines_malformed_rows(spark, sf_dir, tmp_path):
     clean, bad = csv_src.split_corrupt(back)
     assert clean.count() == 10
     assert bad.count() == 1  # the type-mismatched row quarantined
+
+
+def test_asof_nearest_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        asof.asof_nearest(spark, sf_dir), duck, asof.asof_nearest_oracle()
+    )
+
+
+def test_asof_nearest_beats_backward(spark, sf_dir):
+    """Nearest gap is never worse than the backward-only gap, directions
+    are consistent with the sign, and a backward tie prefers backward."""
+    back = {
+        r.event_id: r.gap_seconds
+        for r in asof.asof_attribution(spark, sf_dir).collect()
+    }
+    for r in asof.asof_nearest(spark, sf_dir).collect():
+        b = back.get(r.event_id)
+        if r.gap_micros is None:
+            assert b is None
+            assert r.direction is None
+            continue
+        if r.direction == "backward":
+            assert r.gap_micros >= 0
+        else:
+            assert r.direction == "forward"
+            assert r.gap_micros < 0
+        if b is not None:
+            assert abs(r.gap_micros) <= b * 1_000_000 + 1_000_000

@@ -295,3 +295,31 @@ def test_adaptive_band_params_pin_oracle_scales():
         bits, _ = _adaptive_band_params(n)
         if bits < LSH_MAX_BITS_PER_BAND:
             assert 2**bits >= n / LSH_TARGET_BUCKET / 2
+
+
+def test_concurrency_peak_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        sessions.concurrency_peak(spark, sf_dir),
+        duck,
+        sessions.concurrency_peak_oracle(),
+    )
+
+
+def test_concurrency_peak_bounds(spark, sf_dir):
+    """1 <= peak <= the user's event count, and the first-peak instant is
+    a real sweep boundary (some event start or end)."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    counts = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = sessions.concurrency_peak(spark, sf_dir).collect()
+    assert len(rows) == len(counts)
+    for r in rows:
+        assert 1 <= r.peak_overlap <= counts[r.user_id]
