@@ -537,3 +537,85 @@ def reservoir_sample_per_key_oracle() -> str:
         FROM ranked WHERE sample_rank <= {RESERVOIR_K}
         ORDER BY event_type, sample_rank
     """
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source "data card": the one-row-per-source summary a mixing
+    decision reads before any expensive pass — volume (docs/chars),
+    language spread (distinct langs, dominant lang + its ppm share),
+    exact-duplicate rate, and mean doc length. The composition-over-
+    operators sibling of `source_quality_profile` (rule pass rates) and
+    `domain_mix_weights` (the decision itself).
+
+    One scan: per-(source, lang) counts roll up twice — once to the modal
+    lang (row_number over the tiny source×lang frame), once to the source
+    totals; the dup rate is an exact distinct count of content md5 per
+    source (map-side partial aggregation; never a pair join). All ratios
+    are integer ppm (floor), so the card is bit-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", F.md5("text").alias("content_md5")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("content_md5").cast("bigint").alias("n_unique"),
+    )
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top_lang = (
+        sl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            F.expr("(top_n * 1000000) div n_docs").cast("bigint").alias("top_lang_ppm"),
+            F.expr("((n_docs - n_unique) * 1000000) div n_docs")
+            .cast("bigint")
+            .alias("exact_dup_ppm"),
+            F.expr("total_chars div n_docs").cast("bigint").alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def dataset_card_oracle() -> str:
+    return """
+        WITH docs AS (
+          SELECT source, lang, n_chars, md5(text) AS content_md5
+          FROM documents
+        ),
+        per_source AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT content_md5) AS BIGINT) AS n_unique
+          FROM docs GROUP BY source
+        ),
+        sl AS (
+          SELECT source, lang, COUNT(*) AS n FROM docs GROUP BY source, lang
+        ),
+        top_lang AS (
+          SELECT source, lang AS top_lang, n AS top_n
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+            FROM sl
+          ) WHERE rn = 1
+        )
+        SELECT p.source, p.n_docs, p.total_chars, p.n_langs, t.top_lang,
+               CAST((t.top_n * 1000000) // p.n_docs AS BIGINT) AS top_lang_ppm,
+               CAST(((p.n_docs - p.n_unique) * 1000000) // p.n_docs AS BIGINT) AS exact_dup_ppm,
+               CAST(p.total_chars // p.n_docs AS BIGINT) AS mean_chars
+        FROM per_source p JOIN top_lang t USING (source)
+        ORDER BY p.source
+    """

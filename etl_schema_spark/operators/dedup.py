@@ -1029,3 +1029,97 @@ def dedup_impact_curve_oracle() -> str:
         FROM pc JOIN inv ON inv.tau = pc.tau
         ORDER BY pc.tau
     """
+
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: any match >= K+W-1 chars shares a fingerprint)
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprint profile per document (Schleimer,
+    Wilkerson & Aiken 2003): hash every WINNOW_K-char k-gram, keep the
+    minimum hash of each WINNOW_W-wide window — the selected set is the
+    document's fingerprint, guaranteeing any verbatim overlap of at least
+    K+W-1 characters shares a fingerprint between the two docs. Output is
+    the per-doc profile: window count, distinct-fingerprint count, the ppm
+    selection density (theory: ~2/(W+1)), and the minimal fingerprint —
+    the plagiarism/near-verbatim detection primitive beside the shingle
+    and rolling-hash families (`doc_fingerprint`, `substring_dup_spans`).
+
+    Zero shuffle: all arrays build in-row with higher-order functions over
+    slice-shifted copies (the `_shingles_of` lesson — never index an array
+    EXPRESSION inside a transform lambda, it re-evaluates per element;
+    W slices evaluate the hash array W times, O(W·n) not O(n²)). Hashes
+    are md5 hex strings compared lexicographically — portable, so the
+    oracle reproduces the selection bit-for-bit.
+    """
+    k, wdw = WINNOW_K, WINNOW_W
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    n = F.length("text")
+    m = n - k + 1  # k-gram count
+    hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(k))),
+    )
+    with_h = docs.select(
+        "doc_id", F.when(m >= 1, hashes).otherwise(F.array()).alias("h")
+    )
+    m2 = F.size("h") - wdw + 1  # window count
+    slices = [F.slice("h", b + 1, m2) for b in range(wdw)]
+    mins = slices[0]
+    for s in slices[1:]:
+        mins = F.zip_with(mins, s, lambda a, b: F.least(a, b))
+    fp = F.array_distinct(mins)
+    prof = with_h.select(
+        "doc_id",
+        F.greatest(m2, F.lit(0)).cast("bigint").alias("n_windows"),
+        F.when(m2 >= 1, F.size(fp)).otherwise(0).cast("bigint").alias("n_fingerprints"),
+        F.when(m2 >= 1, F.array_min(fp)).alias("min_fp"),
+    )
+    return prof.withColumn(
+        "density_ppm",
+        F.when(
+            F.col("n_windows") > 0,
+            F.expr("(n_fingerprints * 1000000) div n_windows"),
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    ).orderBy("doc_id")
+
+
+def winnowing_fingerprint_oracle() -> str:
+    k, wdw = WINNOW_K, WINNOW_W
+    return f"""
+        WITH g AS (
+          SELECT doc_id, text, length(text) - {k} + 1 AS m FROM documents
+        ),
+        h AS (
+          SELECT doc_id, m,
+                 CASE WHEN m >= 1 THEN
+                   list_transform(range(1, m + 1),
+                                  i -> md5(substr(text, CAST(i AS INT), {k})))
+                 ELSE [] END AS hashes
+          FROM g
+        ),
+        wins AS (
+          SELECT doc_id,
+                 GREATEST(len(hashes) - {wdw} + 1, 0) AS n_windows,
+                 CASE WHEN len(hashes) - {wdw} + 1 >= 1 THEN
+                   list_distinct(list_transform(
+                     range(1, len(hashes) - {wdw} + 2),
+                     i -> list_min(hashes[CAST(i AS INT):CAST(i + {wdw} - 1 AS INT)])))
+                 ELSE [] END AS fp
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(len(fp) AS BIGINT) AS n_fingerprints,
+               CASE WHEN n_windows >= 1 THEN list_min(fp) END AS min_fp,
+               CAST(CASE WHEN n_windows > 0
+                    THEN (len(fp) * 1000000) // n_windows ELSE 0 END AS BIGINT)
+                 AS density_ppm
+        FROM wins
+        ORDER BY doc_id
+    """

@@ -181,3 +181,107 @@ def dup_cluster_stats_oracle(tau: float = JACCARD_TAU) -> str:
                CAST(SUM(cluster_size) AS BIGINT) AS n_docs
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
+
+
+PR_ROUNDS = 3
+PR_SCALE = 1_000_000  # ranks carried as integer ppm of the initial mass
+
+
+def dup_pagerank(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU, rounds: int = PR_ROUNDS
+) -> DataFrame:
+    """PageRank centrality over the near-duplicate pair graph: which
+    documents sit at the center of duplication families (template/
+    boilerplate hubs) vs at the rim. Complements `dup_components` (which
+    docs cluster) and `dup_cluster_stats` (how big) with WHICH doc anchors
+    each family — the doc a canonical-pick step should prefer, and the one
+    whose removal breaks the most near-dup pairs.
+
+    Fixed-round power iteration (damping 0.85) in pure integer arithmetic:
+    ranks are bigint ppm, each neighbor share is an integer floor-division
+    `rank div degree`, and the damping step is `(85 * sum) div 100` — so
+    iteration order cannot perturb the result and the oracle unrolls the
+    SAME recurrence as CTEs, bit-for-bit. Nodes are pair members (degree
+    >= 1 by construction — the symmetric edge set has no dangling mass).
+
+    Scale: each round is one equi-join (edges x ranks on src, AQE splits
+    hub vertices) + one partial-aggregated groupBy(dst) — O(E) shuffle
+    volume per round, same layout as dup_components' label propagation;
+    per-round localCheckpoint truncates lineage.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir, tau).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("doc_id"), "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = PR_SCALE * 15 // 100
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
+    for _ in range(rounds):
+        contrib = edges.join(
+            ranks.select(
+                F.col("doc_id").alias("src"),
+                F.expr("rank div deg").alias("share"),
+            ),
+            "src",
+        ).select("dst", "share")
+        summed = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes.doc_id == summed.dst)
+            .select(
+                "doc_id",
+                "deg",
+                (F.lit(base) + F.expr("(85 * s) div 100")).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select(
+        "doc_id",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.col("rank").alias("rank_scaled"),
+    ).orderBy("doc_id")
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def dup_pagerank_oracle(tau: float = JACCARD_TAU, rounds: int = PR_ROUNDS) -> str:
+    base = PR_SCALE * 15 // 100
+    step = """
+        r{i} AS (
+          SELECT d.doc_id, d.deg,
+                 CAST({base} + (85 * SUM(r.rank // r.deg)) // 100 AS BIGINT) AS rank
+          FROM deg d
+          JOIN edges e ON e.dst = d.doc_id
+          JOIN r{prev} r ON r.doc_id = e.src
+          GROUP BY d.doc_id, d.deg
+        )"""
+    iters = ",".join(
+        step.format(i=i + 1, prev=i, base=base) for i in range(rounds)
+    )
+    from .dedup import jaccard_pairs_ctes_sql
+
+    return f"""
+        WITH {jaccard_pairs_ctes_sql(tau)},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM jpairs
+        ),
+        deg AS (
+          SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY src
+        ),
+        r0 AS (
+          SELECT doc_id, deg, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg
+        ),
+        {iters}
+        SELECT doc_id, CAST(deg AS BIGINT) AS degree, rank AS rank_scaled
+        FROM r{rounds}
+        ORDER BY doc_id
+    """

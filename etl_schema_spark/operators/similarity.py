@@ -1067,3 +1067,157 @@ def embedding_outliers_oracle() -> str:
         FROM ranked
         ORDER BY vec_id
     """
+
+
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example triplet mining for embedding training: for every
+    anchor vector, the hardest positive (same label, LOWEST cosine — the
+    far member of its own class) and the hardest negative (different
+    label, HIGHEST cosine among LSH band-collision candidates), with the
+    triplet margin. Rows with NULL negatives are anchors whose band
+    signature collides with no other class — the easy cases a hard-mining
+    batch sampler skips.
+
+    Positives are exact within the label block (a per-class equi-join —
+    the block is the class, the standard per-class mining bound; a
+    class-balanced sampler caps block size upstream at corpus scale).
+    Negatives reuse the fixed md5-derived hyperplane band family of
+    ann_lsh_topk: ids-only band self-join, pair dedupe, THEN vectors
+    re-attach by vec_id equi-join (the embedding_cosine_dup shape — wide
+    vectors never ride the candidate shuffle). Both picks are
+    deterministic (cosine trunc6, vec_id tie-break), so the whole miner
+    is oracle-checkable bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    # hardest positive: exact within-class scan
+    p = emb.select(
+        F.col("vec_id").alias("pos_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("p_emb"),
+    )
+    pos_scored = (
+        a.join(p, "anchor_label")
+        .filter(F.col("pos_id") != F.col("anchor_id"))
+        .withColumn("pos_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("p_emb"))))
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.asc("pos_cosine"), F.asc("pos_id"))
+    hardest_pos = (
+        pos_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "anchor_label", "pos_id", "pos_cosine")
+    )
+    # hardest negative: ids-only band collisions, vectors re-attached
+    keyed = emb.select("vec_id", "label", *_band_key_cols(F.col("embedding")))
+    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    coll = keyed.select("vec_id", "label", F.posexplode(bands).alias("band", "key"))
+    cand = (
+        coll.alias("x")
+        .join(coll.alias("y"), ["band", "key"])
+        .filter(
+            (F.col("x.vec_id") != F.col("y.vec_id"))
+            & (F.col("x.label") != F.col("y.label"))
+        )
+        .select(
+            F.col("x.vec_id").alias("anchor_id"),
+            F.col("y.vec_id").alias("neg_id"),
+        )
+        .dropDuplicates(["anchor_id", "neg_id"])
+    )
+    av = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
+    nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("n_emb"))
+    neg_scored = (
+        cand.join(av, "anchor_id")
+        .join(nv, "neg_id")
+        .withColumn("neg_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("n_emb"))))
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(F.desc("neg_cosine"), F.asc("neg_id"))
+    hardest_neg = (
+        neg_scored.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "neg_id", "neg_cosine")
+    )
+    return (
+        hardest_pos.join(hardest_neg, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "pos_id",
+            "pos_cosine",
+            "neg_id",
+            "neg_cosine",
+            (F.col("pos_cosine") - F.col("neg_cosine")).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def triplet_mining_oracle() -> str:
+    bit_exprs = _lsh_bit_exprs_sql()
+    key_exprs = _lsh_key_exprs_sql()
+    band_match = " OR ".join(f"x.k{b} = y.k{b}" for b in range(LSH_BANDS))
+    cos_ap = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))))"
+    )
+    cos_xy = (
+        "list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(en.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+        WITH pos_scored AS (
+          SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 p.vec_id AS pos_id,
+                 FLOOR(({cos_ap}) * 1e6) / 1e6 AS pos_cosine
+          FROM embeddings a
+          JOIN embeddings p ON p.label = a.label AND p.vec_id <> a.vec_id
+        ),
+        hardest_pos AS (
+          SELECT anchor_id, anchor_label, pos_id, pos_cosine
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                     ORDER BY pos_cosine ASC, pos_id ASC) AS rn
+            FROM pos_scored
+          ) WHERE rn = 1
+        ),
+        sig AS (
+          SELECT vec_id, label, embedding,
+                 {bit_exprs}
+          FROM embeddings
+        ),
+        keys AS (
+          SELECT vec_id, label, {key_exprs} FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS anchor_id, y.vec_id AS neg_id
+          FROM keys x JOIN keys y
+            ON y.vec_id <> x.vec_id AND y.label <> x.label AND ({band_match})
+        ),
+        neg_scored AS (
+          SELECT c.anchor_id, c.neg_id,
+                 FLOOR(({cos_xy}) * 1e6) / 1e6 AS neg_cosine
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.anchor_id
+          JOIN embeddings en ON en.vec_id = c.neg_id
+        ),
+        hardest_neg AS (
+          SELECT anchor_id, neg_id, neg_cosine
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                     ORDER BY neg_cosine DESC, neg_id ASC) AS rn
+            FROM neg_scored
+          ) WHERE rn = 1
+        )
+        SELECT hp.anchor_id, hp.anchor_label, hp.pos_id, hp.pos_cosine,
+               hn.neg_id, hn.neg_cosine,
+               hp.pos_cosine - hn.neg_cosine AS margin
+        FROM hardest_pos hp
+        LEFT JOIN hardest_neg hn USING (anchor_id)
+        ORDER BY hp.anchor_id
+    """

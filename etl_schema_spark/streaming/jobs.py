@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_schema_spark.sources.catalog import normalize_nanos, physical_schema
@@ -434,4 +434,62 @@ def streaming_ewma_flags_oracle() -> str:
                CAST(anomalies AS BIGINT) AS n_anomalies
         FROM step WHERE i = n
         ORDER BY user_id
+    """
+
+
+TOPK_PER_HOUR = 3
+
+
+def hourly_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly event counts per (hour, user_id) — the
+    high-cardinality windowed aggregate a leaderboard drains from."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "user_id", "n")
+    )
+
+
+def streaming_topk_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: streaming hourly leaderboard — the watermarked
+    (hour, user) counts stream drained via AvailableNow, then ranked to
+    the top-TOPK_PER_HOUR users per hour (count desc, user_id asc
+    tie-break). The rank runs on the drained micro-batch result (the
+    standard pattern: ranking is not an incremental streaming aggregate,
+    so it sits behind the stateful count as a per-trigger post-pass —
+    in production, inside foreachBatch on each update).
+
+    State scale: the stream keeps one counter per open (hour, user) —
+    bounded by the watermark horizon x active users, partitioned by the
+    grouping key; the rank touches only closed windows' rows.
+    """
+    counts = run_available_now(
+        hourly_user_counts_stream(spark, sf_dir), f"sq_topk_{next(_DRAIN_SEQ)}"
+    )
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_PER_HOUR)
+        .select("hour", "user_id", F.col("n").cast("bigint").alias("n"), "rank")
+        .orderBy("hour", "rank")
+    )
+
+
+def streaming_topk_keys_oracle() -> str:
+    return f"""
+        WITH counts AS (
+          SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT hour, user_id, CAST(n AS BIGINT) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY hour
+                     ORDER BY n DESC, user_id ASC) AS rank
+          FROM counts
+        )
+        SELECT hour, user_id, n, rank
+        FROM ranked WHERE rank <= {TOPK_PER_HOUR}
+        ORDER BY hour, rank
     """

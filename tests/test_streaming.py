@@ -213,3 +213,28 @@ def test_streaming_ewma_flags_oracle(spark, sf_dir, duck):
         duck,
         streaming.streaming_ewma_flags_oracle(),
     )
+
+
+def test_streaming_topk_keys_oracle(spark, sf_dir, duck):
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        streaming.streaming_topk_keys(spark, sf_dir),
+        duck,
+        streaming.streaming_topk_keys_oracle(),
+    )
+
+
+def test_streaming_topk_ranks_dense(spark, sf_dir):
+    """Every closed hour emits ranks 1..K (or fewer iff fewer active
+    users), ordered by count desc."""
+    from collections import defaultdict
+
+    hours = defaultdict(list)
+    for r in streaming.streaming_topk_keys(spark, sf_dir).collect():
+        hours[r.hour].append((r.rank, r.n))
+    for hour, rs in hours.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        ns = [x[1] for x in rs]
+        assert ns == sorted(ns, reverse=True)

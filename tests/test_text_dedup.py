@@ -325,3 +325,27 @@ def test_bm25_scores_rank_sanely(spark, sf_dir):
         per_q[r.query_id].append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_winnowing_fingerprint_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.winnowing_fingerprint(spark, sf_dir),
+        duck,
+        dedup.winnowing_fingerprint_oracle(),
+    )
+
+
+def test_winnowing_density_near_theory(spark, sf_dir):
+    """Winnowing selects ~2/(W+1) of windows on random-ish text; every
+    profile obeys the hard bounds 1 <= fingerprints <= windows."""
+    rows = dedup.winnowing_fingerprint(spark, sf_dir).collect()
+    dens = []
+    for r in rows:
+        if r.n_windows > 0:
+            assert 1 <= r.n_fingerprints <= r.n_windows
+            assert r.min_fp is not None and len(r.min_fp) == 32
+            dens.append(r.n_fingerprints / r.n_windows)
+    import statistics
+
+    expect = 2 / (dedup.WINNOW_W + 1)
+    assert abs(statistics.mean(dens) - expect) < 0.1
