@@ -1338,3 +1338,118 @@ def daily_modal_event_oracle() -> str:
         GROUP BY day, event_type
         ORDER BY day, modal_type
     """
+
+
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LINEAR interpolation per event type —
+    the hypertable `time_bucket_gapfill` + `interpolate` contract, the
+    sibling of :func:`gapfill_locf` (which carries the last value flat).
+    Empty hours take the line between the surrounding observed hourly
+    means; hours before the first / after the last observation stay NULL
+    (no extrapolation), `is_gap` marks fills.
+
+    Same plan as gapfill_locf: metadata-sized spine (|types| x hours) from
+    broadcast bounds, then two ignoreNulls windows per type (prev/next
+    observed value+hour — state is one row each way). The interpolation
+    weight uses exact integer hour arithmetic; the value math is the same
+    IEEE double expression on both engines, trunc6 at the end.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_vdec("value")).cast("double") / F.count(F.lit(1))).alias("vmean"),
+    )
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "h_us", F.unix_micros("hour")
+    )
+    obs_h = F.when(F.col("vmean").isNotNull(), F.col("h_us"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("vmean", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_v = F.first("vmean", ignorenulls=True).over(wf)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    interp = F.when(
+        F.col("vmean").isNotNull(), F.col("vmean")
+    ).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * ((F.col("h_us") - prev_h) / (next_h - prev_h))
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        _trunc6(interp).alias("value_interp"),
+        F.col("n").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hour")
+
+
+def gapfill_interp_oracle() -> str:
+    return """
+        WITH ev AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(FLOOR(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vdec
+          FROM events
+        ),
+        hourly AS (
+          SELECT event_type, hour, COUNT(*) AS n,
+                 CAST(SUM(vdec) AS DOUBLE) / COUNT(*) AS vmean
+          FROM ev GROUP BY event_type, hour
+        ),
+        bounds AS (
+          SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM ev
+        ),
+        spine AS (
+          SELECT t.event_type, s.hour
+          FROM (SELECT DISTINCT event_type FROM ev) t,
+               (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                FROM bounds) s
+        ),
+        joined AS (
+          SELECT s.event_type, s.hour, h.n, h.vmean,
+                 epoch_us(s.hour) AS h_us
+          FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        ),
+        ctx AS (
+          SELECT *,
+                 LAST_VALUE(vmean IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                 LAST_VALUE(CASE WHEN vmean IS NOT NULL THEN h_us END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+                 FIRST_VALUE(vmean IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                 FIRST_VALUE(CASE WHEN vmean IS NOT NULL THEN h_us END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+          FROM joined
+        )
+        SELECT event_type, hour,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+               FLOOR((CASE WHEN vmean IS NOT NULL THEN vmean
+                      ELSE prev_v + (next_v - prev_v)
+                           * ((h_us - prev_h) / (next_h - prev_h))
+                      END) * 1e6) / 1e6 AS value_interp,
+               n IS NULL AS is_gap
+        FROM ctx
+        ORDER BY event_type, hour
+    """

@@ -285,3 +285,122 @@ def dup_pagerank_oracle(tau: float = JACCARD_TAU, rounds: int = PR_ROUNDS) -> st
         FROM r{rounds}
         ORDER BY doc_id
     """
+
+
+TEMPLATE_DF_CAP = 10
+TEMPLATE_MIN_SHARED = 2
+
+
+def template_communities(
+    spark: SparkSession, sf_dir: str, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """Template/boilerplate family detection: connected components over the
+    "shares >= TEMPLATE_MIN_SHARED rare shingles" graph — a LOOSER edge
+    than dup_components' Jaccard tau, catching docs stamped from the same
+    template whose bodies diverged too far for whole-doc similarity. The
+    curation action differs too: near-dups drop to one canonical, template
+    families get their boilerplate stripped or the family downweighted.
+
+    Edges: rare-shingle postings (document frequency <= TEMPLATE_DF_CAP —
+    the df cap is simultaneously the semantic filter and the hot-key
+    bound, as in cross_lang_contamination) self-joined on shingle, pair
+    count >= TEMPLATE_MIN_SHARED. Closure: the same one-shuffle-per-round
+    min-label propagation as dup_components, exact recursive-CTE oracle.
+    """
+    from .dedup import _shingled_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TEMPLATE_DF_CAP)
+        .select("shingle")
+    )
+    p = posting.join(rare, "shingle")
+    pairs = (
+        p.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(p.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= TEMPLATE_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("fam")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _ in range(max_rounds):
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "fam"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("fam").alias("fam"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            labels.withColumnRenamed("fam", "old")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old") != F.col("fam"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("family_id")
+    return (
+        labels.select("doc_id", F.col("fam").alias("family_id"))
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+def template_communities_oracle() -> str:
+    from .dedup import SHINGLE_CTES_SQL
+
+    return f"""
+        WITH RECURSIVE {SHINGLE_CTES_SQL},
+        posting AS (
+          SELECT doc_id, unnest(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0
+        ),
+        rare AS (
+          SELECT shingle FROM posting GROUP BY shingle
+          HAVING COUNT(*) <= {TEMPLATE_DF_CAP}
+        ),
+        p AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+        tpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) >= {TEMPLATE_MIN_SHARED}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM tpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM tpairs
+        ),
+        reach(id, fam) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.fam = e.src
+        ),
+        lab AS (
+          SELECT id AS doc_id, MIN(fam) AS family_id FROM reach GROUP BY id
+        )
+        SELECT doc_id, family_id,
+               CAST(COUNT(*) OVER (PARTITION BY family_id) AS BIGINT) AS n_members
+        FROM lab
+        ORDER BY doc_id
+    """

@@ -1221,3 +1221,94 @@ def triplet_mining_oracle() -> str:
         LEFT JOIN hardest_neg hn USING (anchor_id)
         ORDER BY hp.anchor_id
     """
+
+
+import math as _math
+
+# integer ppm discount table for NDCG: position p -> round(1e6 / log2(p+1)).
+# Literal constants on both engines, so the DCG sum is pure integer
+# arithmetic — order-independent and bit-portable (a float DCG sum would
+# depend on reduction order).
+_NDCG_DISC_PPM = [round(1_000_000 / _math.log2(p + 1)) for p in range(1, TOP_K + 1)]
+_NDCG_IDCG_PPM = sum(_NDCG_DISC_PPM)
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the LSH ANN index against exact
+    search: per query, recall@K and binary-relevance NDCG@K of
+    ann_lsh_topk's ranking, with ann_bruteforce_topk's top-K as the
+    relevant set — the eval harness that decides whether an ANN index is
+    good enough to replace exact search for hard-negative mining /
+    decontamination at scale.
+
+    DCG uses an integer-ppm discount table (module constant) so the sum
+    is order-independent; NDCG normalizes by the fixed K-relevant ideal
+    (IDCG_K), also integer. Both input rankings are deterministic
+    (trunc6 cosine, id tie-breaks), so the whole metric is oracle-checked
+    bit-for-bit. Cost: the two index scans it evaluates; the join is
+    K-rows-per-query tiny.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC_PPM]), F.col("rank")
+    )
+    marked = lsh.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        (F.coalesce(F.col("rel"), F.lit(0)) * disc).alias("gain_ppm"),
+    )
+    queries = exact.select("query_id").distinct()
+    agg = marked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("hits"),
+        F.sum("gain_ppm").cast("bigint").alias("dcg_ppm"),
+    )
+    return (
+        queries.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"coalesce(hits, 0) * 1000000 div {TOP_K}")
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.expr(f"coalesce(dcg_ppm, 0) * 1000000 div {_NDCG_IDCG_PPM}")
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ndcg_eval_oracle() -> str:
+    disc_case = " ".join(
+        f"WHEN {p + 1} THEN {d}" for p, d in enumerate(_NDCG_DISC_PPM)
+    )
+    return f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({ann_bruteforce_topk_oracle()})
+        ),
+        lsh AS (
+          SELECT query_id, neighbor_id, rank FROM ({ann_lsh_topk_oracle()})
+        ),
+        marked AS (
+          SELECT l.query_id,
+                 CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+                 (CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   * (CASE l.rank {disc_case} END) AS gain_ppm
+          FROM lsh l LEFT JOIN exact e
+            ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+        ),
+        agg AS (
+          SELECT query_id, SUM(rel) AS hits, SUM(gain_ppm) AS dcg_ppm
+          FROM marked GROUP BY query_id
+        )
+        SELECT q.query_id,
+               CAST(COALESCE(a.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(a.hits, 0) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm,
+               CAST(COALESCE(a.dcg_ppm, 0) * 1000000 // {_NDCG_IDCG_PPM} AS BIGINT) AS ndcg_ppm
+        FROM (SELECT DISTINCT query_id FROM exact) q
+        LEFT JOIN agg a USING (query_id)
+        ORDER BY q.query_id
+    """

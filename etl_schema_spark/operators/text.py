@@ -1079,3 +1079,121 @@ def bm25_retrieval_oracle() -> str:
         FROM ranked WHERE rank <= {BM25_TOP_K}
         ORDER BY query_id, rank
     """
+
+
+CODE_SYMBOLS = "{}();=<>[]#"
+CODE_SCORE_TAU_PPM = 20_000  # >= 2% code symbols -> flagged as code
+
+
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic per document: density of code punctuation
+    ({ } ( ) ; = < > [ ] #) and semicolon count, with a ppm score and a
+    flag at CODE_SCORE_TAU_PPM — the cheap first-pass router a pretraining
+    pipeline uses to split code from natural language before
+    language-specific quality rules run (fasttext-style classifiers
+    replace it later; the plumbing is identical).
+
+    Zero shuffle, whole-stage codegen only: each symbol count is
+    length(text) - length(replace(text, sym)) — one pass per symbol over
+    the row, no regex engine, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+
+    def count_of(ch: str) -> Column:
+        return n - F.length(F.replace(F.col("text"), F.lit(ch)))
+
+    sym_total = None
+    for ch in CODE_SYMBOLS:
+        c = count_of(ch)
+        sym_total = c if sym_total is None else sym_total + c
+    return (
+        docs.select(
+            "doc_id",
+            n.cast("bigint").alias("n_chars"),
+            sym_total.cast("bigint").alias("sym_count"),
+            count_of(";").cast("bigint").alias("semi_count"),
+        )
+        .withColumn(
+            "code_score_ppm",
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr("(sym_count * 1000000) div n_chars"),
+            )
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .withColumn("is_code", F.col("code_score_ppm") >= CODE_SCORE_TAU_PPM)
+        .orderBy("doc_id")
+    )
+
+
+def code_detect_oracle() -> str:
+    per_sym = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))" for c in CODE_SYMBOLS
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST({per_sym} AS BIGINT) AS sym_count,
+               CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)
+                 AS semi_count,
+               CAST(CASE WHEN length(text) > 0
+                    THEN (({per_sym}) * 1000000) // length(text)
+                    ELSE 0 END AS BIGINT) AS code_score_ppm,
+               (CASE WHEN length(text) > 0
+                     THEN (({per_sym}) * 1000000) // length(text)
+                     ELSE 0 END) >= {CODE_SCORE_TAU_PPM} AS is_code
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+HASH_FEATURE_BUCKETS = 256
+
+
+def hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): lowercased whitespace tokens
+    hashed into HASH_FEATURE_BUCKETS md5 buckets, one (doc_id, bucket,
+    count) row per non-empty bucket — the fixed-width sparse
+    bag-of-words vectorizer that feeds linear quality classifiers
+    (quality_logreg_score consumes exactly this representation) without
+    ever materializing a vocabulary.
+
+    One explode + one partial-aggregated groupBy on (doc_id, bucket);
+    no vocabulary broadcast, no global dictionary shuffle — the whole
+    point of the trick at 100 TB. Bucket = first 8 md5 hex digits mod B,
+    the same portable hash family as the sketches.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % HASH_FEATURE_BUCKETS
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def hashing_trick_features_oracle() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                 % {HASH_FEATURE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE tok <> ''
+        GROUP BY doc_id, bucket
+        ORDER BY doc_id, bucket
+    """

@@ -351,3 +351,39 @@ def test_daily_modal_event_partitions_users(spark, sf_dir):
         .collect()
     }
     assert modal == active
+
+
+def test_gapfill_interp_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.gapfill_interp(spark, sf_dir),
+        duck,
+        analytics.gapfill_interp_oracle(),
+    )
+
+
+def test_gapfill_interp_between_neighbors(spark, sf_dir):
+    """Interpolated fills lie within [min, max] of the surrounding
+    observed values, and observed hours pass through untouched; spine
+    shape matches gapfill_locf exactly."""
+    interp = analytics.gapfill_interp(spark, sf_dir).collect()
+    locf = {(r.event_type, r.hour): r for r in analytics.gapfill_locf(spark, sf_dir).collect()}
+    assert len(interp) == len(locf)
+    by_series = {}
+    for r in interp:
+        by_series.setdefault(r.event_type, []).append(r)
+    for rows in by_series.values():
+        rows.sort(key=lambda r: r.hour)
+        obs = [(i, r.value_interp) for i, r in enumerate(rows) if not r.is_gap]
+        for i, r in enumerate(rows):
+            if r.is_gap and r.value_interp is not None:
+                prev = max((v for j, v in obs if j < i), default=None)
+                lo_hi = [v for j, v in obs if abs(j - i) >= 0]
+                before = [v for j, v in obs if j < i]
+                after = [v for j, v in obs if j > i]
+                assert before and after  # no extrapolation by contract
+                lo = min(max(before, default=None), min(after))
+                hi = max(max(before), min(after))
+                # the fill sits on the segment between its two neighbors
+                nb = before[-1]
+                na = after[0]
+                assert min(nb, na) - 1e-9 <= r.value_interp <= max(nb, na) + 1e-9

@@ -284,3 +284,27 @@ def test_dup_pagerank_mass_and_floor(spark, sf_dir):
         assert r.degree >= 1
         total += r.rank_scaled
     assert total <= len(rows) * 1_000_000
+
+
+def test_template_communities_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        graph.template_communities(spark, sf_dir),
+        duck,
+        graph.template_communities_oracle(),
+    )
+
+
+def test_template_communities_cover_docs(spark, sf_dir):
+    """Every doc lands in exactly one family; family ids are the min
+    member (canonical labeling); near-dup components are sub-families
+    when their pairs also share >= 2 rare shingles."""
+    rows = graph.template_communities(spark, sf_dir).collect()
+    from etl_schema_spark.sources.catalog import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    fams = {}
+    for r in rows:
+        fams.setdefault(r.family_id, []).append(r.doc_id)
+    for fam, members in fams.items():
+        assert fam == min(members)
+        assert all(r.n_members == len(members) for r in rows if r.family_id == fam)

@@ -32,6 +32,10 @@ ALLPAIRS_OK = {
     "zipf_term_stats",
     "domain_mix_weights",  # two broadcast 1-row normalizing constants
     "gapfill_locf",  # broadcast 1-row global min/max hour bounds onto |types|
+    "gapfill_interp",  # same broadcast 1-row bounds spine as gapfill_locf
+    # evaluates the allowlisted brute-force baseline (broadcast queries
+    # over the scan) against the LSH index — inherits that BNLJ
+    "ndcg_eval",
     # per-type sketch summaries pair up via a theta join over <= |types|^2
     # rows (sketch metadata, not data) — intended BNLJ at any scale
     "kmv_set_ops",

@@ -350,3 +350,24 @@ def test_triplet_mining_hardness(spark, sf_dir):
         if r.neg_id is not None:
             assert labels[r.neg_id] != r.anchor_label
             assert abs(r.margin - (r.pos_cosine - r.neg_cosine)) < 1e-12
+
+
+def test_ndcg_eval_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.ndcg_eval(spark, sf_dir), duck, similarity.ndcg_eval_oracle()
+    )
+
+
+def test_ndcg_eval_bounds(spark, sf_dir):
+    """One row per query; recall and NDCG in [0, 1e6]; NDCG >= ppm-floor
+    of recall-weighted worst placement (hits at the list tail)."""
+    rows = similarity.ndcg_eval(spark, sf_dir).collect()
+    from etl_schema_spark.operators.similarity import N_QUERIES, TOP_K
+
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.hits <= TOP_K
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        if r.hits == TOP_K:
+            assert r.ndcg_ppm >= 999_000  # full recall => near-perfect NDCG

@@ -349,3 +349,55 @@ def test_winnowing_density_near_theory(spark, sf_dir):
 
     expect = 2 / (dedup.WINNOW_W + 1)
     assert abs(statistics.mean(dens) - expect) < 0.1
+
+
+def test_code_detect_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.code_detect(spark, sf_dir), duck, text.code_detect_oracle()
+    )
+
+
+def test_code_detect_counts(spark, sf_dir):
+    """Symbol counts reconcile with Python's str.count on a sample."""
+    from etl_schema_spark.operators.text import CODE_SYMBOLS
+    from etl_schema_spark.sources.catalog import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    for r in text.code_detect(spark, sf_dir).collect():
+        if r.doc_id in texts:
+            t = texts[r.doc_id]
+            assert r.sym_count == sum(t.count(c) for c in CODE_SYMBOLS)
+            assert r.semi_count == t.count(";")
+            assert r.n_chars == len(t)
+
+
+def test_hashing_trick_features_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        text.hashing_trick_features(spark, sf_dir),
+        duck,
+        text.hashing_trick_features_oracle(),
+    )
+
+
+def test_hashing_trick_features_mass(spark, sf_dir):
+    """Bucketed counts conserve the total token mass and bucket ids stay
+    inside the fixed width."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators.text import HASH_FEATURE_BUCKETS
+    from etl_schema_spark.sources.catalog import load_table
+
+    feats = text.hashing_trick_features(spark, sf_dir)
+    total = feats.agg(F.sum("n")).collect()[0][0]
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .count()
+    )
+    assert total == toks
+    assert feats.agg(F.max("bucket")).collect()[0][0] < HASH_FEATURE_BUCKETS
+    assert feats.agg(F.min("bucket")).collect()[0][0] >= 0

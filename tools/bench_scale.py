@@ -26,6 +26,7 @@ from etl_schema_spark.session import get_spark  # noqa: E402
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 BIG = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1eq"
 PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+ONLY = sys.argv[4:]  # optional: restrict to these registry entries
 
 # docs/embeddings/events-bound registry entries, heaviest families first
 SCALE_QUERIES = [
@@ -72,7 +73,7 @@ def main() -> None:
 
     print(f"| query | {os.path.basename(BASE)} warm-med s | sf1eq warm-med s | ratio (10x data) |")
     print("| --- | --- | --- | --- |")
-    for name in SCALE_QUERIES:
+    for name in ONLY or SCALE_QUERIES:
         a = warm_median(qs[name], spark, BASE)
         b = warm_median(qs[name], spark, BIG)
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |", flush=True)
