@@ -1111,9 +1111,17 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("anchor_id", "anchor_label", "pos_id", "pos_cosine")
     )
-    # hardest negative: ids-only band collisions, vectors re-attached
-    keyed = emb.select("vec_id", "label", *_band_key_cols(F.col("embedding")))
-    bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
+    # hardest negative: ids-only band collisions, vectors re-attached.
+    # The band family widens with the collection (_adaptive_band_params) —
+    # at driver oracle scales (n <= 2.4k) it IS the fixed 4-bit family the
+    # SQL twin spells out (the pinned adaptive-banding oracle invariant);
+    # past that, fixed 4-bit buckets grow as n/16 and the candidate join
+    # turns quadratic (measured: the 10x corpus hung before this line).
+    n_bits, n_bands = _adaptive_band_params(emb.count())
+    keyed = emb.select(
+        "vec_id", "label", *_band_key_cols(F.col("embedding"), n_bits, n_bands)
+    )
+    bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     coll = keyed.select("vec_id", "label", F.posexplode(bands).alias("band", "key"))
     cand = (
         coll.alias("x")
