@@ -73,6 +73,12 @@ HEADLINE = [
     "interval_coverage",
     "reservoir_sample_per_key",
     "pmi_cooccur_terms",
+    # late round-5 additions
+    "winnowing_fingerprint",
+    "dup_pagerank",
+    "triplet_mining",
+    "dataset_card",
+    "concurrency_peak",
 ]
 
 

@@ -1069,42 +1069,69 @@ def embedding_outliers_oracle() -> str:
     """
 
 
+TRIPLET_POS_SAMPLE = 8  # positive candidates per anchor (ring width)
+
+
 def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-example triplet mining for embedding training: for every
-    anchor vector, the hardest positive (same label, LOWEST cosine — the
-    far member of its own class) and the hardest negative (different
-    label, HIGHEST cosine among LSH band-collision candidates), with the
-    triplet margin. Rows with NULL negatives are anchors whose band
-    signature collides with no other class — the easy cases a hard-mining
-    batch sampler skips.
+    anchor vector, the hardest positive (same label, LOWEST cosine among
+    a deterministic TRIPLET_POS_SAMPLE-member candidate ring) and the
+    hardest negative (different label, HIGHEST cosine among LSH
+    band-collision candidates), with the triplet margin. Rows with NULL
+    negatives are anchors whose band signature collides with no other
+    class — the easy cases a hard-mining batch sampler skips.
 
-    Positives are exact within the label block (a per-class equi-join —
-    the block is the class, the standard per-class mining bound; a
-    class-balanced sampler caps block size upstream at corpus scale).
-    Negatives reuse the fixed md5-derived hyperplane band family of
-    ann_lsh_topk: ids-only band self-join, pair dedupe, THEN vectors
-    re-attach by vec_id equi-join (the embedding_cosine_dup shape — wide
-    vectors never ride the candidate shuffle). Both picks are
-    deterministic (cosine trunc6, vec_id tie-break), so the whole miner
-    is oracle-checkable bit-for-bit.
+    Positive candidates are a RING SAMPLE, not the full class block: class
+    members take positions in md5-hash order (two-phase distributed rank —
+    grouped_running_sum, never a per-class single-reducer window), and
+    each anchor pairs with the next TRIPLET_POS_SAMPLE positions mod class
+    size. That is n x P pairs — linear in the collection — where the full
+    class block join is n x class_size and measured 100x cost growth for
+    10x data before this change. When a class has <= P+1 members the ring
+    IS the whole class and the pick is exact; bigger classes get the
+    standard batch-sampled semi-hard semantics. Negatives reuse the
+    adaptive md5-derived hyperplane band family: ids-only band self-join,
+    pair dedupe, THEN vectors re-attach by vec_id equi-join (the
+    embedding_cosine_dup shape — wide vectors never ride the candidate
+    shuffle). Every pick is deterministic (md5 ring order, trunc6 cosine,
+    id tie-breaks), so the whole miner is oracle-checkable bit-for-bit.
     """
+    from .distributed import grouped_running_sum
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("a_emb"),
+    hashed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.md5(F.concat(F.lit("tm:"), F.col("vec_id").cast("string"))).alias("_h"),
     )
-    # hardest positive: exact within-class scan
-    p = emb.select(
+    ranked = grouped_running_sum(hashed, "label", F.col("_h"), F.lit(1), "_rk")
+    sizes = ranked.groupBy("label").agg(F.count(F.lit(1)).alias("_size"))
+    members = ranked.select(
+        "label",
+        (F.col("_rk") - 1).alias("_cand_pos"),
         F.col("vec_id").alias("pos_id"),
-        F.col("label").alias("anchor_label"),
         F.col("embedding").alias("p_emb"),
     )
-    pos_scored = (
-        a.join(p, "anchor_label")
-        .filter(F.col("pos_id") != F.col("anchor_id"))
-        .withColumn("pos_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("p_emb"))))
+    anchors = (
+        ranked.join(sizes, "label")
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("a_emb"),
+            (F.col("_rk") - 1).alias("_pos"),
+            "_size",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(TRIPLET_POS_SAMPLE), F.col("_size") - 1))
+            ).alias("_delta"),
+        )
+        .withColumn("_cand_pos", (F.col("_pos") + F.col("_delta")) % F.col("_size"))
     )
+    pos_scored = anchors.join(
+        members,
+        (anchors.anchor_label == members.label)
+        & (anchors._cand_pos == members._cand_pos),
+    ).withColumn("pos_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("p_emb"))))
     wp = Window.partitionBy("anchor_id").orderBy(F.asc("pos_cosine"), F.asc("pos_id"))
     hardest_pos = (
         pos_scored.withColumn("rn", F.row_number().over(wp))
@@ -1179,12 +1206,35 @@ def triplet_mining_oracle() -> str:
         " * sqrt(list_dot_product(CAST(en.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[]))))"
     )
     return f"""
-        WITH pos_scored AS (
-          SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
-                 p.vec_id AS pos_id,
+        WITH hashed AS (
+          SELECT vec_id, label, embedding,
+                 md5('tm:' || CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings
+        ),
+        ranked AS (
+          SELECT vec_id, label, embedding,
+                 ROW_NUMBER() OVER (PARTITION BY label ORDER BY h) - 1 AS pos
+          FROM hashed
+        ),
+        sizes AS (
+          SELECT label, COUNT(*) AS sz FROM hashed GROUP BY label
+        ),
+        anchors AS (
+          SELECT r.vec_id AS anchor_id, r.label AS anchor_label,
+                 r.embedding AS a_embedding,
+                 (r.pos + d.delta) % s.sz AS cand_pos
+          FROM ranked r
+          JOIN sizes s USING (label)
+          JOIN (SELECT unnest(range(1, {TRIPLET_POS_SAMPLE} + 1)) AS delta) d
+            ON d.delta <= s.sz - 1
+        ),
+        pos_scored AS (
+          SELECT aa.anchor_id, aa.anchor_label, p.vec_id AS pos_id,
                  FLOOR(({cos_ap}) * 1e6) / 1e6 AS pos_cosine
-          FROM embeddings a
-          JOIN embeddings p ON p.label = a.label AND p.vec_id <> a.vec_id
+          FROM anchors aa
+          JOIN ranked p ON p.label = aa.anchor_label AND p.pos = aa.cand_pos
+          JOIN (SELECT vec_id, embedding FROM embeddings) a
+            ON a.vec_id = aa.anchor_id
         ),
         hardest_pos AS (
           SELECT anchor_id, anchor_label, pos_id, pos_cosine
