@@ -1453,3 +1453,162 @@ def gapfill_interp_oracle() -> str:
         FROM ctx
         ORDER BY event_type, hour
     """
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's event_type
+    state: one row per RUN of consecutive equal types (per user, time
+    order), with valid_from / valid_to (next change, NULL while current),
+    a version number, and the run's event count — the CDC/warehouse
+    primitive that turns an event stream into an as-of-queryable
+    dimension (pairs with asof_attribution for point-in-time joins).
+
+    One shuffle on user_id: a lag marks change points, a running sum of
+    change flags numbers the versions (classic gaps-and-islands), a
+    groupBy collapses runs, and a lead attaches each version's close
+    time. Per-user windows — high cardinality, naturally parallel.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn("chg", changed).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        hist.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .select(
+            "user_id",
+            F.col("version").cast("bigint").alias("version"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def scd2_history_oracle() -> str:
+    return """
+        WITH ev AS (
+          SELECT user_id, event_type, ts FROM events
+        ),
+        marked AS (
+          SELECT *,
+                 CASE WHEN LAG(event_type) OVER w IS NULL
+                        OR event_type <> LAG(event_type) OVER w
+                      THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        ),
+        runs AS (
+          SELECT *,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+          FROM marked
+        ),
+        hist AS (
+          SELECT user_id, version,
+                 MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM runs GROUP BY user_id, version
+        )
+        SELECT user_id,
+               CAST(version AS BIGINT) AS version,
+               event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                 AS valid_to,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                 IS NULL AS is_current,
+               n_events
+        FROM hist
+        ORDER BY user_id, version
+    """
+
+
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM feature table — recency (days since the user's last
+    event, measured at the corpus high-water mark), frequency (events),
+    monetary (exact decimal value sum), tenure days, and mean
+    inter-event gap — the standard churn/LTV feature block a downstream
+    model trains on (the feature-engineering twin of churned_users'
+    hard cutoff).
+
+    One groupBy(user_id) computes every per-user aggregate; the 1-row
+    corpus high-water mark broadcasts onto the result (allowlisted 1-row
+    BNLJ, the domain_mix_weights pattern). Gaps use exact integer
+    microseconds; monetary uses the decimal decomposition.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us"), "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(_vdec("value")).cast("double").alias("monetary"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+    hwm = ev.agg(F.max("us").alias("hwm_us"))
+    return (
+        per_user.crossJoin(F.broadcast(hwm))
+        .select(
+            "user_id",
+            F.expr("(hwm_us - last_us) div 86400000000").cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+            F.expr("(last_us - first_us) div 86400000000").cast("bigint").alias(
+                "tenure_days"
+            ),
+            F.when(
+                F.col("frequency") > 1,
+                F.expr("(last_us - first_us) div (frequency - 1)"),
+            )
+            .cast("bigint")
+            .alias("mean_gap_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def rfm_features_oracle() -> str:
+    return """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(FLOOR(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vdec
+          FROM events
+        ),
+        per_user AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(vdec) AS DOUBLE) AS monetary,
+                 MIN(us) AS first_us,
+                 MAX(us) AS last_us
+          FROM ev GROUP BY user_id
+        ),
+        hwm AS (SELECT MAX(us) AS hwm_us FROM ev)
+        SELECT user_id,
+               CAST((hwm_us - last_us) // 86400000000 AS BIGINT) AS recency_days,
+               frequency,
+               monetary,
+               CAST((last_us - first_us) // 86400000000 AS BIGINT) AS tenure_days,
+               CAST(CASE WHEN frequency > 1
+                    THEN (last_us - first_us) // (frequency - 1) END AS BIGINT)
+                 AS mean_gap_micros
+        FROM per_user, hwm
+        ORDER BY user_id
+    """

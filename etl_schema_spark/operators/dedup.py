@@ -1123,3 +1123,104 @@ def winnowing_fingerprint_oracle() -> str:
         FROM wins
         ORDER BY doc_id
     """
+
+
+CONT_DF_CAP = 20
+CONT_TAU_PPM = 500_000  # report pairs where the smaller doc is >= 50% contained
+
+
+def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: documents whose SMALLER
+    shingle set is >= CONT_TAU_PPM (ppm) contained in the larger one —
+    the quote/excerpt/subset-duplication signal symmetric Jaccard
+    misses (a 100-line doc quoted inside a 10k-line doc has tiny Jaccard
+    but containment ~1; Broder's containment measure).
+
+    Candidates come from shared rare shingles (document frequency <=
+    CONT_DF_CAP — the df cap is the hot-key bound AND the semantic
+    filter, as in cross_lang_contamination; a pair sharing only
+    boilerplate shingles is not an excerpt). Candidate ids then re-attach
+    their in-row shingle arrays and the EXACT shared count comes from
+    array_intersect per pair — no postings re-join, no pair explosion
+    beyond the rarity-bounded candidate set. Integer ppm output.
+    """
+    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONT_DF_CAP)
+        .select("shingle")
+    )
+    p = posting.join(rare, "shingle")
+    cands = (
+        p.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(p.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(n_shared * 1000000) div least(size_a, size_b)").cast("bigint"),
+        )
+        .filter(F.col("containment_ppm") >= CONT_TAU_PPM)
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "containment_ppm",
+    ).orderBy("doc_a", "doc_b")
+
+
+def containment_dup_oracle() -> str:
+    return f"""
+        WITH {SHINGLE_CTES_SQL},
+        posting AS (
+          SELECT doc_id, unnest(shingles) AS shingle
+          FROM sh WHERE len(shingles) > 0
+        ),
+        rare AS (
+          SELECT shingle FROM posting GROUP BY shingle
+          HAVING COUNT(*) <= {CONT_DF_CAP}
+        ),
+        p AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(x.shingles) AS size_a,
+                 len(y.shingles) AS size_b,
+                 len(list_intersect(x.shingles, y.shingles)) AS n_shared
+          FROM cands c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b
+        )
+        SELECT CAST(doc_a AS BIGINT) AS doc_a,
+               CAST(doc_b AS BIGINT) AS doc_b,
+               CAST(size_a AS BIGINT) AS size_a,
+               CAST(size_b AS BIGINT) AS size_b,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST((n_shared * 1000000) // LEAST(size_a, size_b) AS BIGINT)
+                 AS containment_ppm
+        FROM scored
+        WHERE (n_shared * 1000000) // LEAST(size_a, size_b) >= {CONT_TAU_PPM}
+        ORDER BY doc_a, doc_b
+    """

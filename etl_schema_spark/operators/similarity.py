@@ -1370,3 +1370,50 @@ def ndcg_eval_oracle() -> str:
         LEFT JOIN agg a USING (query_id)
         ORDER BY q.query_id
     """
+
+
+JL_DIMS = 8  # reduced dimensionality
+
+
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to JL_DIMS dimensions using
+    the first JL_DIMS md5-derived hyperplanes (the same deterministic
+    family the LSH signatures threshold — the signature IS the sign of
+    this projection, so the two stay consistent): the cheap
+    dimensionality-reduction step before clustering / visual inspection /
+    coarse ANN when the full embedding width is too expensive to shuffle.
+
+    Output is long-form (vec_id, dim, proj) — scalar columns only, one
+    row per reduced coordinate (a wide array column would defeat the
+    driver canonicalizer, the skew_salted_daily_users lesson). Zero
+    shuffle: JL_DIMS dot products in-row, posexplode, no aggregation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _lsh_planes(JL_DIMS)
+    projs = F.array(
+        *[
+            _trunc6(_dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])))
+            for p in planes
+        ]
+    )
+    return (
+        emb.select("vec_id", F.posexplode(projs).alias("dim", "proj"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+def jl_projection_oracle() -> str:
+    proj_exprs = ", ".join(
+        f"FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST([{', '.join(repr(v) for v in p)}] AS DOUBLE[])) * 1e6) / 1e6"
+        for p in _lsh_planes(JL_DIMS)
+    )
+    return f"""
+        WITH wide AS (
+          SELECT vec_id, [{proj_exprs}] AS projs FROM embeddings
+        )
+        SELECT vec_id, CAST(d.i - 1 AS INT) AS dim, projs[CAST(d.i AS INT)] AS proj
+        FROM wide,
+             (SELECT unnest(range(1, {JL_DIMS} + 1)) AS i) d
+        ORDER BY vec_id, dim
+    """

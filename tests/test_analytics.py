@@ -387,3 +387,48 @@ def test_gapfill_interp_between_neighbors(spark, sf_dir):
                 nb = before[-1]
                 na = after[0]
                 assert min(nb, na) - 1e-9 <= r.value_interp <= max(nb, na) + 1e-9
+
+
+def test_scd2_history_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.scd2_history(spark, sf_dir), duck, analytics.scd2_history_oracle()
+    )
+
+
+def test_scd2_history_tiles_timeline(spark, sf_dir):
+    """Versions tile each user's timeline: valid_to of version v equals
+    valid_from of v+1, exactly one current row per user, consecutive
+    versions change type, and event counts reconcile."""
+    from etl_schema_spark.sources.catalog import load_table
+
+    rows = analytics.scd2_history(spark, sf_dir).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.is_current) == 1
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev.valid_to == cur.valid_from
+            assert prev.event_type != cur.event_type
+
+
+def test_rfm_features_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.rfm_features(spark, sf_dir), duck, analytics.rfm_features_oracle()
+    )
+
+
+def test_rfm_features_sanity(spark, sf_dir):
+    """One row per user; the most recent user corpus-wide has recency 0;
+    gaps only exist for repeat users."""
+    rows = analytics.rfm_features(spark, sf_dir).collect()
+    assert min(r.recency_days for r in rows) == 0
+    for r in rows:
+        assert r.frequency >= 1
+        assert r.tenure_days >= 0
+        if r.frequency == 1:
+            assert r.mean_gap_micros is None

@@ -52,6 +52,8 @@ ALLPAIRS_OK = {
     "embedding_outliers",
     # broadcast 1-row (n_docs, avgdl) corpus stats onto the postings hits
     "bm25_retrieval",
+    # broadcast 1-row corpus high-water mark onto the per-user aggregates
+    "rfm_features",
 }
 
 QUERIES = entry.queries()

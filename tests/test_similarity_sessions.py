@@ -371,3 +371,30 @@ def test_ndcg_eval_bounds(spark, sf_dir):
         assert 0 <= r.ndcg_ppm <= 1_000_000
         if r.hits == TOP_K:
             assert r.ndcg_ppm >= 999_000  # full recall => near-perfect NDCG
+
+
+def test_jl_projection_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.jl_projection(spark, sf_dir),
+        duck,
+        similarity.jl_projection_oracle(),
+    )
+
+
+def test_jl_projection_sign_matches_lsh_bits(spark, sf_dir):
+    """The LSH signature bit j is by construction the sign of JL
+    coordinate j — verify on the materialized projection."""
+    from etl_schema_spark.operators.similarity import JL_DIMS, _lsh_sig_bits
+    from etl_schema_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id", F.array(*_lsh_sig_bits(F.col("embedding"), JL_DIMS)).alias("b")
+    ).collect()
+    bit_map = {r.vec_id: r.b for r in bits}
+    for r in similarity.jl_projection(spark, sf_dir).collect():
+        expect = 1 if r.proj >= 0 else 0
+        # trunc6 can flip a tiny positive to 0.0 but never changes sign class
+        if abs(r.proj) > 1e-5:
+            assert bit_map[r.vec_id][r.dim] == expect, r

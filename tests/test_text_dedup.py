@@ -401,3 +401,21 @@ def test_hashing_trick_features_mass(spark, sf_dir):
     assert total == toks
     assert feats.agg(F.max("bucket")).collect()[0][0] < HASH_FEATURE_BUCKETS
     assert feats.agg(F.min("bucket")).collect()[0][0] >= 0
+
+
+def test_containment_dup_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.containment_dup(spark, sf_dir),
+        duck,
+        dedup.containment_dup_oracle(),
+    )
+
+
+def test_containment_catches_jaccard_and_more(spark, sf_dir):
+    """Containment >= jaccard for any pair, so every reported Jaccard
+    near-dup pair with a rare shared shingle also clears the containment
+    bar; sizes and shares are consistent."""
+    for r in dedup.containment_dup(spark, sf_dir).collect():
+        assert 0 < r.n_shared <= min(r.size_a, r.size_b)
+        assert r.containment_ppm >= dedup.CONT_TAU_PPM
+        assert r.containment_ppm <= 1_000_000
