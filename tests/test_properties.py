@@ -396,3 +396,206 @@ def test_interval_sweep_equals_bruteforce_union(spark, rows):
         # islands = maximal runs of consecutive covered seconds
         n_islands = sum(1 for s in covered if s - 1 not in covered)
         assert got[u] == (n_islands, len(covered) * 1_000_000), u
+
+
+# --- winnowing fingerprint vs brute force --------------------------------
+
+texts_strategy = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_strategy)
+def test_winnowing_matches_bruteforce(spark, tmp_path_factory, texts):
+    """The slice-shifted window-min selection must equal brute-force MOSS
+    winnowing (same md5 family) for ANY text, including texts shorter
+    than one k-gram or one window."""
+    import hashlib
+
+    from etl_schema_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprint,
+    )
+
+    d = tmp_path_factory.mktemp("win")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_windows, r.n_fingerprints, r.min_fp)
+        for r in winnowing_fingerprint(spark, str(d)).collect()
+    }
+    for i, t in enumerate(texts):
+        hashes = [
+            hashlib.md5(t[p : p + WINNOW_K].encode()).hexdigest()
+            for p in range(len(t) - WINNOW_K + 1)
+        ]
+        n_windows = max(len(hashes) - WINNOW_W + 1, 0)
+        fps = sorted({min(hashes[p : p + WINNOW_W]) for p in range(n_windows)})
+        want = (n_windows, len(fps), fps[0] if fps else None)
+        assert got[i] == want, (i, t, got[i], want)
+
+
+# --- concurrency peak sweep vs brute force -------------------------------
+
+conc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),
+        st.integers(min_value=0, max_value=900),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=conc_strategy)
+def test_concurrency_peak_matches_bruteforce(spark, tmp_path_factory, rows):
+    """The ±1 sweep's (peak, first instant) must equal the brute-force
+    count-of-covering-intervals maximum for ANY overlap pattern,
+    including exact-duplicate timestamps and touch-adjacent intervals."""
+    import datetime
+
+    from etl_schema_spark.operators.sessions import (
+        INTERVAL_WIDTH_US,
+        concurrency_peak,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("conc")
+    spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=o), u, "click", 1.0, "{}")
+            for i, (u, o) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        r.user_id: (r.peak_overlap, r.t_first_peak_micros)
+        for r in concurrency_peak(spark, str(d)).collect()
+    }
+    width_s = INTERVAL_WIDTH_US // 1_000_000
+    by_user: dict = {}
+    for u, o in rows:
+        by_user.setdefault(u, []).append(o)
+    base_us = int(base.timestamp()) * 1_000_000
+    for u, offs in by_user.items():
+        # peak is attained at some interval start; half-open [s, s+w)
+        def depth(t):
+            return sum(1 for o in offs if o <= t < o + width_s)
+
+        peak = max(depth(o) for o in offs)
+        first = min(o for o in offs if depth(o) == peak)
+        assert got[u] == (peak, base_us + first * 1_000_000), (u, offs, got[u])
+
+
+# --- integer pagerank vs pure-python recurrence --------------------------
+
+
+def test_dup_pagerank_matches_python_recurrence(spark, sf_dir):
+    """The DataFrame power iteration must equal the same integer
+    recurrence executed in pure Python over the collected edge set —
+    iteration order and partitioning must not leak into the result."""
+    from etl_schema_spark.operators.dedup import dedup_ngram_jaccard
+    from etl_schema_spark.operators.graph import PR_ROUNDS, PR_SCALE, dup_pagerank
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    ]
+    edges: dict = {}
+    for a, b in pairs:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    rank = {v: PR_SCALE for v in edges}
+    base = PR_SCALE * 15 // 100
+    for _ in range(PR_ROUNDS):
+        nxt = {}
+        for v, nbrs in edges.items():
+            s = sum(rank[u] // len(edges[u]) for u in nbrs)
+            nxt[v] = base + (85 * s) // 100
+        rank = nxt
+    got = {r.doc_id: (r.degree, r.rank_scaled) for r in dup_pagerank(spark, sf_dir).collect()}
+    want = {v: (len(nbrs), rank[v]) for v, nbrs in edges.items()}
+    assert got == want
+
+
+# --- nearest as-of vs brute force ----------------------------------------
+
+asof_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # 0 = click, 1 = purchase
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=asof_strategy)
+def test_asof_nearest_matches_bruteforce(spark, tmp_path_factory, rows):
+    """nearest = argmin |gap| over ALL clicks with backward tie-break —
+    the window formulation must agree with the quadratic definition for
+    ANY interleaving, including same-timestamp clicks and purchases."""
+    import datetime
+
+    from etl_schema_spark.operators.asof import asof_nearest
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("asof")
+    spark.createDataFrame(
+        [
+            (
+                i,
+                base + datetime.timedelta(seconds=o),
+                1,
+                "purchase" if k else "click",
+                1.0,
+                "{}",
+            )
+            for i, (k, o) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    clicks = sorted(o for k, o in rows if not k)
+    got = {
+        r.event_id: (r.gap_micros, r.direction)
+        for r in asof_nearest(spark, str(d)).collect()
+    }
+    for i, (k, o) in enumerate(rows):
+        if not k:
+            continue
+        if not clicks:
+            assert got[i] == (None, None)
+            continue
+        # backward = greatest click <= o; forward = least click > o
+        back = max((c for c in clicks if c <= o), default=None)
+        fwd = min((c for c in clicks if c > o), default=None)
+        if back is not None and (fwd is None or o - back <= fwd - o):
+            want = ((o - back) * 1_000_000, "backward")
+        else:
+            want = ((o - fwd) * 1_000_000, "forward")
+        assert got[i] == want, (i, o, clicks, got[i], want)
