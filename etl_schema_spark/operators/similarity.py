@@ -1070,6 +1070,7 @@ def embedding_outliers_oracle() -> str:
 
 
 TRIPLET_POS_SAMPLE = 8  # positive candidates per anchor (ring width)
+TRIPLET_NEG_CAND_CAP = 64  # negative candidates per anchor surviving the sketch pre-cut
 
 
 def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1151,12 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     coll = keyed.select("vec_id", "label", F.posexplode(bands).alias("band", "key"))
+    # Signature-similarity pre-cut: per anchor keep only the
+    # TRIPLET_NEG_CAND_CAP candidates with the MOST matching bands (the
+    # best sketch-level proxy for cosine) before any exact cosine runs.
+    # Without the cut every band collision pays a dim-wide cosine — 837k
+    # of them at sf0.1 (measured), 4.2 of the operator's 6 s. With it the
+    # exact work is n x CAP while the id-only collision rows stay cheap.
     cand = (
         coll.alias("x")
         .join(coll.alias("y"), ["band", "key"])
@@ -1157,16 +1164,24 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.vec_id") != F.col("y.vec_id"))
             & (F.col("x.label") != F.col("y.label"))
         )
-        .select(
+        .groupBy(
             F.col("x.vec_id").alias("anchor_id"),
             F.col("y.vec_id").alias("neg_id"),
         )
-        .dropDuplicates(["anchor_id", "neg_id"])
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    wc = Window.partitionBy("anchor_id").orderBy(
+        F.desc("n_bands_matched"), F.asc("neg_id")
+    )
+    cand_top = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= TRIPLET_NEG_CAND_CAP)
+        .select("anchor_id", "neg_id")
     )
     av = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
     nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("n_emb"))
     neg_scored = (
-        cand.join(av, "anchor_id")
+        cand_top.join(av, "anchor_id")
         .join(nv, "neg_id")
         .withColumn("neg_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("n_emb"))))
     )
@@ -1195,6 +1210,9 @@ def triplet_mining_oracle() -> str:
     bit_exprs = _lsh_bit_exprs_sql()
     key_exprs = _lsh_key_exprs_sql()
     band_match = " OR ".join(f"x.k{b} = y.k{b}" for b in range(LSH_BANDS))
+    band_count = " + ".join(
+        f"(CASE WHEN x.k{b} = y.k{b} THEN 1 ELSE 0 END)" for b in range(LSH_BANDS)
+    )
     cos_ap = (
         "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
         " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
@@ -1252,10 +1270,18 @@ def triplet_mining_oracle() -> str:
         keys AS (
           SELECT vec_id, label, {key_exprs} FROM sig
         ),
-        cand AS (
-          SELECT DISTINCT x.vec_id AS anchor_id, y.vec_id AS neg_id
+        candc AS (
+          SELECT x.vec_id AS anchor_id, y.vec_id AS neg_id,
+                 ({band_count}) AS n_bands_matched
           FROM keys x JOIN keys y
             ON y.vec_id <> x.vec_id AND y.label <> x.label AND ({band_match})
+        ),
+        cand AS (
+          SELECT anchor_id, neg_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                       ORDER BY n_bands_matched DESC, neg_id ASC) AS crn
+            FROM candc
+          ) WHERE crn <= {TRIPLET_NEG_CAND_CAP}
         ),
         neg_scored AS (
           SELECT c.anchor_id, c.neg_id,
