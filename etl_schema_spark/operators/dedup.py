@@ -1126,6 +1126,7 @@ def winnowing_fingerprint_oracle() -> str:
 
 
 CONT_DF_CAP = 20
+CONT_MIN_RARE_SHARED = 2  # candidate pairs must share >= 2 rare shingles
 CONT_TAU_PPM = 500_000  # report pairs where the smaller doc is >= 50% contained
 
 
@@ -1153,12 +1154,21 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     p = posting.join(rare, "shingle")
+    # >= CONT_MIN_RARE_SHARED shared rare shingles, not >= 1: a single
+    # rare-shingle coincidence admits C(df_cap, 2) pairs per shingle and
+    # the candidate set was measured at 1.1M pairs at sf0.1 — each paying
+    # an array_intersect. Any pair at tau shares >= half the smaller
+    # set's shingles, so requiring two of those to be rare costs recall
+    # only for docs whose overlap is almost entirely boilerplate — the
+    # same trade the df cap itself makes.
     cands = (
         p.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(p.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_rare_shared"))
+        .filter(F.col("n_rare_shared") >= CONT_MIN_RARE_SHARED)
         .select("doc_a", "doc_b")
-        .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -1201,8 +1211,10 @@ def containment_dup_oracle() -> str:
         ),
         p AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
         cands AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING COUNT(*) >= {CONT_MIN_RARE_SHARED}
         ),
         scored AS (
           SELECT c.doc_a, c.doc_b,
