@@ -333,22 +333,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     )
 
 
-def dedup_minhash_portable(
-    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
-) -> DataFrame:
-    """MinHash + LSH banding with an md5-derived hash family, so the DuckDB
-    oracle reproduces the *entire* pipeline — signatures, band buckets,
-    candidate set, and verified pairs — bit-for-bit. This is the fully
-    driver-checkable twin of `dedup_minhash_lsh` (same banding S-curve,
-    same exact-Jaccard verification); the xxhash64 variant stays the
-    production path (integer hashing, no 32-byte hex strings on the wire).
-
-    Per seed i, the signature element is the lexicographic MIN of
-    md5("i:" || shingle) — hex-string min orders identically in any ANSI
-    engine. Band buckets fold the band index into the hash
-    (md5("b|" || sig_slice)), so the candidate join is a single-key
-    equi-join on `bucket`. Shuffle volume ~ n * bands, independent of n².
-    """
+def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from the portable md5 MinHash banding: one row per
+    distinct (doc_a < doc_b) pair sharing a band bucket, with both shingle
+    arrays attached for exact verification. Shared by
+    ``dedup_minhash_portable`` (which filters to tau) and
+    ``minhash_pr_eval`` (which also counts the unfiltered candidates)."""
     docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
     sig = docs.select(
         "doc_id",
@@ -388,12 +378,31 @@ def dedup_minhash_portable(
     b = banded.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "bucket"
     )
-    candidates = (
+    return (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def dedup_minhash_portable(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """MinHash + LSH banding with an md5-derived hash family, so the DuckDB
+    oracle reproduces the *entire* pipeline — signatures, band buckets,
+    candidate set, and verified pairs — bit-for-bit. This is the fully
+    driver-checkable twin of `dedup_minhash_lsh` (same banding S-curve,
+    same exact-Jaccard verification); the xxhash64 variant stays the
+    production path (integer hashing, no 32-byte hex strings on the wire).
+
+    Per seed i, the signature element is the lexicographic MIN of
+    md5("i:" || shingle) — hex-string min orders identically in any ANSI
+    engine. Band buckets fold the band index into the hash
+    (md5("b|" || sig_slice)), so the candidate join is a single-key
+    equi-join on `bucket`. Shuffle volume ~ n * bands, independent of n².
+    """
+    candidates = _minhash_banded_candidates(spark, sf_dir)
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common / (F.size("sh_a") + F.size("sh_b") - common)
     return (
@@ -1235,4 +1244,104 @@ def containment_dup_oracle() -> str:
         FROM scored
         WHERE (n_shared * 1000000) // LEAST(size_a, size_b) >= {CONT_TAU_PPM}
         ORDER BY doc_a, doc_b
+    """
+
+
+def minhash_pr_eval(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """Sketch-quality report for the MinHash+LSH dedup path: one row with
+    the exact near-dup pair count (prefix-filtered AllPairs ground
+    truth), the LSH candidate count, the verified-pair count, banding
+    recall (verified / exact, in ppm — verified pairs are a subset of the
+    exact set because candidates are exact-Jaccard-checked, so precision
+    is 1 by construction and recall IS the sketch's quality), and
+    candidate precision (verified / candidates — the wasted-verify
+    ratio). The dedup analog of `ndcg_eval`, and the decision table for
+    tuning MINHASH_SEEDS/LSH_BANDS before a corpus-scale run.
+
+    Cost: the two pipelines it compares (both collision/prefix-bounded)
+    reduced to three 1-row counts; the final assembly cross-joins 1-row
+    frames (allowlisted, the kmv_set_ops pattern).
+    """
+    exact_n = (
+        dedup_ngram_jaccard(spark, sf_dir, tau)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    cands = _minhash_banded_candidates(spark, sf_dir)
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    cand_n = cands.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(jac >= tau, 1).otherwise(0)).alias("n_verified"),
+    )
+    return (
+        exact_n.crossJoin(F.broadcast(cand_n))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_verified").cast("bigint").alias("n_verified"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.expr("(n_verified * 1000000) div n_exact"),
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("(n_verified * 1000000) div n_candidates"),
+            )
+            .cast("bigint")
+            .alias("cand_precision_ppm"),
+        )
+    )
+
+
+def minhash_pr_eval_oracle(tau: float = JACCARD_TAU) -> str:
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig_list = ", ".join(
+        f"list_min([md5('{i}:' || x) for x in shingles])" for i in range(MINHASH_SEEDS)
+    )
+    bucket_list = ", ".join(
+        "md5(concat_ws(',', '{b}|', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+        WITH {jaccard_pairs_ctes_sql(tau)},
+        s AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sig AS (
+          SELECT doc_id, shingles, [{sig_list}] AS mh FROM s
+        ),
+        banded AS (
+          SELECT doc_id, shingles, unnest([{bucket_list}]) AS bucket FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.shingles AS sh_a, b.shingles AS sh_b
+          FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        counts AS (
+          SELECT
+            (SELECT COUNT(*) FROM jpairs) AS n_exact,
+            COUNT(*) AS n_candidates,
+            SUM(CASE WHEN len(list_intersect(sh_a, sh_b)) * 1.0
+                     / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                     >= {tau} THEN 1 ELSE 0 END) AS n_verified
+          FROM cand
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_verified AS BIGINT) AS n_verified,
+               CAST(CASE WHEN n_exact > 0
+                    THEN (n_verified * 1000000) // n_exact END AS BIGINT)
+                 AS recall_ppm,
+               CAST(CASE WHEN n_candidates > 0
+                    THEN (n_verified * 1000000) // n_candidates END AS BIGINT)
+                 AS cand_precision_ppm
+        FROM counts
     """

@@ -54,6 +54,8 @@ ALLPAIRS_OK = {
     "bm25_retrieval",
     # broadcast 1-row corpus high-water mark onto the per-user aggregates
     "rfm_features",
+    # assembles three 1-row pipeline counts (the kmv_set_ops pattern)
+    "minhash_pr_eval",
 }
 
 QUERIES = entry.queries()

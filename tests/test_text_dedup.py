@@ -419,3 +419,21 @@ def test_containment_catches_jaccard_and_more(spark, sf_dir):
         assert 0 < r.n_shared <= min(r.size_a, r.size_b)
         assert r.containment_ppm >= dedup.CONT_TAU_PPM
         assert r.containment_ppm <= 1_000_000
+
+
+def test_minhash_pr_eval_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.minhash_pr_eval(spark, sf_dir), duck, dedup.minhash_pr_eval_oracle()
+    )
+
+
+def test_minhash_pr_eval_consistency(spark, sf_dir):
+    """The report's counts must reconcile with the pipelines it grades:
+    verified == the portable pair output, exact == the AllPairs output,
+    verified <= candidates, verified <= exact (subset property)."""
+    r = dedup.minhash_pr_eval(spark, sf_dir).collect()[0]
+    assert r.n_verified == dedup.dedup_minhash_portable(spark, sf_dir).count()
+    assert r.n_exact == dedup.dedup_ngram_jaccard(spark, sf_dir).count()
+    assert r.n_verified <= r.n_candidates
+    assert r.n_verified <= r.n_exact
+    assert r.recall_ppm == r.n_verified * 1_000_000 // r.n_exact
