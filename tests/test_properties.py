@@ -599,3 +599,123 @@ def test_asof_nearest_matches_bruteforce(spark, tmp_path_factory, rows):
         else:
             want = ((o - fwd) * 1_000_000, "forward")
         assert got[i] == want, (i, o, clicks, got[i], want)
+
+
+# --- containment pairs vs brute force ------------------------------------
+
+cont_docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(token_docs=cont_docs_strategy)
+def test_containment_matches_bruteforce(spark, tmp_path_factory, token_docs):
+    """The df-capped candidate path must report exactly the brute-force
+    containment pairs whenever the shared shingles are rare (df under the
+    cap — true for these tiny corpora), including the >= 2-shared-rare
+    candidate precondition."""
+    from etl_schema_spark.operators.dedup import (
+        CONT_DF_CAP,
+        CONT_MIN_RARE_SHARED,
+        CONT_TAU_PPM,
+        containment_dup,
+    )
+
+    d = tmp_path_factory.mktemp("cont")
+    texts = [" ".join(t) for t in token_docs]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def shingles(toks):
+        return (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+
+    sh = [shingles(t) for t in token_docs]
+    df_count: dict = {}
+    for s in sh:
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {}
+    for a in range(len(sh)):
+        for b in range(a + 1, len(sh)):
+            if not sh[a] or not sh[b]:
+                continue
+            shared = sh[a] & sh[b]
+            rare_shared = sum(1 for g in shared if df_count[g] <= CONT_DF_CAP)
+            if rare_shared < CONT_MIN_RARE_SHARED:
+                continue
+            ppm = len(shared) * 1_000_000 // min(len(sh[a]), len(sh[b]))
+            if ppm >= CONT_TAU_PPM:
+                want[(a, b)] = (len(sh[a]), len(sh[b]), len(shared), ppm)
+    got = {
+        (r.doc_a, r.doc_b): (r.size_a, r.size_b, r.n_shared, r.containment_ppm)
+        for r in containment_dup(spark, str(d)).collect()
+    }
+    assert got == want, (texts, got, want)
+
+
+# --- SCD2 runs vs brute force --------------------------------------------
+
+scd2_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # type index
+        st.integers(min_value=0, max_value=100),  # unique offset enforced below
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=scd2_strategy)
+def test_scd2_matches_bruteforce_runs(spark, tmp_path_factory, rows):
+    """Version rows must equal the brute-force run-length encoding of the
+    time-ordered type sequence for ANY change pattern."""
+    import datetime
+
+    from etl_schema_spark.operators.analytics import scd2_history
+
+    types = ["click", "purchase", "view"]
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("scd2")
+    spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=o), 7, types[k], 1.0, "{}")
+            for i, (k, o) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    seq = [types[k] for k, o in sorted(rows, key=lambda t: t[1])]
+    runs = []
+    for t in seq:
+        if runs and runs[-1][0] == t:
+            runs[-1][1] += 1
+        else:
+            runs.append([t, 1])
+    got = [
+        (r.version, r.event_type, r.n_events, r.is_current)
+        for r in scd2_history(spark, str(d)).collect()
+    ]
+    want = [
+        (v + 1, t, n, v == len(runs) - 1) for v, (t, n) in enumerate(runs)
+    ]
+    assert got == want, (seq, got, want)
