@@ -1612,3 +1612,73 @@ def rfm_features_oracle() -> str:
         FROM per_user, hwm
         ORDER BY user_id
     """
+
+
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest data-quality audit: per user, how often does arrival order
+    (event_id, the ingest sequence) disagree with event time — count of
+    consecutive arrivals whose timestamp steps BACKWARD, the largest
+    backward jump, and the out-of-order ppm. This is the table that
+    decides a streaming job's watermark delay: the max backward jump IS
+    the lateness horizon the watermark must cover (pairs with the
+    streaming family's `withWatermark("1 hour")` choice).
+
+    One shuffle on user_id; a single lag window per user in arrival
+    order; integer microseconds. (Adjacent-pair disorder, not the O(n²)
+    global inversion count — the adjacent metric is the one a watermark
+    actually bounds.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_us = F.lag("us").over(w)
+    marked = ev.withColumn(
+        "back_jump",
+        F.when(prev_us.isNotNull() & (F.col("us") < prev_us), prev_us - F.col("us")),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("back_jump").cast("bigint").alias("n_backward"),
+            F.coalesce(F.max("back_jump"), F.lit(0))
+            .cast("bigint")
+            .alias("max_backward_micros"),
+        )
+        .withColumn(
+            "backward_ppm",
+            F.when(
+                F.col("n_events") > 1,
+                F.expr("(n_backward * 1000000) div (n_events - 1)"),
+            )
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def late_arrival_audit_oracle() -> str:
+    return """
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ),
+        marked AS (
+          SELECT user_id,
+                 CASE WHEN LAG(us) OVER w IS NOT NULL AND us < LAG(us) OVER w
+                      THEN LAG(us) OVER w - us END AS back_jump
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(back_jump) AS BIGINT) AS n_backward,
+               CAST(COALESCE(MAX(back_jump), 0) AS BIGINT) AS max_backward_micros,
+               CAST(CASE WHEN COUNT(*) > 1
+                    THEN (COUNT(back_jump) * 1000000) // (COUNT(*) - 1)
+                    ELSE 0 END AS BIGINT) AS backward_ppm
+        FROM marked
+        GROUP BY user_id
+        ORDER BY user_id
+    """

