@@ -156,7 +156,19 @@ def streaming_session_windows_oracle() -> str:
 
 def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
-    return the materialized result (test/ops harness)."""
+    return the materialized result (test/ops harness).
+
+    The memory-sink temp view is dropped before returning: each drain
+    registers a driver-heap-resident table keyed by `name`, and a session
+    that drains many streams (the bench harness re-runs each entry
+    several times) otherwise accumulates every result forever — measured
+    as a GC-thrash OOM after ~8 drained 10M-row aggregates at the 100x
+    corpus. localCheckpoint(MEMORY_AND_DISK) keeps the rows valid after
+    the view drops AND lets them spill instead of pinning heap; the
+    checkpoint itself is released by the ContextCleaner when the returned
+    frame is dereferenced.
+    """
+    spark = df.sparkSession
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -165,7 +177,9 @@ def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataF
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
