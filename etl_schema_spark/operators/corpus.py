@@ -644,7 +644,20 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # LEFT JOIN from documents (coalesce 0), mirroring the oracle's
+    # per_doc CTE: a document with empty/whitespace-only text still owns
+    # a rank and a bucket slot — building per_doc from exploded tokens
+    # alone drops such docs from the rank domain while n_docs counts them,
+    # skewing every bucket boundary (ADVICE r5; latent on current data).
+    per_doc = (
+        docs.select("doc_id")
+        .join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+    )
     ranked = grouped_running_sum(
         per_doc.withColumn("_g", F.lit("all")), "_g", "doc_id", F.lit(1), "rank"
     ).withColumn(

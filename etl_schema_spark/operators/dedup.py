@@ -267,32 +267,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     candidates; candidates are verified with exact Jaccard so output
     precision is exact (recall is the standard banding S-curve).
 
-    The signature table is persisted (memory-and-disk): both sides of the
-    band-bucket self-join derive from it, and shingling + MINHASH_SEEDS
-    hash passes per shingle is the dominant cost — without the persist the
-    whole chain runs twice.
+    Ids-only candidate generation (same shape as
+    ``_minhash_banded_candidates``): only (doc_id, band, bucket) rides the
+    band shuffle, per-bucket pairs come from a sorted collect_list +
+    double explode, and shingle arrays re-attach after the pair dedupe.
+    The r5 version persisted the signature frame to share it across the
+    band self-join's two sides; that persist stayed pinned in the cache
+    manager forever (ADVICE r5 leak class). Now the MinHash map stage
+    runs once with nothing persisted.
     """
     docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-
-    sig = docs.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("shingles"),
-                        lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)),
-                    )
-                )
-                for i in range(MINHASH_SEEDS)
-            ]
-        ).alias("minhash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
-    banded = sig.select(
+    minhash = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)),
+                )
+            )
+            for i in range(MINHASH_SEEDS)
+        ]
+    )
+    banded = docs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -300,7 +298,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
                         F.concat_ws(
                             ",",
                             *[
-                                F.col("minhash")[b * rows_per_band + r].cast("string")
+                                minhash[b * rows_per_band + r].cast("string")
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -310,18 +308,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
-    )
-    candidates = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    pairs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    candidates = pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common / (F.size("sh_a") + F.size("sh_b") - common)
     return (
@@ -338,22 +340,29 @@ def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc_a < doc_b) pair sharing a band bucket, with both shingle
     arrays attached for exact verification. Shared by
     ``dedup_minhash_portable`` (which filters to tau) and
-    ``minhash_pr_eval`` (which also counts the unfiltered candidates)."""
+    ``minhash_pr_eval`` (which also counts the unfiltered candidates).
+
+    Ids-only candidate generation (the embedding_cosine_dup shape): only
+    (doc_id, bucket) rides the band shuffle; per-bucket pairs come from a
+    sorted collect_list + double explode (bucket occupancy is banding-
+    bounded), and shingle arrays re-attach AFTER the pair dedupe via two
+    doc_id equi-joins. This replaces the r5 self-join over a persisted
+    signature frame — that persist stayed pinned in the cache manager
+    forever (ADVICE r5, the streaming drain-leak class), and the wide
+    shingle arrays rode both the band join and the pair dedupe shuffle.
+    Now the expensive MinHash map stage runs exactly once, nothing is
+    persisted, and the candidate shuffles carry 16-byte id pairs.
+    """
     docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-    sig = docs.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
-                for i in range(MINHASH_SEEDS)
-            ]
-        ).alias("minhash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
-    banded = sig.select(
+    minhash = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
+            for i in range(MINHASH_SEEDS)
+        ]
+    )
+    banded = docs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -362,7 +371,7 @@ def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ",",
                             F.lit(f"{b}|"),
                             *[
-                                F.col("minhash")[b * rows_per_band + r]
+                                minhash[b * rows_per_band + r]
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -372,17 +381,23 @@ def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "bucket"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    pairs = (
+        banded.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("_i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return pairs.join(sh_a, "doc_a").join(sh_b, "doc_b").select(
+        "doc_a", "doc_b", "sh_a", "sh_b"
     )
 
 

@@ -1116,6 +1116,13 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchors = (
         ranked.join(sizes, "label")
+        # Singleton classes yield no positive candidates: without this
+        # filter F.sequence(1, _size - 1) is sequence(1, 0) = [1, 0]
+        # (Spark defaults to a descending step), pairing the anchor with
+        # ITSELF as "hardest positive" while the oracle's delta range is
+        # empty and drops the anchor — a Spark/oracle divergence on any
+        # corpus with a single-member label class (ADVICE r5).
+        .filter(F.col("_size") > 1)
         .select(
             F.col("vec_id").alias("anchor_id"),
             F.col("label").alias("anchor_label"),

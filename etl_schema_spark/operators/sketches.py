@@ -440,8 +440,12 @@ BLOOM_K = 4
 _BLOOM_WORD_BITS = 32
 
 
+BLOOM_PROBE_BUDGET = 4_000_000  # max |types| x |users| probe rows before
+# the default flips from exhaustive to md5-sampled (below)
+
+
 def bloom_membership(
-    spark: SparkSession, sf_dir: str, probe_fraction: float = 1.0
+    spark: SparkSession, sf_dir: str, probe_fraction: float | None = None
 ) -> DataFrame:
     """Bloom-filter membership — the fourth member of the portable sketch
     family (distinct = KMV, frequency = CMS, quantile = histogram,
@@ -465,17 +469,35 @@ def bloom_membership(
     Probe-universe caveat: the probe phase walks |types| × |distinct
     users| — LINEAR in the key universe, but NOT metadata-sized when
     distinct users approach corpus cardinality (a web corpus's client-IP
-    column, say). The exhaustive universe is the validation default;
-    at scale pass ``probe_fraction`` < 1 to probe a deterministic
-    md5-sampled subset of users (the summary's FP-rate estimate is
-    unbiased under the uniform hash sample; the zero-FN invariant is
-    unaffected — every sampled member still probes positive). In sampled
-    mode every output count (exact_members included) refers to the SAMPLED
-    probe universe, not the full one — the schema stays fixed across modes
-    so callers compare like against like.
+    column, say). ``probe_fraction=None`` (the default, and what the
+    registry runs) derives the mode from the universe itself: if the
+    estimated |types| × |users| exceeds BLOOM_PROBE_BUDGET the probe set
+    is a deterministic md5 sample sized to the budget, so the exhaustive
+    cross product is impossible to invoke at 100 TB by accident; below
+    the budget (every driver/test SF) the probe stays exhaustive and the
+    DuckDB oracle matches bit-for-bit. Sampling keeps the FP-rate
+    estimate unbiased (uniform hash sample) and cannot break the zero-FN
+    invariant — every sampled member still probes positive. In sampled
+    mode every output count (exact_members included) refers to the
+    SAMPLED probe universe, not the full one — the schema stays fixed
+    across modes so callers compare like against like.
     """
     ev = load_table(spark, sf_dir, "events")
-    members = ev.select("event_type", "user_id").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if probe_fraction is None:
+        est = ev.agg(
+            F.approx_count_distinct("event_type").alias("t"),
+            F.approx_count_distinct("user_id").alias("u"),
+        ).first()
+        universe = max(1, est.t * est.u)
+        probe_fraction = (
+            1.0 if universe <= BLOOM_PROBE_BUDGET else BLOOM_PROBE_BUDGET / universe
+        )
+    # No persist on `members` despite the two consumers (sketch build +
+    # exact join): a (type, user) table is corpus-sized at 100 TB and a
+    # pinned cache entry outlives the query (the ADVICE-r5 leak class);
+    # recomputing one distinct is a map-side-combined scan, strictly
+    # cheaper than spilling the cache it would have pinned.
+    members = ev.select("event_type", "user_id").distinct()
     seeds = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("seed")
 
     def bucket(seed_col, key_col):

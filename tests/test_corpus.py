@@ -306,3 +306,37 @@ def test_vocab_growth_curve_invariants(spark, sf_dir):
     assert rows[-1].cum_docs == docs.count()
     assert rows[-1].cum_tokens == toks.count()
     assert rows[-1].cum_vocab == toks.distinct().count()
+
+
+def test_vocab_growth_curve_blank_docs(spark, tmp_path):
+    """Documents with empty/whitespace-only text own a rank and a bucket
+    slot (n_tokens = 0), exactly as the oracle's LEFT JOIN per_doc CTE
+    counts them — before the r6 fix they vanished from the rank domain
+    while n_docs still counted them, skewing every bucket boundary
+    (ADVICE r5)."""
+    import duckdb
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "", "en", "s1", 0),  # empty text
+        (3, "beta delta", "en", "s2", 10),
+        (4, "   ", "en", "s2", 3),  # whitespace-only
+        (5, "epsilon alpha", "en", "s1", 13),
+        (6, "zeta", "en", "s3", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "docs"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = corpus.vocab_growth_curve(spark, str(d))
+    got = {r.bucket: r for r in out.collect()}
+    last = got[max(got)]
+    assert last.cum_docs == 6, "blank docs must count toward cum_docs"
+    assert last.cum_vocab == 6  # alpha beta gamma delta epsilon zeta
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    assert_matches_oracle(out, con, corpus.vocab_growth_curve_oracle())

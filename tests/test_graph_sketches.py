@@ -308,3 +308,17 @@ def test_template_communities_cover_docs(spark, sf_dir):
     for fam, members in fams.items():
         assert fam == min(members)
         assert all(r.n_members == len(members) for r in rows if r.family_id == fam)
+
+
+def test_bloom_probe_auto_scales_above_budget(spark, sf_dir, monkeypatch):
+    """With the default probe_fraction=None the probe mode derives from
+    the universe size: shrink BLOOM_PROBE_BUDGET below |types| x |users|
+    and the registry invocation must flip to the md5-sampled probe —
+    the exhaustive cross product cannot be invoked at scale by accident
+    (VERDICT r5 item 2). The zero-FN invariant holds in sampled mode."""
+    full = sketches.bloom_membership(spark, sf_dir).collect()
+    full_probes = sum(r.exact_members for r in full)
+    monkeypatch.setattr(sketches, "BLOOM_PROBE_BUDGET", 50)
+    sampled = sketches.bloom_membership(spark, sf_dir).collect()
+    assert sum(r.exact_members for r in sampled) < full_probes
+    assert all(r.false_negatives == 0 for r in sampled)

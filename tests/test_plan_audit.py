@@ -190,3 +190,30 @@ def test_unverdicted_entries_sort_into_scored_window():
                 f"{name} has no green driver verdict yet but sits past the "
                 f"50-entry scoring cap"
             )
+
+
+def test_stale_entries_sort_into_scored_window():
+    """The changed-since-verdict half of the rotation guard (r4 brief item
+    7, finished in r6): any entry whose implementing function — or a
+    transitively referenced in-package helper or constant — differs from
+    its state at the round-boundary commit of the entry's latest green
+    verdict MUST sort inside the scored-50 window, so the driver re-scores
+    the code that actually exists. embedding_cosine_dup carried an r2
+    verdict across an r5 adaptive-banding rewrite precisely because this
+    check did not exist (VERDICT r5's single `weak`)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "verdict_freshness", "/root/repo/tools/verdict_freshness.py"
+    )
+    vf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vf)
+
+    names, _ = _registry_order_and_cap()
+    scored = set(names[:50])
+    stale = [k for k, v in vf.freshness().items() if not v["fresh"]]
+    outside = [k for k in stale if k not in scored]
+    assert not outside, (
+        f"{len(outside)} entries changed since their last driver verdict "
+        f"but sit past the 50-entry scoring cap: {sorted(outside)}"
+    )

@@ -398,3 +398,39 @@ def test_jl_projection_sign_matches_lsh_bits(spark, sf_dir):
         # trunc6 can flip a tiny positive to 0.0 but never changes sign class
         if abs(r.proj) > 1e-5:
             assert bit_map[r.vec_id][r.dim] == expect, r
+
+
+def test_triplet_mining_singleton_class(spark, tmp_path):
+    """A single-member label class must produce NO anchor row: before the
+    _size > 1 filter, F.sequence(1, _size-1) = sequence(1, 0) = [1, 0]
+    (descending default step) paired the anchor with itself as 'hardest
+    positive' while the oracle's delta range was empty (ADVICE r5). The
+    oracle must agree bit-for-bit on the same corpus."""
+    import duckdb
+
+    # 64-dim (the corpus embedding width the md5 hyperplane family spans);
+    # deterministic pseudo-random components, one singleton class.
+    def vec(seed):
+        return [float(((seed * 31 + i * 7) % 97) - 48) / 48.0 for i in range(64)]
+
+    rows, vid = [], 0
+    for lbl, n in ((0, 1), (1, 3), (2, 3)):  # label 0 is the singleton
+        for j in range(n):
+            rows.append((vid, vec(vid + 1), lbl))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path / "emb"
+    df.write.parquet(str(d / "embeddings.parquet"))
+    out = similarity.triplet_mining(spark, str(d))
+    got = out.collect()
+    anchor_ids = {r.anchor_id for r in got}
+    assert 0 not in anchor_ids, "singleton-class anchor leaked into output"
+    assert len(got) == 6, "one row per non-singleton anchor"
+    for r in got:
+        assert r.pos_id != r.anchor_id, "anchor paired with itself as positive"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(out, con, similarity.triplet_mining_oracle())

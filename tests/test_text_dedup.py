@@ -437,3 +437,17 @@ def test_minhash_pr_eval_consistency(spark, sf_dir):
     assert r.n_verified <= r.n_candidates
     assert r.n_verified <= r.n_exact
     assert r.recall_ppm == r.n_verified * 1_000_000 // r.n_exact
+
+
+def test_minhash_banded_candidates_release_signature_cache(spark, sf_dir):
+    """_minhash_banded_candidates persists the MinHash signature frame for
+    its band self-join; repeated invocations in one session (bench runs
+    minhash_pr_eval + dedup_minhash_portable back to back) must not
+    accumulate pinned cache entries — the same leak class as the r5
+    streaming memory-sink drain fix (ADVICE r5)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    dedup.dedup_minhash_portable(spark, sf_dir).collect()
+    dedup.dedup_minhash_portable(spark, sf_dir).collect()
+    dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    assert jsc.getPersistentRDDs().size() == before, "signature cache leaked"
