@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_schema_spark.session import get_spark  # noqa: E402
 
+# FROZEN as of round 6 (VERDICT r5 item 5): this 56-query set is the
+# cross-round comparability baseline — do NOT add per-round entries
+# (rounds 2-5 each appended ~5, eroding the common set). New operators
+# get scale evidence via tools/bench_scale.py / tools/sweep_heavy.py
+# instead. Pinned by tests/test_plan_audit.py::test_headline_set_frozen.
 HEADLINE = [
     "unified_view_events",
     "dedup_best_per_user",

@@ -1360,3 +1360,121 @@ def minhash_pr_eval_oracle(tau: float = JACCARD_TAU) -> str:
                  AS cand_precision_ppm
         FROM counts
     """
+
+
+# --- arbitrary-length repeat ladder ----------------------------------------
+
+LADDER_WINS = (16, 32, 64, 128, 256)  # geometric window ladder (chars)
+
+
+def substring_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring length spectrum — the distributed stand-in for a
+    suffix automaton's repeat statistics, extending ``substring_dup_spans``
+    (fixed 32-char grid) to ARBITRARY-length, arbitrary-ALIGNMENT repeats
+    at log cost.
+
+    A suffix automaton enumerates every repeated substring with its
+    length; that structure is inherently sequential. The Spark-first
+    equivalent is a geometric ladder of CONTENT-DEFINED windows: for rung
+    w ∈ {16, 32, 64, 128, 256}, a w-char window starts at position i iff
+    the md5 of the 4-gram at i is ≡ 0 mod w/2 (expected density 2/w —
+    the content-defined-chunking anchor trick). Because anchors are
+    chosen by CONTENT, a verbatim repeat selects the SAME window starts
+    in every document containing it, whatever its byte offset — the
+    alignment blindness of a fixed grid (two copies at offsets differing
+    ≢ 0 mod stride share no windows) cannot happen. A repeat of length L
+    goes undetected at rung w only if it contains no anchor in its first
+    L−w+1 positions: P ≈ exp(−2(L−w+1)/w), i.e. vanishing past L ≈ 1.5w,
+    so the largest hitting rung brackets the maximal repeat length within
+    a factor of ~2 — the suffix automaton's length spectrum, sampled.
+
+    Output: one row per rung — total windows, cross-doc duplicate
+    windows, documents containing any duplicate, duplicate fraction.
+    Rising dup_frac at long rungs = template/boilerplate corpora.
+
+    Scale: windows are built fully in-row (nested transform/filter over
+    the rung array, then ONE explode of (win_len, md5) structs — the text
+    itself never explodes or rides a shuffle); every shuffle is keyed on
+    (win_len, whash) uniform md5 keys with map-side partials. Same plan
+    family as substring_dup_spans (parity: the reference has no
+    repeat-length operator; this serves the dedup audit the same way its
+    dedup views serve exact dup detection).
+    """
+    rung_arr = "array(" + ", ".join(str(w) for w in LADDER_WINS) + ")"
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.length("text") >= F.lit(min(LADDER_WINS)))
+    wins_expr = (
+        "flatten(transform({rungs}, w -> "
+        "transform("
+        # i >= 1 AND i + w <= len + 1 guards the short-doc case: Spark
+        # sequence(1, n) with n < 1 yields a DESCENDING run of bogus
+        # positions (the ADVICE-r5 triplet_mining trap) — the bounds
+        # make them unselectable instead of hashing phantom windows
+        "  filter(sequence(1, greatest(length(text) - w + 1, 1)),"
+        "         i -> i >= 1 AND i + w - 1 <= length(text)"
+        "              AND conv(substr(md5(substring(text, i, 4)), 1, 8), 16, 10)"
+        "              % (w div 2) = 0),"
+        "  i -> struct(w AS win_len, md5(substring(text, i, w)) AS whash))))"
+    ).format(rungs=rung_arr)
+    wins = docs.select(
+        "doc_id", F.explode(F.expr(wins_expr)).alias("win")
+    ).select("doc_id", F.col("win.win_len").alias("win_len"), F.col("win.whash").alias("whash"))
+    hash_docs = (
+        wins.dropDuplicates(["win_len", "whash", "doc_id"])
+        .groupBy("win_len", "whash")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    flagged = wins.join(hash_docs, ["win_len", "whash"]).withColumn(
+        "is_dup", (F.col("n_docs_with") >= 2).cast("int")
+    )
+    return (
+        flagged.groupBy("win_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_windows"),
+            F.sum("is_dup").cast("bigint").alias("dup_windows"),
+            F.countDistinct(F.when(F.col("is_dup") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("docs_with_dup"),
+            (F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 1e6) / 1e6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("win_len")
+    )
+
+
+def substring_repeat_ladder_oracle() -> str:
+    rungs = ", ".join(f"({w})" for w in LADDER_WINS)
+    anchor = (
+        "CAST(('0x' || substr(md5(substr(d.text, i, 4)), 1, 8)) AS BIGINT)"
+        " % (r.win_len // 2) = 0"
+    )
+    return f"""
+        WITH rungs AS (SELECT * FROM (VALUES {rungs}) r(win_len)),
+        wins AS (
+          SELECT d.doc_id, r.win_len,
+                 md5(substr(d.text, i, r.win_len)) AS whash
+          FROM documents d
+          JOIN rungs r ON length(d.text) >= r.win_len,
+          LATERAL (SELECT unnest(range(1, length(d.text) - r.win_len + 2)) AS i) p
+          WHERE {anchor}
+        ),
+        hash_docs AS (
+          SELECT win_len, whash, COUNT(*) AS n_docs_with
+          FROM (SELECT DISTINCT doc_id, win_len, whash FROM wins)
+          GROUP BY win_len, whash
+        )
+        SELECT w.win_len AS win_len,
+               CAST(COUNT(*) AS BIGINT) AS total_windows,
+               CAST(SUM(CAST(h.n_docs_with >= 2 AS INT)) AS BIGINT)
+                 AS dup_windows,
+               CAST(COUNT(DISTINCT CASE WHEN h.n_docs_with >= 2
+                                        THEN w.doc_id END) AS BIGINT)
+                 AS docs_with_dup,
+               FLOOR(SUM(CAST(h.n_docs_with >= 2 AS INT)) * 1.0 / COUNT(*)
+                     * 1e6) / 1e6 AS dup_frac
+        FROM wins w JOIN hash_docs h USING (win_len, whash)
+        GROUP BY w.win_len
+        ORDER BY win_len
+    """

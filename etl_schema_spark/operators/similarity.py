@@ -1450,3 +1450,197 @@ def jl_projection_oracle() -> str:
              (SELECT unnest(range(1, {JL_DIMS} + 1)) AS i) d
         ORDER BY vec_id, dim
     """
+
+
+# --- product-quantization ANN ----------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim embedding -> 8 dims per subspace)
+PQ_K = 16  # codes per subspace codebook
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011): top-k neighbors
+    for the first N_QUERIES vectors via asymmetric-distance computation
+    over PQ codes — the billion-vector storage+search story that pairs
+    with ``embedding_quantize`` (scalar int8 = 4x compression; PQ codes =
+    PQ_M bytes/vector = 32x here, and the search never touches floats on
+    the collection side).
+
+    Codebooks are deterministic so the whole index is oracle-checkable:
+    per subspace m, the PQ_K codewords are the m-th subvectors of the
+    PQ_K vectors with smallest md5("pq:" || vec_id) (a uniform corpus
+    sample — the portable stand-in for per-subspace k-means, exactly as
+    ann_ivf_topk's label centroids stand in for a trained coarse
+    quantizer). Encoding assigns each vector the L2-nearest codeword per
+    subspace (code-id tie-break); queries build a (query, subspace, code)
+    distance table against the codebook and ADC scores every vector as
+    the sum of PQ_M table lookups.
+
+    Plan/scale: the codebook (PQ_M x PQ_K subvectors) and the query
+    distance table (N_QUERIES x PQ_M x PQ_K rows) are metadata-sized and
+    broadcast; the collection is touched exactly twice at scan speed —
+    once to encode (explode to n x PQ_M subvector rows, broadcast-join
+    the codebook, fold-L2, min-struct argmin with map-side partials) and
+    once as the (vec_id, m, code) table ADC joins against. Nothing
+    vector-width ever shuffles; per-query ranking is the same
+    N_QUERIES-partition top-k window as ann_bruteforce_topk. L2 folds use
+    the sequential zip_with/aggregate shape (_dot) that is bit-identical
+    to DuckDB's list_dot_product, so distances — and therefore ranks —
+    hash-match end-to-end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic codebook sample: PQ_K vectors by md5 order (TakeOrdered)
+    sample = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(PQ_K)
+    )
+    wc = Window.orderBy("_h")  # PQ_K rows — single-task by construction
+    sub_d = 64 // PQ_M
+    codebook = (
+        sample.withColumn("c", F.row_number().over(wc) - 1)
+        .select(
+            "c",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+            "embedding",
+        )
+        .select(
+            "m",
+            "c",
+            F.expr(f"slice(embedding, m * {sub_d} + 1, {sub_d})").alias("cb_sub"),
+        )
+    )
+    subvecs = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {sub_d} + 1, {sub_d})").alias("sub"),
+    )
+    diff = F.zip_with("sub", "cb_sub", lambda x, y: x.cast("double") - y.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    codes = (
+        subvecs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c")).alias("best"))
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        "embedding",
+    ).select(
+        "query_id",
+        "m",
+        F.expr(f"slice(embedding, m * {sub_d} + 1, {sub_d})").alias("sub"),
+    )
+    dist_table = (
+        queries.join(F.broadcast(codebook), "m")
+        .withColumn("qd2", d2)
+        .select("query_id", "m", F.col("c").alias("code"), "qd2")
+    )
+    # ADC sum folded in m-order: a bare SUM over the 8 subspace terms
+    # accumulates in nondeterministic order (both engines), and double
+    # addition is not associative — the m-sorted sequential fold makes
+    # the distance bit-identical to the oracle's ones-vector dot product.
+    adc = (
+        codes.join(F.broadcast(dist_table), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            _trunc6(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd2"],
+                )
+            ).alias("approx_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_pq_topk_oracle() -> str:
+    sub_d = 64 // PQ_M
+    sub = (
+        f"[CAST(x AS DOUBLE) for x in embedding[(m * {sub_d} + 1):"
+        f"(m * {sub_d} + {sub_d})]]"
+    )
+    return f"""
+        WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        sample AS (
+          SELECT vec_id, embedding,
+                 ROW_NUMBER() OVER (
+                     ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS c
+          FROM embeddings
+          ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
+        ),
+        codebook AS (
+          SELECT m, c, {sub} AS cb_sub FROM sample CROSS JOIN ms
+        ),
+        subvecs AS (
+          SELECT vec_id, m, {sub} AS sub FROM embeddings CROSS JOIN ms
+        ),
+        scored AS (
+          SELECT s.vec_id, s.m, cb.c,
+                 list_dot_product(
+                     [s.sub[i] - cb.cb_sub[i] for i in range(1, {sub_d} + 1)],
+                     [s.sub[i] - cb.cb_sub[i] for i in range(1, {sub_d} + 1)]
+                 ) AS d2
+          FROM subvecs s JOIN codebook cb USING (m)
+        ),
+        codes AS (
+          -- MIN over a (d2, c) struct = Spark's F.min(F.struct(...)):
+          -- lexicographic, so ties on d2 break toward the smaller code
+          SELECT vec_id, m, (MIN(struct_pack(d := d2, c := c))).c AS code
+          FROM scored GROUP BY vec_id, m
+        ),
+        qsub AS (
+          SELECT vec_id AS query_id, m, {sub} AS sub
+          FROM embeddings CROSS JOIN ms WHERE vec_id < {N_QUERIES}
+        ),
+        dist_table AS (
+          SELECT q.query_id, q.m, cb.c AS code,
+                 list_dot_product(
+                     [q.sub[i] - cb.cb_sub[i] for i in range(1, {sub_d} + 1)],
+                     [q.sub[i] - cb.cb_sub[i] for i in range(1, {sub_d} + 1)]
+                 ) AS qd2
+          FROM qsub q JOIN codebook cb USING (m)
+        ),
+        adc AS (
+          -- m-ordered sequential fold (list_dot_product against ones) so
+          -- the 8-term double sum is bit-identical to the Spark fold
+          SELECT d.query_id, co.vec_id,
+                 FLOOR(list_dot_product(
+                     list(d.qd2 ORDER BY d.m),
+                     [1.0 for _ in range({PQ_M})]) * 1e6) / 1e6 AS approx_d2
+          FROM codes co JOIN dist_table d USING (m, code)
+          WHERE co.vec_id <> d.query_id
+          GROUP BY d.query_id, co.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id AS neighbor_id, approx_d2,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY approx_d2 ASC, vec_id ASC) AS INT) AS rank
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, approx_d2, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """

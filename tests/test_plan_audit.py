@@ -217,3 +217,24 @@ def test_stale_entries_sort_into_scored_window():
         f"{len(outside)} entries changed since their last driver verdict "
         f"but sit past the 50-entry scoring cap: {sorted(outside)}"
     )
+
+
+def test_headline_set_frozen():
+    """The bench HEADLINE set is FROZEN at the round-6 56-query baseline
+    (VERDICT r5 item 5): per-round additions eroded the cross-round common
+    set (46 common of 56 in r5 vs r4). New operators get scale evidence
+    through tools/bench_scale.py, not by growing this list."""
+    import hashlib
+
+    import bench
+
+    assert len(bench.HEADLINE) == 56
+    assert len(set(bench.HEADLINE)) == 56
+    assert (
+        hashlib.md5(",".join(bench.HEADLINE).encode()).hexdigest()
+        == "657633faeb1e4da39ada42980c362f4c"
+    ), "HEADLINE changed — the set is frozen for cross-round comparability"
+    from __spark_entry__ import queries
+
+    qs = queries()
+    assert all(name in qs for name in bench.HEADLINE)

@@ -434,3 +434,27 @@ def test_triplet_mining_singleton_class(spark, tmp_path):
         f"read_parquet('{d}/embeddings.parquet/*.parquet')"
     )
     assert_matches_oracle(out, con, similarity.triplet_mining_oracle())
+
+
+def test_ann_pq_topk_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        similarity.ann_pq_topk(spark, sf_dir),
+        duck,
+        similarity.ann_pq_topk_oracle(),
+    )
+
+
+def test_ann_pq_topk_shape_and_selfexclusion(spark, sf_dir):
+    rows = similarity.ann_pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert r.approx_d2 >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == similarity.N_QUERIES
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, similarity.TOP_K + 1)
+        )
+        d2s = [r.approx_d2 for r in sorted(rs, key=lambda r: r.rank)]
+        assert d2s == sorted(d2s), "rank must follow ascending ADC distance"

@@ -451,3 +451,34 @@ def test_minhash_banded_candidates_release_signature_cache(spark, sf_dir):
     dedup.dedup_minhash_portable(spark, sf_dir).collect()
     dedup.dedup_minhash_lsh(spark, sf_dir).collect()
     assert jsc.getPersistentRDDs().size() == before, "signature cache leaked"
+
+
+def test_substring_repeat_ladder_oracle(spark, sf_dir, duck):
+    assert_matches_oracle(
+        dedup.substring_repeat_ladder(spark, sf_dir),
+        duck,
+        dedup.substring_repeat_ladder_oracle(),
+    )
+
+
+def test_substring_repeat_ladder_detects_long_repeat(spark, tmp_path):
+    """A 300-char verbatim block shared by two docs must light every rung
+    (any repeat of length >= 1.5w contains an aligned w-window on both
+    sides); unrelated docs must light none."""
+    block = "the quick brown fox jumps over the lazy dog. " * 7  # ~315 chars
+    rows = [
+        (1, "intro text " + block + " tail one", "en", "s1", 1),
+        (2, block + " a different ending entirely", "en", "s2", 1),
+        (3, "".join(chr(97 + (i * 7 + i // 31) % 26) for i in range(400)), "en", "s3", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "docs"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {r.win_len: r for r in dedup.substring_repeat_ladder(spark, str(d)).collect()}
+    assert set(out) == set(dedup.LADDER_WINS)
+    for w in dedup.LADDER_WINS:
+        if w <= 200:  # block ~315 chars covers every rung up to 256*1.5>315: check <=200
+            assert out[w].dup_windows > 0, f"rung {w} missed the planted repeat"
+        assert out[w].docs_with_dup <= 2

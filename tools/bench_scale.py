@@ -51,6 +51,9 @@ SCALE_QUERIES = [
     "boundary_templates",
     "source_quality_profile",
     "tokenizer_fertility",
+    # round-6 operators
+    "substring_repeat_ladder",
+    "ann_pq_topk",
 ]
 
 
