@@ -1384,9 +1384,12 @@ def substring_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment blindness of a fixed grid (two copies at offsets differing
     ≢ 0 mod stride share no windows) cannot happen. A repeat of length L
     goes undetected at rung w only if it contains no anchor in its first
-    L−w+1 positions: P ≈ exp(−2(L−w+1)/w), i.e. vanishing past L ≈ 1.5w,
-    so the largest hitting rung brackets the maximal repeat length within
-    a factor of ~2 — the suffix automaton's length spectrum, sampled.
+    L−w+1 positions: P ≈ exp(−2(L−w+1)/w) — ≈37% right at L = 1.5w,
+    <5% past L ≈ 2.5w, negligible beyond — so the largest hitting rung
+    brackets the maximal repeat length within a factor of ~2-3 with
+    one-sided error: a hit at rung w CERTIFIES a repeat ≥ w (md5
+    collisions aside); only the boundary rung can under-report. This is
+    the suffix automaton's length spectrum, sampled.
 
     Output: one row per rung — total windows, cross-doc duplicate
     windows, documents containing any duplicate, duplicate fraction.

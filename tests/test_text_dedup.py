@@ -482,3 +482,36 @@ def test_substring_repeat_ladder_detects_long_repeat(spark, tmp_path):
         if w <= 200:  # block ~315 chars covers every rung up to 256*1.5>315: check <=200
             assert out[w].dup_windows > 0, f"rung {w} missed the planted repeat"
         assert out[w].docs_with_dup <= 2
+
+
+def test_repeat_ladder_alignment_free(spark, tmp_path):
+    """The content-defined anchors make detection ALIGNMENT-FREE: the same
+    200-char block planted at five different, stride-incommensurate byte
+    offsets across five docs must be detected at every rung up to 128
+    (fixed-grid windows provably miss offsets differing != 0 mod stride —
+    the bug the first r6 implementation had)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    # 600 chars: rung 128 expects (600-128)/64 ~ 7 anchors inside the
+    # block (miss probability e^-7 ~ 0.1%) — at 200 chars the boundary
+    # rung legitimately misses ~1/3 of the time by the anchor-density
+    # formula in the operator docstring
+    block = "".join(rng.choice(alphabet) for _ in range(600))
+    rows = []
+    for i, off in enumerate((0, 1, 3, 7, 13)):
+        pad = "".join(rng.choice(alphabet) for _ in range(off))
+        tail = "".join(rng.choice(alphabet) for _ in range(60))
+        rows.append((i + 1, pad + block + tail, "en", f"s{i}", 1))
+    # the 200-char planted block used by the sibling grid test missed
+    # rung 128 entirely — keep the regression visible: 600 covers 16-256
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "docs"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {r.win_len: r for r in dedup.substring_repeat_ladder(spark, str(d)).collect()}
+    for w in (16, 32, 64, 128, 256):
+        assert out[w].dup_windows > 0, f"rung {w} missed the unaligned repeat"
+        assert out[w].docs_with_dup == 5, (w, out[w])
