@@ -137,21 +137,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frame_sample_oracle() -> str:
-    # chunk via regexp ('.{1,16}') — the testdata text has no newlines, so
-    # '.' chunking reproduces the byte slicing exactly (ASCII payloads)
+    # substr-range chunking, byte-true for 1-byte/char text: the previous
+    # regexp '.{1,16}' version silently SKIPPED newlines/control chars ('.'
+    # does not match \n), shifting every later frame for any doc containing
+    # one (found by tools/fuzz_edge_docs.py). ASCII payloads assumed, as in
+    # multimodal_meta.
     return f"""
         WITH frames AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(text, '.{{1,{FRAME_BYTES}}}')) AS frame,
-                 generate_subscripts(regexp_extract_all(text, '.{{1,{FRAME_BYTES}}}'), 1) AS s
-          FROM documents
+          SELECT d.doc_id, CAST(p.i AS INT) AS frame_idx,
+                 substr(d.text, CAST(p.i * {FRAME_BYTES} + 1 AS INT),
+                        {FRAME_BYTES}) AS frame
+          FROM documents d,
+          LATERAL (SELECT unnest(range(0,
+                     CAST(ceil(strlen(d.text) / {FRAME_BYTES}.0) AS BIGINT)))
+                   AS i) p
         )
-        SELECT doc_id,
-               CAST(s - 1 AS INT) AS frame_idx,
+        SELECT doc_id, frame_idx,
                CAST(length(frame) AS INT) AS frame_len,
                CAST(ascii(substr(frame, 1, 1)) AS INT) AS first_byte
         FROM frames
-        WHERE (s - 1) % {FRAME_STRIDE} = 0
+        WHERE frame_idx % {FRAME_STRIDE} = 0
         ORDER BY doc_id, frame_idx
     """
 
@@ -362,15 +367,21 @@ def multimodal_resize_oracle() -> str:
     # ASCII payloads: char-at-index reproduces byte-at-index; the list
     # comprehension mirrors floor(i * n / target) nearest-neighbor indexing
     t = RESIZE_TARGET
+    # zero-byte payloads produce an EMPTY thumbnail row (thumb_len 0,
+    # md5 of the empty string), exactly like _fake_resize — the previous
+    # WHERE strlen > 0 dropped the row the Spark side emits, and the
+    # hardcoded thumb_len={t} mislabeled it (tools/fuzz_edge_docs.py)
     return f"""
         SELECT doc_id,
                CAST(strlen(text) AS BIGINT) AS orig_len,
-               CAST({t} AS INT) AS thumb_len,
-               md5(array_to_string(
-                 [substr(text, CAST(i * strlen(text) // {t} AS INT) + 1, 1)
-                  for i in range(0, {t})], '')) AS thumb_md5
+               CAST(CASE WHEN strlen(text) > 0 THEN {t} ELSE 0 END AS INT)
+                 AS thumb_len,
+               CASE WHEN strlen(text) > 0
+                    THEN md5(array_to_string(
+                      [substr(text, CAST(i * strlen(text) // {t} AS INT) + 1, 1)
+                       for i in range(0, {t})], ''))
+                    ELSE md5('') END AS thumb_md5
         FROM documents
-        WHERE strlen(text) > 0
         ORDER BY doc_id
     """
 

@@ -48,7 +48,15 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide == DuckDB's x/0 -> NULL: a zero-norm vector yields NULL
+    # cosine instead of killing the whole scan under ANSI mode (one
+    # degenerate embedding must not crash a 100 TB job; found by
+    # tools/fuzz_edge_docs.py). NULL then behaves identically in both
+    # engines through >= tau filters (false) and DESC rankings (last);
+    # the one ASC ranking over a nullable cosine (triplet positives)
+    # pins asc_nulls_last explicitly because Spark ASC defaults nulls
+    # FIRST while DuckDB defaults nulls LAST.
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _trunc6(c: Column) -> Column:
@@ -158,7 +166,7 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     eb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), norm.alias("n_b")
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = F.try_divide(_dot(F.col("emb_a"), F.col("emb_b")), F.col("n_a") * F.col("n_b"))
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -835,7 +843,7 @@ def embedding_decontaminate(
         F.col("embedding").alias("emb_e"),
         norm.alias("n_e"),
     )
-    cos = _dot(F.col("emb_t"), F.col("emb_e")) / (F.col("n_t") * F.col("n_e"))
+    cos = F.try_divide(_dot(F.col("emb_t"), F.col("emb_e")), F.col("n_t") * F.col("n_e"))
     return (
         cands.join(tr, "train_id")
         .join(F.broadcast(ev), "eval_id")
@@ -1057,7 +1065,11 @@ def embedding_outliers_oracle() -> str:
           ) WHERE rn = 1
         ),
         ranked AS (
-          SELECT *, ROW_NUMBER() OVER (ORDER BY c_cos, vec_id) AS rk,
+          -- NULLS FIRST pins the zero-norm semantics: a vector with no
+          -- defined cosine to ANY centroid is the ultimate outlier and
+          -- ranks into the flagged cut (Spark ASC defaults nulls first;
+          -- DuckDB defaults last - made explicit so both engines agree)
+          SELECT *, ROW_NUMBER() OVER (ORDER BY c_cos NULLS FIRST, vec_id) AS rk,
                  COUNT(*) OVER () AS n
           FROM assigned
         )
@@ -1140,7 +1152,12 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (anchors.anchor_label == members.label)
         & (anchors._cand_pos == members._cand_pos),
     ).withColumn("pos_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("p_emb"))))
-    wp = Window.partitionBy("anchor_id").orderBy(F.asc("pos_cosine"), F.asc("pos_id"))
+    wp = Window.partitionBy("anchor_id").orderBy(
+        # asc_NULLS_LAST: DuckDB sorts nulls last in ASC too; Spark's bare
+        # asc puts a zero-norm member's NULL cosine FIRST (= "hardest
+        # positive"), silently diverging (tools/fuzz_edge_docs.py)
+        F.asc_nulls_last("pos_cosine"), F.asc("pos_id")
+    )
     hardest_pos = (
         pos_scored.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") == 1)

