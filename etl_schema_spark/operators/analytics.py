@@ -897,7 +897,16 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .distributed import grouped_running_sum
 
-    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    # NULL values are excluded from the measurable domain on BOTH sides:
+    # Spark's rank struct sorts NULL first while DuckDB's ROW_NUMBER puts
+    # it last, so a single NULL-valued event shifted the median rank by
+    # one between engines (tools/fuzz_edge_docs.py, round 6); `n` counts
+    # measurable values only.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     target = F.expr("(n + 1) div 2").alias("target")
 
@@ -951,6 +960,7 @@ def mad_outliers_oracle() -> str:
     return f"""
         WITH ev AS (
           SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL
         ),
         counts AS (
           SELECT event_type, COUNT(*) AS n, (COUNT(*) + 1) // 2 AS target
@@ -1013,7 +1023,13 @@ def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .distributed import grouped_running_sum
 
-    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    # NULL values excluded from the rank domain on both sides — same
+    # engine null-ordering asymmetry as mad_outliers (fuzz_edge_docs r6)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     targets = counts.select(
         "event_type",
@@ -1042,7 +1058,8 @@ def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tail_latency_percentiles_oracle() -> str:
     pcts = ", ".join(str(p) for p in TAIL_PCTS)
     return f"""
-        WITH ev AS (SELECT event_type, event_id, value FROM events),
+        WITH ev AS (SELECT event_type, event_id, value FROM events
+                    WHERE value IS NOT NULL),
         counts AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
         targets AS (
           SELECT event_type, n, unnest([{pcts}]) AS pct FROM counts

@@ -37,6 +37,10 @@ FIXED_ENTRIES = [
     # payload row dropped)
     "multimodal_frame_sample",
     "multimodal_resize",
+    # NULL-value rows in the exact order-statistic rank domain (Spark
+    # sorts NULL first, DuckDB last — one NULL shifted the median rank)
+    "mad_outliers",
+    "tail_latency_percentiles",
 ]
 
 

@@ -219,9 +219,15 @@ def test_stale_entries_sort_into_scored_window():
     # sit INSIDE the window as scored representatives). An entry whose
     # OWN function changed may never be deferred.
     DEFERRED_HELPER_ONLY = {
+        # r5 run_available_now drain fix (reps in-window:
+        # streaming_attribution_join, streaming_hopping_counts)
         "streaming_hourly_counts",
         "streaming_session_windows",
         "streaming_distinct_keys",
+        # grouped_running_sum helper change (reps in-window:
+        # mad_outliers, tail_latency_percentiles — own-changed r6)
+        "pack_sequences",
+        "source_token_budget",
     }
     for k in DEFERRED_HELPER_ONLY:
         assert fresh[k].get("reason") == "helper changed", (

@@ -1,6 +1,9 @@
-"""Edge-document fuzz: run every oracle-matched entry against a corpus
+"""Edge-corpus fuzz: run every oracle-matched entry against a corpus
 doctored with degenerate documents (empty text, whitespace-only, single
-char, no spaces, singleton embedding class) and diff Spark vs DuckDB.
+char, no spaces, singleton embedding class) AND degenerate events
+(same-timestamp ties within and across users, a single-event user,
+zero/negative/NULL values, an exact-midnight boundary row) and diff
+Spark vs DuckDB.
 
 The ADVICE-r5 class of bug — Spark inner-drops a row the oracle's LEFT
 JOIN keeps (vocab_growth_curve), or a data-dependent sequence goes
@@ -30,7 +33,7 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
 
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events"):
             shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con = duckdb.connect()
     # documents: append degenerate rows with fresh ids
@@ -47,6 +50,37 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
             (900005, repeat('z', 500), 'en', 'edge', 500)
           ) v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # events: append rows that exercise ordering ties and numeric domains
+    # the generator never produces — two events of ONE user at the SAME
+    # microsecond (and with the same/different types), two DIFFERENT users
+    # sharing a timestamp, a single-event user, value = 0 / negative /
+    # NULL (log/geomean domains), and an exact-midnight boundary row
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{base}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, TIMESTAMP '2024-01-03 12:00:00.000000', 900001,
+             'click',  50.0,  '{{"k": 1}}'),
+            (900002, TIMESTAMP '2024-01-03 12:00:00.000000', 900001,
+             'click',  60.0,  '{{"k": 2}}'),
+            (900003, TIMESTAMP '2024-01-03 12:00:00.000000', 900001,
+             'view',   70.0,  '{{"k": 3}}'),
+            (900004, TIMESTAMP '2024-01-03 12:00:00.000000', 900002,
+             'click',  80.0,  '{{"k": 4}}'),
+            (900005, TIMESTAMP '2024-01-04 00:00:00.000000', 900003,
+             'signup',  0.0,  '{{"k": 5}}'),
+            (900006, TIMESTAMP '2024-01-04 06:30:00.000000', 900003,
+             'error',  -5.0,  '{{"k": 6}}'),
+            (900007, TIMESTAMP '2024-01-04 07:30:00.000000', 900003,
+             'error',  NULL,  '{{"k": 7}}'),
+            (900008, TIMESTAMP '2024-01-05 23:59:59.999999', 900004,
+             'view',   42.5,  NULL)
+          ) v(event_id, ts, user_id, event_type, value, props)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
     )
     # embeddings: append a singleton label class + a zero vector
