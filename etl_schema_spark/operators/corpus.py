@@ -56,13 +56,18 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def json_extract_props_oracle() -> str:
-    return """
+    # try_cast(... AS JSON): malformed props must degrade to NULL exactly
+    # like Spark's get_json_object — bare json_extract_string ERRORS on
+    # invalid JSON and would crash the oracle on one bad row
+    # (tools/fuzz_edge_docs.py wave 3)
+    k = "CAST(json_extract_string(try_cast(props AS JSON), '$.k') AS BIGINT)"
+    return f"""
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+               CAST(SUM({k}) AS BIGINT) AS sum_k,
+               MIN({k}) AS min_k,
+               MAX({k}) AS max_k,
+               CAST(SUM(CASE WHEN {k} >= 50
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         FROM events
         GROUP BY event_type

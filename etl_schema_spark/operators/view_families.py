@@ -64,8 +64,11 @@ TIER_SPEC = (
 
 
 def _kval_sql(engine: str) -> str:
+    # TRY_CAST in both dialects: no-digit props extract to '' and a bare
+    # ANSI cast is fatal (fuzz_edge_docs wave 3); NULL filters/groups the
+    # same way in both engines
     d = r"\\d" if engine == "spark" else r"\d"
-    return f"CAST(regexp_extract(props, '({d}+)', 1) AS BIGINT)"
+    return f"TRY_CAST(regexp_extract(props, '({d}+)', 1) AS BIGINT)"
 
 
 def _resolve(cond: str, engine: str) -> str:

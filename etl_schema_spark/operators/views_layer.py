@@ -58,7 +58,11 @@ def extended_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     `value` plays MeanThroughputMbps.
     """
     ev = load_table(spark, sf_dir, "events")
-    k_value = F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("bigint")
+    # try_cast: a props payload with no digits regexp-extracts to '' and a
+    # bare ANSI cast kills the whole scan (CAST_INVALID_INPUT); NULL is the
+    # correct degraded value and matches the oracle's TRY_CAST
+    # (tools/fuzz_edge_docs.py wave 3)
+    k_value = F.regexp_extract(F.col("props"), r"(\d+)", 1).try_cast("bigint")
     return ev.select(
         "event_id",
         F.col("ts").cast("date").alias("partition_date"),
@@ -147,7 +151,7 @@ _EXTENDED_SQL = r"""
       user_id,
       event_type,
       value,
-      CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_value,
+      TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_value,
       'evt'
         || CASE WHEN user_id % 2 = 0 THEN '-IPv4' ELSE '-IPv6' END
         || CASE WHEN event_type IN ('click','view') THEN '-WSS'
@@ -160,8 +164,8 @@ _EXTENDED_SQL = r"""
       value < 1.0 AS is_small,
       value < 5.0 AS is_short,
       value > 300.0 AS is_long,
-      (CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) % 3 = 0) AS is_congested,
-      (value > 2 * CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)
+      (TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) % 3 = 0) AS is_congested,
+      (value > 2 * TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)
         AND value > 100.0) AS is_bloated
     FROM events
 """

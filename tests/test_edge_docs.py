@@ -41,6 +41,15 @@ FIXED_ENTRIES = [
     # sorts NULL first, DuckDB last — one NULL shifted the median rank)
     "mad_outliers",
     "tail_latency_percentiles",
+    # malformed JSON props: Spark get_json_object degrades to NULL; the
+    # oracle needed try_cast(... AS JSON) to avoid erroring on one bad row
+    "json_extract_props",
+    # k_value = regexp_extract(props)::BIGINT: a no-digit props row made
+    # the bare ANSI cast fatal ('' -> BIGINT); now try_cast both sides
+    "extended_view_events",
+    "tiered_views",
+    "autojoin_tiered_counts",
+    "sidestream_view",
 ]
 
 

@@ -228,6 +228,22 @@ def test_stale_entries_sort_into_scored_window():
         # mad_outliers, tail_latency_percentiles — own-changed r6)
         "pack_sequences",
         "source_token_budget",
+        # extended_view k_value try_cast (r6 fuzz wave 3): the changed
+        # function ITSELF — extended_view_events — is own-changed and
+        # scored in-window; these compose it unchanged
+        "daily_deciles",
+        "dedup_best_per_user",
+        "fn_geomean_download_complete",
+        "fn_pdf_upload_2021",
+        "log_pdf_cdf",
+        "autojoin_tiered_counts",
+        "geomean_by_type",
+        "sidestream_view",
+        "hourly_rollup",
+        "tiered_views",
+        "unified_view_events",
+        # _gopher_flag_cols (rep in-window: gopher_quality_flags, own-changed)
+        "curation_pipeline",
     }
     for k in DEFERRED_HELPER_ONLY:
         assert fresh[k].get("reason") == "helper changed", (

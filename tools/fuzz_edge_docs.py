@@ -2,8 +2,8 @@
 doctored with degenerate documents (empty text, whitespace-only, single
 char, no spaces, singleton embedding class) AND degenerate events
 (same-timestamp ties within and across users, a single-event user,
-zero/negative/NULL values, an exact-midnight boundary row) and diff
-Spark vs DuckDB.
+zero/negative/NULL values, an exact-midnight boundary row, malformed
+JSON props) and diff Spark vs DuckDB.
 
 The ADVICE-r5 class of bug — Spark inner-drops a row the oracle's LEFT
 JOIN keeps (vocab_growth_curve), or a data-dependent sequence goes
@@ -47,7 +47,10 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
             (900002, '   ',       'en', 'edge', 3),
             (900003, CHR(10)||CHR(9)||' ', 'en', 'edge', 3),
             (900004, 'x',         'en', 'edge', 1),
-            (900005, repeat('z', 500), 'en', 'edge', 500)
+            (900005, repeat('z', 500), 'en', 'edge', 500),
+            (900006, 'ascii only here: every oracle-side byte assumption '
+                     || 'holds; parity for multibyte text is a documented '
+                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140)
           ) v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
@@ -78,7 +81,11 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
             (900007, TIMESTAMP '2024-01-04 07:30:00.000000', 900003,
              'error',  NULL,  '{{"k": 7}}'),
             (900008, TIMESTAMP '2024-01-05 23:59:59.999999', 900004,
-             'view',   42.5,  NULL)
+             'view',   42.5,  NULL),
+            (900009, TIMESTAMP '2024-01-05 10:00:00.000000', 900004,
+             'view',   10.0,  '{{"k": '),
+            (900010, TIMESTAMP '2024-01-05 11:00:00.000000', 900004,
+             'view',   11.0,  'not json at all')
           ) v(event_id, ts, user_id, event_type, value, props)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
