@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import cpu_parallel, load_table
 from .distributed import grouped_running_sum
+from .similarity import finite_scan, load_vectors
 
 
 def _trunc6(c: Column) -> Column:
@@ -180,7 +181,9 @@ def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key is (label, dim): 64·|labels| groups, trivially small at any
     corpus size; the map side partial-aggregates the full fact.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # finite-vector domain (fuzz wave 4): one Inf component would overflow
+    # the DECIMAL(18,6) exact pooling and kill the job under ANSI mode
+    emb = load_vectors(spark, sf_dir)
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -202,7 +205,7 @@ def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def centroid_per_label_oracle() -> str:
-    return """
+    return finite_scan("""
         WITH exploded AS (
           SELECT label,
                  generate_subscripts(embedding, 1) AS dim,
@@ -218,7 +221,7 @@ def centroid_per_label_oracle() -> str:
         FROM exploded
         GROUP BY label, dim
         ORDER BY label, dim
-    """
+    """)
 
 
 def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,8 @@ bit-for-bit; see _COS_SQL for the DuckDB twin.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -59,6 +61,48 @@ def _cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# --- finite-vector domain guard (fuzz wave 4) -------------------------
+# At 100 TB a handful of corrupted feature rows WILL exist. They are not
+# survivable unguarded: an Inf component overflows the decimal-exact
+# centroid pooling (kmeans/semdedup/centroid_per_label crash with
+# NUMERIC_VALUE_OUT_OF_RANGE under ANSI mode), a NULL embedding kills
+# DuckDB's list_inner_product outright, and a NaN cosine ranks ABOVE
+# +Inf in both engines so an unguarded NaN vector satisfies every
+# >= tau filter and becomes duplicate-of-everything. The engine contract
+# is therefore: NULL / empty / non-finite embeddings are excluded from
+# the vector domain, enforced by the same predicate on both sides.
+
+FINITE_EMB_PRED_SQL = (
+    "embedding IS NOT NULL AND len(embedding) > 0 AND "
+    "list_bool_and(list_transform(embedding, x -> isfinite(CAST(x AS DOUBLE))))"
+)
+_EMB_SCAN_SQL = f"(SELECT * FROM embeddings WHERE {FINITE_EMB_PRED_SQL})"
+
+
+def finite_scan(sql: str) -> str:
+    """Rewrite every `embeddings` table reference in an oracle to the
+    finite-domain scan — the DuckDB twin of :func:`load_vectors`. The
+    registry's oracles only ever reference the table as ``FROM
+    embeddings`` / ``JOIN embeddings`` (asserted by the edge-corpus
+    fuzz, which feeds NULL/NaN/Inf rows through every rewritten
+    oracle)."""
+    return _re.sub(r"\b(FROM|JOIN)(\s+)embeddings\b", rf"\1\2{_EMB_SCAN_SQL}", sql)
+
+
+def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Drop NULL / empty / non-finite embeddings — scan-level filter, no
+    shuffle; the predicate stays inside whole-stage codegen."""
+    c = F.col(col)
+    nonfinite = F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    return df.filter(c.isNotNull() & (F.size(c) > 0) & ~nonfinite)
+
+
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings source as every vector operator consumes it: the
+    raw table restricted to the finite-vector domain."""
+    return finite_vectors(load_table(spark, sf_dir, "embeddings"))
+
+
 def _trunc6(c: Column) -> Column:
     return F.floor(c * 1e6) / 1e6
 
@@ -70,7 +114,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays shuffle-free until the final per-query top-k window over
     N_QUERIES partitions.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -96,7 +140,7 @@ _COS_SQL = (
 
 
 def ann_bruteforce_topk_oracle() -> str:
-    return f"""
+    return finite_scan(f"""
         WITH scored AS (
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                  FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
@@ -111,7 +155,7 @@ def ann_bruteforce_topk_oracle() -> str:
         SELECT query_id, neighbor_id, cosine, rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
-    """
+    """)
 
 
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU) -> DataFrame:
@@ -142,7 +186,7 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     driver scale the params resolve to the 4×4 baseline the static oracle
     SQL encodes, so oracle parity is unaffected where the oracle runs.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     # Parquet count-star resolves from footer metadata — a cheap action that
     # sizes the band family to the collection (see _adaptive_band_params).
     n_bits, n_bands = _adaptive_band_params(emb.count())
@@ -178,7 +222,7 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
 
 def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
     band_match = " OR ".join(f"a.k{b} = b.k{b}" for b in range(LSH_BANDS))
-    return f"""
+    return finite_scan(f"""
         WITH sig AS (
           SELECT vec_id, embedding,
                  {_lsh_bit_exprs_sql()}
@@ -192,7 +236,7 @@ def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
         FROM keys a JOIN keys b ON a.vec_id < b.vec_id AND ({band_match})
         WHERE ({_COS_SQL}) >= {tau}
         ORDER BY vec_a, vec_b
-    """
+    """)
 
 
 def embedding_cosine_dup_exact(
@@ -200,7 +244,7 @@ def embedding_cosine_dup_exact(
 ) -> DataFrame:
     """Exact n² all-pairs twin — TEST ORACLE ONLY (recall measurement for
     the banded production path above); never registered in queries()."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = _cosine(F.col("emb_a"), F.col("emb_b"))
@@ -251,7 +295,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repartition on label), so each query's scan touches one bucket —
     1/k of the data — and the final top-k window is per-query.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     centroids = _label_codebook(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -376,7 +420,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data), the exploded collection is 4× ids not 4× vectors, queries
     broadcast, and the dedupe + top-k shuffles only candidate pairs.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     keyed = emb.select("vec_id", "embedding", *_band_key_cols(F.col("embedding")))
     bands = F.array(*[F.col(f"k{b}") for b in range(LSH_BANDS)])
     coll = keyed.select(
@@ -416,7 +460,7 @@ def ann_lsh_topk_oracle() -> str:
         " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
         " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
     )
-    return f"""
+    return finite_scan(f"""
         WITH sig AS (
           SELECT vec_id, embedding,
                  {bit_exprs}
@@ -440,7 +484,7 @@ def ann_lsh_topk_oracle() -> str:
         SELECT query_id, neighbor_id, cosine, rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
-    """
+    """)
 
 
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +496,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote aggregate — the collection side still never shuffles before the
     top-k window.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -483,7 +527,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_classify_oracle() -> str:
-    return f"""
+    return finite_scan(f"""
         WITH scored AS (
           SELECT a.vec_id AS query_id, a.label AS true_label,
                  b.vec_id AS neighbor_id, b.label AS label,
@@ -510,7 +554,7 @@ def knn_classify_oracle() -> str:
           FROM votes
         ) WHERE vr = 1
         ORDER BY query_id
-    """
+    """)
 
 
 KMEANS_K = 8
@@ -532,7 +576,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth constant; this is exactly how MLlib's KMeans drives its loop.
     Seeds = the first K vectors by vec_id (deterministic).
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vectors(spark, sf_dir).select("vec_id", "embedding")
     centroids_df = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("c_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
@@ -619,7 +663,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow projection, zero shuffle: at 100 TB this runs at scan speed,
     like the codec passes in multimodal.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(float(Q_MAX))
     q = F.transform(
@@ -645,7 +689,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_quantize_oracle() -> str:
-    return f"""
+    return finite_scan(f"""
         WITH s AS (
           SELECT vec_id, embedding,
                  list_max([abs(CAST(x AS DOUBLE)) for x in embedding])
@@ -665,7 +709,7 @@ def embedding_quantize_oracle() -> str:
                CAST(len(list_filter(q, x -> x <> 0)) AS BIGINT) AS q_nnz
         FROM qd
         ORDER BY vec_id
-    """
+    """)
 
 
 def kmeans_clusters_oracle(k: int = None, iters: int = None) -> str:
@@ -707,7 +751,7 @@ def kmeans_clusters_oracle(k: int = None, iters: int = None) -> str:
             GROUP BY c_id, dim
           ) GROUP BY c_id
         )""")
-    return f"""
+    return finite_scan(f"""
         WITH {", ".join(ctes)}
         SELECT c_id AS cluster,
                CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -716,7 +760,7 @@ def kmeans_clusters_oracle(k: int = None, iters: int = None) -> str:
         FROM a{iters}
         GROUP BY c_id
         ORDER BY cluster
-    """
+    """)
 
 
 def ann_ivf_topk_oracle() -> str:
@@ -731,7 +775,7 @@ def ann_ivf_topk_oracle() -> str:
         "list_dot_product(qe, be)"
         " / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(be, be)))"
     )
-    return f"""
+    return finite_scan(f"""
         WITH cent AS (
           SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
             SELECT label, dim,
@@ -770,7 +814,7 @@ def ann_ivf_topk_oracle() -> str:
           FROM scored
         ) WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
-    """
+    """)
 
 
 # --- train-vs-eval embedding decontamination ------------------------------
@@ -800,7 +844,7 @@ def embedding_decontaminate(
     the train side never shuffles — the same asymmetry the n-gram
     decontamination exploits.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     # Same fixed-width-is-quadratic hazard as embedding_cosine_dup: with
     # 2^bits buckets, (train, eval) collisions are ~ |train|*|eval|/2^bits
     # per band — adaptive width keeps eval-bucket occupancy bounded, so
@@ -858,7 +902,7 @@ def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
     cos_sql = _COS_SQL.replace("a.embedding", "t.embedding").replace(
         "b.embedding", "e.embedding"
     )
-    return f"""
+    return finite_scan(f"""
         WITH sig AS (
           SELECT vec_id, embedding,
                  CAST(CAST(('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 8))
@@ -874,7 +918,7 @@ def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
         FROM keys t JOIN keys e ON t.is_eval = 0 AND e.is_eval = 1 AND ({band_match})
         WHERE ({cos_sql}) >= {tau}
         ORDER BY train_id, eval_id
-    """
+    """)
 
 
 SEM_TAU = COSINE_TAU
@@ -898,7 +942,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     codebook = _label_codebook(emb)
     c_cos = _cosine(F.col("embedding"), F.col("centroid"))
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -949,7 +993,7 @@ def semdedup_clusters_oracle() -> str:
         " / (sqrt(list_dot_product(e.de, e.de))"
         " * sqrt(list_dot_product(c.centroid, c.centroid)))"
     )
-    return f"""
+    return finite_scan(f"""
         WITH cent AS (
           SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
             SELECT label, dim,
@@ -985,7 +1029,7 @@ def semdedup_clusters_oracle() -> str:
                witnesses.dup_of
         FROM assigned LEFT JOIN witnesses ON witnesses.vec_id = assigned.vec_id
         ORDER BY assigned.vec_id
-    """
+    """)
 
 
 OUTLIER_FRAC = 0.05
@@ -1005,7 +1049,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .distributed import grouped_running_sum
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     codebook = _label_codebook(emb)
     c_cos = _cosine(F.col("embedding"), F.col("centroid"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
@@ -1040,7 +1084,7 @@ def embedding_outliers_oracle() -> str:
         " / (sqrt(list_dot_product(e.de, e.de))"
         " * sqrt(list_dot_product(c.centroid, c.centroid)))"
     )
-    return f"""
+    return finite_scan(f"""
         WITH cent AS (
           SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
             SELECT label, dim,
@@ -1078,7 +1122,7 @@ def embedding_outliers_oracle() -> str:
                rk <= GREATEST(1, CAST({OUTLIER_FRAC} * n AS BIGINT)) AS is_outlier
         FROM ranked
         ORDER BY vec_id
-    """
+    """)
 
 
 TRIPLET_POS_SAMPLE = 8  # positive candidates per anchor (ring width)
@@ -1111,7 +1155,7 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .distributed import grouped_running_sum
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     hashed = emb.select(
         "vec_id",
         "label",
@@ -1247,7 +1291,7 @@ def triplet_mining_oracle() -> str:
         " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
         " * sqrt(list_dot_product(CAST(en.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[]))))"
     )
-    return f"""
+    return finite_scan(f"""
         WITH hashed AS (
           SELECT vec_id, label, embedding,
                  md5('tm:' || CAST(vec_id AS VARCHAR)) AS h
@@ -1328,7 +1372,7 @@ def triplet_mining_oracle() -> str:
         FROM hardest_pos hp
         LEFT JOIN hardest_neg hn USING (anchor_id)
         ORDER BY hp.anchor_id
-    """
+    """)
 
 
 import math as _math
@@ -1393,7 +1437,7 @@ def ndcg_eval_oracle() -> str:
     disc_case = " ".join(
         f"WHEN {p + 1} THEN {d}" for p, d in enumerate(_NDCG_DISC_PPM)
     )
-    return f"""
+    return finite_scan(f"""
         WITH exact AS (
           SELECT query_id, neighbor_id FROM ({ann_bruteforce_topk_oracle()})
         ),
@@ -1419,7 +1463,7 @@ def ndcg_eval_oracle() -> str:
         FROM (SELECT DISTINCT query_id FROM exact) q
         LEFT JOIN agg a USING (query_id)
         ORDER BY q.query_id
-    """
+    """)
 
 
 JL_DIMS = 8  # reduced dimensionality
@@ -1438,7 +1482,7 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver canonicalizer, the skew_salted_daily_users lesson). Zero
     shuffle: JL_DIMS dot products in-row, posexplode, no aggregation.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     planes = _lsh_planes(JL_DIMS)
     projs = F.array(
         *[
@@ -1458,7 +1502,7 @@ def jl_projection_oracle() -> str:
         f"CAST([{', '.join(repr(v) for v in p)}] AS DOUBLE[])) * 1e6) / 1e6"
         for p in _lsh_planes(JL_DIMS)
     )
-    return f"""
+    return finite_scan(f"""
         WITH wide AS (
           SELECT vec_id, [{proj_exprs}] AS projs FROM embeddings
         )
@@ -1466,7 +1510,7 @@ def jl_projection_oracle() -> str:
         FROM wide,
              (SELECT unnest(range(1, {JL_DIMS} + 1)) AS i) d
         ORDER BY vec_id, dim
-    """
+    """)
 
 
 # --- product-quantization ANN ----------------------------------------------
@@ -1505,7 +1549,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to DuckDB's list_dot_product, so distances — and therefore ranks —
     hash-match end-to-end.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     # deterministic codebook sample: PQ_K vectors by md5 order (TakeOrdered)
     sample = (
         emb.select(
@@ -1598,7 +1642,7 @@ def ann_pq_topk_oracle() -> str:
         f"[CAST(x AS DOUBLE) for x in embedding[(m * {sub_d} + 1):"
         f"(m * {sub_d} + {sub_d})]]"
     )
-    return f"""
+    return finite_scan(f"""
         WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
         sample AS (
           SELECT vec_id, embedding,
@@ -1660,4 +1704,4 @@ def ann_pq_topk_oracle() -> str:
         SELECT query_id, neighbor_id, approx_d2, rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
-    """
+    """)

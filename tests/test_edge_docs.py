@@ -50,6 +50,17 @@ FIXED_ENTRIES = [
     "tiered_views",
     "autojoin_tiered_counts",
     "sidestream_view",
+    # wave 4 — non-finite/NULL embeddings: one Inf component overflowed
+    # the decimal centroid pooling (Spark ANSI crash), a NULL embedding
+    # killed DuckDB's list_inner_product, and a NaN cosine ranks above
+    # +Inf in BOTH engines (duplicate-of-everything). Fixed fleet-wide by
+    # the shared finite-vector domain guard (similarity.load_vectors /
+    # finite_scan); the cosine-family entries above re-cover it too
+    "ann_pq_topk",
+    "centroid_per_label",
+    "embedding_quantize",
+    "jl_projection",
+    "kmeans_clusters",
 ]
 
 

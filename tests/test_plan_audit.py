@@ -219,11 +219,14 @@ def test_stale_entries_sort_into_scored_window():
     # sit INSIDE the window as scored representatives). An entry whose
     # OWN function changed may never be deferred.
     DEFERRED_HELPER_ONLY = {
-        # r5 run_available_now drain fix (reps in-window:
-        # streaming_attribution_join, streaming_hopping_counts)
+        # r5 run_available_now drain fix (rep in-window:
+        # streaming_attribution_join; hopping_counts joined the deferral
+        # when fuzz wave 4's finite-vector guard made jl_projection
+        # own-changed and it took the slot)
         "streaming_hourly_counts",
         "streaming_session_windows",
         "streaming_distinct_keys",
+        "streaming_hopping_counts",
         # grouped_running_sum helper change (reps in-window:
         # mad_outliers, tail_latency_percentiles — own-changed r6)
         "pack_sequences",

@@ -1,9 +1,10 @@
 """Edge-corpus fuzz: run every oracle-matched entry against a corpus
 doctored with degenerate documents (empty text, whitespace-only, single
-char, no spaces, singleton embedding class) AND degenerate events
-(same-timestamp ties within and across users, a single-event user,
-zero/negative/NULL values, an exact-midnight boundary row, malformed
-JSON props) and diff Spark vs DuckDB.
+char, no spaces, singleton embedding class, NaN/Inf embedding
+components, a NULL embedding) AND degenerate events (same-timestamp
+ties within and across users, a single-event user, zero/negative/NULL
+values, an exact-midnight boundary row, malformed JSON props) and diff
+Spark vs DuckDB.
 
 The ADVICE-r5 class of bug — Spark inner-drops a row the oracle's LEFT
 JOIN keeps (vocab_growth_curve), or a data-dependent sequence goes
@@ -90,7 +91,12 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
     )
-    # embeddings: append a singleton label class + a zero vector
+    # embeddings: append a singleton label class + a zero vector, and —
+    # fourth wave — non-finite ingestion faults: a NaN component, an Inf
+    # component, and a NULL embedding (at 100 TB a handful of corrupted
+    # feature rows WILL exist; NaN is the nastiest because both engines
+    # rank NaN above +Inf, so an unguarded NaN cosine satisfies every
+    # >= tau filter and becomes duplicate-of-everything)
     con.sql(
         f"""
         COPY (
@@ -104,6 +110,16 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
             SELECT 900002,
                    CAST([0.0 for i in range(1, 65)] AS FLOAT[]),
                    9902
+            UNION ALL
+            SELECT 900003,
+                   CAST(['nan'::FLOAT] || [0.5 for i in range(1, 64)] AS FLOAT[]),
+                   1
+            UNION ALL
+            SELECT 900004,
+                   CAST(['inf'::FLOAT] || [0.5 for i in range(1, 64)] AS FLOAT[]),
+                   2
+            UNION ALL
+            SELECT 900005, NULL, 3
           )
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
