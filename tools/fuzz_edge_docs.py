@@ -12,7 +12,16 @@ descending on a degenerate group (triplet_mining) — is invisible on the
 generator's well-formed testdata. This harness makes the degenerate rows
 exist and reuses the exact driver compare.
 
-Usage: python tools/fuzz_edge_docs.py [base_sf_dir]
+Usage: python tools/fuzz_edge_docs.py [base_sf_dir] [entry ...]
+       python tools/fuzz_edge_docs.py --wave5 [base_sf_dir] [entry ...]
+
+--wave5 additionally plants non-finite events.value rows (NaN / +Inf /
+-Inf). This wave is EXPECTED TO FAIL until the r7 rotation lands the
+two-sided "non-finite value degrades to NULL" contract (SURVEY §7
+R7 LEAD ITEM): DuckDB's STDDEV/CORR hard-error on non-finite input
+where Spark degrades to NaN, and the decimal-exact value sums overflow
+under Spark ANSI mode on Inf. The flag exists so r7 starts from a
+pinned failing-entry list instead of rediscovering it.
 """
 
 from __future__ import annotations
@@ -29,7 +38,7 @@ DEFAULT_BASE = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
+def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -55,6 +64,22 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
           ) v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
+    )
+    # fifth wave (r7 lead item, gated): non-finite metric values. A single
+    # NaN value crashes DuckDB's STDDEV/CORR outright and an Inf overflows
+    # Spark's ANSI decimal-exact value sums — the same one-corrupt-row-
+    # kills-the-job class wave 4 closed for embeddings, unfixed for
+    # events.value until the r7 rotation lands the two-sided contract.
+    wave5_rows = (
+        """,
+            (900011, TIMESTAMP '2024-01-06 09:00:00.000000', 900005,
+             'view',  'nan'::DOUBLE,  '{"k": 8}'),
+            (900012, TIMESTAMP '2024-01-06 10:00:00.000000', 900005,
+             'view',  'inf'::DOUBLE,  '{"k": 9}'),
+            (900013, TIMESTAMP '2024-01-06 11:00:00.000000', 900005,
+             'click', '-inf'::DOUBLE, '{"k": 10}')"""
+        if wave5
+        else ""
     )
     # events: append rows that exercise ordering ties and numeric domains
     # the generator never produces — two events of ONE user at the SAME
@@ -86,7 +111,7 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
             (900009, TIMESTAMP '2024-01-05 10:00:00.000000', 900004,
              'view',   10.0,  '{{"k": '),
             (900010, TIMESTAMP '2024-01-05 11:00:00.000000', 900004,
-             'view',   11.0,  'not json at all')
+             'view',   11.0,  'not json at all'){wave5_rows}
           ) v(event_id, ts, user_id, event_type, value, props)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
@@ -127,10 +152,12 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_BASE
-    only = sorted(set(sys.argv[2:]))
+    argv = [a for a in sys.argv[1:] if a != "--wave5"]
+    wave5 = "--wave5" in sys.argv[1:]
+    base = argv[0] if argv else DEFAULT_BASE
+    only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
-    build_corpus(out, base)
+    build_corpus(out, base, wave5=wave5)
     # reuse the driver-compare replica wholesale
     import subprocess
 
