@@ -445,8 +445,19 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable. At 100 TB you gap-fill per device/series — swap the
     partition key; the shape is identical.
     """
+    # Non-finite values degrade to NULL before the decimal-exact lift
+    # (fuzz wave 5): floor(inf*1e6) overflows DECIMAL(18,6) under ANSI
+    # mode — one corrupt row must not kill the fill. NULL semantics
+    # (SUM skips, COUNT(*) keeps the row) are already pinned by the
+    # wave-2 degenerate-events corpus, so the degradation target is
+    # well-defined on both engines.
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.when(
+            ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf"))),
+            F.col("value"),
+        ).alias("value"),
     )
     hourly = ev.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).alias("n"),
@@ -482,18 +493,23 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gapfill_locf_oracle() -> str:
     return f"""
-        WITH hourly AS (
+        WITH ev AS (
+          SELECT event_type, ts,
+                 CASE WHEN isfinite(value) THEN value END AS value
+          FROM events
+        ),
+        hourly AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
                  COUNT(*) AS n,
                  CAST(SUM({_VDEC_SQL}) AS DOUBLE) / COUNT(*) AS vmean
-          FROM events GROUP BY event_type, date_trunc('hour', ts)
+          FROM ev GROUP BY event_type, date_trunc('hour', ts)
         ),
         b AS (
           SELECT MIN(date_trunc('hour', ts)) AS lo,
                  MAX(date_trunc('hour', ts)) AS hi
-          FROM events
+          FROM ev
         ),
-        types AS (SELECT DISTINCT event_type FROM events),
+        types AS (SELECT DISTINCT event_type FROM ev),
         spine AS (
           SELECT event_type,
                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
@@ -1024,11 +1040,20 @@ def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distributed import grouped_running_sum
 
     # NULL values excluded from the rank domain on both sides — same
-    # engine null-ordering asymmetry as mad_outliers (fuzz_edge_docs r6)
+    # engine null-ordering asymmetry as mad_outliers (fuzz_edge_docs r6).
+    # Non-finite values too (fuzz wave 5): Spark's floor(inf*1e6)
+    # saturates to Long.MAX where DuckDB keeps inf, and one corrupt
+    # telemetry row must not shift every percentile rank — same
+    # "degrade to NULL, NULL leaves the measurable domain" contract as
+    # the finite-vector guard (similarity.finite_vectors).
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
-        .filter(F.col("value").isNotNull())
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs(F.col("value")) != F.lit(float("inf")))
+        )
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     targets = counts.select(
@@ -1059,7 +1084,7 @@ def tail_latency_percentiles_oracle() -> str:
     pcts = ", ".join(str(p) for p in TAIL_PCTS)
     return f"""
         WITH ev AS (SELECT event_type, event_id, value FROM events
-                    WHERE value IS NOT NULL),
+                    WHERE value IS NOT NULL AND isfinite(value)),
         counts AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
         targets AS (
           SELECT event_type, n, unnest([{pcts}]) AS pct FROM counts

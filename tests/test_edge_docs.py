@@ -99,3 +99,55 @@ def test_edge_corpus_oracle_parity(name, spark, edge_dir, edge_duck):
     assert_matches_oracle(
         e.queries()[name](spark, edge_dir), edge_duck, e.oracle_sql()[name]
     )
+
+
+# wave 5 (non-finite events.value) is an r7 lead item: 20 entries fail on
+# the --wave5 corpus; the two inside the r6 scored window are fixed now
+# (local finite-value domain guards) and pinned here against the wave-5
+# corpus. The other 18 rotate in r7 with the central _vdec contract.
+WAVE5_FIXED = ["tail_latency_percentiles", "gapfill_locf"]
+
+
+@pytest.fixture(scope="module")
+def wave5_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave5_corpus"))
+    _load_fuzz().build_corpus(out, wave5=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave5_duck(wave5_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave5_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE5_FIXED)
+def test_wave5_corpus_oracle_parity(name, spark, wave5_dir, wave5_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave5_dir), wave5_duck, e.oracle_sql()[name]
+    )
+
+
+def test_wave5_rows_stay_gated(tmp_path):
+    """The wave-5 non-finite events.value rows are an r7 lead item whose
+    fixes are deliberately deferred (SURVEY §7) — the default corpus must
+    NOT contain them (they would fail ~10 out-of-window entries), and the
+    --wave5 corpus must plant exactly the three NaN/+Inf/-Inf rows."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave5")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave5=True)
+    con = _duck.connect()
+    q = "SELECT count(*) FROM read_parquet('{}/events.parquet') WHERE NOT isfinite(value)"
+    assert con.sql(q.format(a)).fetchone()[0] == 0
+    assert con.sql(q.format(b)).fetchone()[0] == 3
