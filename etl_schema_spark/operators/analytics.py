@@ -445,17 +445,18 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable. At 100 TB you gap-fill per device/series — swap the
     partition key; the shape is identical.
     """
-    # Non-finite values degrade to NULL before the decimal-exact lift
-    # (fuzz wave 5): floor(inf*1e6) overflows DECIMAL(18,6) under ANSI
-    # mode — one corrupt row must not kill the fill. NULL semantics
-    # (SUM skips, COUNT(*) keeps the row) are already pinned by the
-    # wave-2 degenerate-events corpus, so the degradation target is
-    # well-defined on both engines.
+    # Non-finite and decimal-range-exceeding values degrade to NULL
+    # before the decimal-exact lift (fuzz wave 5): floor(v*1e6) overflows
+    # DECIMAL(18,6) under ANSI mode for inf AND for finite |v| >= 1e12 —
+    # one corrupt row must not kill the fill. NULL semantics (SUM skips,
+    # COUNT(*) keeps the row) are already pinned by the wave-2
+    # degenerate-events corpus, so the degradation target is well-defined
+    # on both engines.
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("hour", "ts").alias("hour"),
         F.when(
-            ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf"))),
+            ~F.isnan("value") & (F.abs(F.col("value")) < F.lit(1e12)),
             F.col("value"),
         ).alias("value"),
     )
@@ -495,7 +496,8 @@ def gapfill_locf_oracle() -> str:
     return f"""
         WITH ev AS (
           SELECT event_type, ts,
-                 CASE WHEN isfinite(value) THEN value END AS value
+                 CASE WHEN isfinite(value) AND abs(value) < 1e12
+                      THEN value END AS value
           FROM events
         ),
         hourly AS (
@@ -1041,18 +1043,21 @@ def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL values excluded from the rank domain on both sides — same
     # engine null-ordering asymmetry as mad_outliers (fuzz_edge_docs r6).
-    # Non-finite values too (fuzz wave 5): Spark's floor(inf*1e6)
-    # saturates to Long.MAX where DuckDB keeps inf, and one corrupt
-    # telemetry row must not shift every percentile rank — same
-    # "degrade to NULL, NULL leaves the measurable domain" contract as
-    # the finite-vector guard (similarity.finite_vectors).
+    # Non-finite and decimal-range-exceeding values too (fuzz wave 5):
+    # Spark's floor(v*1e6) is a LongType that SILENTLY saturates at
+    # Long.MAX (for inf and for finite |v| >= ~9.2e12) where DuckDB
+    # keeps the double, and one corrupt telemetry row must not shift
+    # every percentile rank — same "degrade to NULL, NULL leaves the
+    # measurable domain" contract as similarity.finite_vectors. The
+    # 1e12 bound is the DECIMAL(18,6) domain the module's exact-sum
+    # decomposition already assumes.
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
         .filter(
             F.col("value").isNotNull()
             & ~F.isnan("value")
-            & (F.abs(F.col("value")) != F.lit(float("inf")))
+            & (F.abs(F.col("value")) < F.lit(1e12))
         )
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -1084,7 +1089,8 @@ def tail_latency_percentiles_oracle() -> str:
     pcts = ", ".join(str(p) for p in TAIL_PCTS)
     return f"""
         WITH ev AS (SELECT event_type, event_id, value FROM events
-                    WHERE value IS NOT NULL AND isfinite(value)),
+                    WHERE value IS NOT NULL AND isfinite(value)
+                      AND abs(value) < 1e12),
         counts AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
         targets AS (
           SELECT event_type, n, unnest([{pcts}]) AS pct FROM counts

@@ -148,6 +148,9 @@ def test_wave5_rows_stay_gated(tmp_path):
     fuzz.build_corpus(a)
     fuzz.build_corpus(b, wave5=True)
     con = _duck.connect()
-    q = "SELECT count(*) FROM read_parquet('{}/events.parquet') WHERE NOT isfinite(value)"
+    q = (
+        "SELECT count(*) FROM read_parquet('{}/events.parquet') "
+        "WHERE NOT isfinite(value) OR abs(value) >= 1e12"
+    )
     assert con.sql(q.format(a)).fetchone()[0] == 0
-    assert con.sql(q.format(b)).fetchone()[0] == 3
+    assert con.sql(q.format(b)).fetchone()[0] == 4

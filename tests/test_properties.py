@@ -719,3 +719,153 @@ def test_scd2_matches_bruteforce_runs(spark, tmp_path_factory, rows):
         (v + 1, t, n, v == len(runs) - 1) for v, (t, n) in enumerate(runs)
     ]
     assert got == want, (seq, got, want)
+
+
+# --- wave-5 value-domain guards vs brute force ---------------------------
+#
+# tail_latency_percentiles and gapfill_locf bound their measurable domain
+# to finite |value| < 1e12 (the DECIMAL(18,6) exact-sum range): NULL, NaN,
+# +/-Inf, and decimal-range-exceeding finite values must leave the rank /
+# mean domain identically on both engines. Hypothesis drives corpora where
+# those corrupt rows land on every boundary (ties, single-row types,
+# all-corrupt hours).
+
+_VAL = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [float("nan"), float("inf"), float("-inf"), 9.9e12, -9.9e12, 1e300]
+    ),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+)
+
+tail_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=2), _VAL),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _in_domain(v) -> bool:
+    import math
+
+    return v is not None and math.isfinite(v) and abs(v) < 1e12
+
+
+def _trunc6_py(v: float) -> float:
+    import math
+
+    return math.floor(v * 1e6) / 1e6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=tail_strategy)
+def test_tail_percentiles_match_bruteforce_with_corrupt_values(
+    spark, tmp_path_factory, rows
+):
+    import datetime
+    import math
+
+    from etl_schema_spark.operators.analytics import (
+        TAIL_PCTS,
+        tail_latency_percentiles,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("tailp")
+    spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(minutes=i), 1, f"t{t}", v, None)
+            for i, (t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        (r.event_type, r.pct): (r.n, r.value_at_pct)
+        for r in tail_latency_percentiles(spark, str(d)).collect()
+    }
+
+    want = {}
+    for t in {t for t, _ in rows}:
+        dom = sorted(
+            (v, i) for i, (tt, v) in enumerate(rows) if tt == t and _in_domain(v)
+        )
+        n = len(dom)
+        if n == 0:
+            continue
+        for p in TAIL_PCTS:
+            target = math.ceil(p / 100.0 * n)
+            want[(f"t{t}", p)] = (n, _trunc6_py(dom[target - 1][0]))
+    assert got == want, (rows, got, want)
+
+
+gapfill_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),
+        st.integers(min_value=0, max_value=5),
+        _VAL,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=gapfill_strategy)
+def test_gapfill_locf_matches_bruteforce_with_corrupt_values(
+    spark, tmp_path_factory, rows
+):
+    import datetime
+    import math
+    from fractions import Fraction
+
+    from etl_schema_spark.operators.analytics import gapfill_locf
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("gapf")
+    spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(hours=h, minutes=i % 60), 1, f"t{t}", v, None)
+            for i, (t, h, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        (r.event_type, r.hour): (r.n_events, r.value_locf, r.is_gap)
+        for r in gapfill_locf(spark, str(d)).collect()
+    }
+
+    # brute force: degrade out-of-domain values to None, exact decimal
+    # mean per (type, hour) via Fraction, spine over the full observed
+    # hour range per type, LOCF of the last non-None mean
+    lo, hi = min(h for _, h, _ in rows), max(h for _, h, _ in rows)
+    want = {}
+    for t in {t for t, _, _ in rows}:
+        last = None
+        for h in range(lo, hi + 1):
+            grp = [v for tt, hh, v in rows if tt == t and hh == h]
+            hour = base + datetime.timedelta(hours=h)
+            if not grp:
+                want[(f"t{t}", hour)] = (0, _trunc6_py(last) if last is not None else None, True)
+                continue
+            dom = [v for v in grp if _in_domain(v)]
+            if dom:
+                sfrac = sum(Fraction(math.floor(v * 1e6), 10**6) for v in dom)
+                last = float(sfrac) / len(grp)
+            want[(f"t{t}", hour)] = (
+                len(grp),
+                _trunc6_py(last) if last is not None else None,
+                False,
+            )
+    assert got == want, (rows, got, want)

@@ -15,8 +15,11 @@ exist and reuses the exact driver compare.
 Usage: python tools/fuzz_edge_docs.py [base_sf_dir] [entry ...]
        python tools/fuzz_edge_docs.py --wave5 [base_sf_dir] [entry ...]
 
---wave5 additionally plants non-finite events.value rows (NaN / +Inf /
--Inf). This wave is EXPECTED TO FAIL until the r7 rotation lands the
+--wave5 additionally plants out-of-domain events.value rows (NaN / +Inf /
+-Inf, plus a finite 9.9e12 that exceeds the DECIMAL(18,6) exact-sum
+domain — Spark's floor(v*1e6) LongType silently saturates at Long.MAX
+where DuckDB keeps the double). This wave is EXPECTED TO FAIL until the
+r7 rotation lands the
 two-sided "non-finite value degrades to NULL" contract (SURVEY §7
 R7 LEAD ITEM): DuckDB's STDDEV/CORR hard-error on non-finite input
 where Spark degrades to NaN, and the decimal-exact value sums overflow
@@ -65,9 +68,11 @@ def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> Non
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
-    # fifth wave (r7 lead item, gated): non-finite metric values. A single
-    # NaN value crashes DuckDB's STDDEV/CORR outright and an Inf overflows
-    # Spark's ANSI decimal-exact value sums — the same one-corrupt-row-
+    # fifth wave (r7 lead item, gated): out-of-domain metric values. A
+    # single NaN value crashes DuckDB's STDDEV/CORR outright, an Inf
+    # overflows Spark's ANSI decimal-exact value sums, and a finite
+    # 9.9e12 makes Spark's floor(v*1e6) LongType silently saturate at
+    # Long.MAX where DuckDB keeps the double — the same one-corrupt-row-
     # kills-the-job class wave 4 closed for embeddings, unfixed for
     # events.value until the r7 rotation lands the two-sided contract.
     wave5_rows = (
@@ -77,7 +82,9 @@ def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> Non
             (900012, TIMESTAMP '2024-01-06 10:00:00.000000', 900005,
              'view',  'inf'::DOUBLE,  '{"k": 9}'),
             (900013, TIMESTAMP '2024-01-06 11:00:00.000000', 900005,
-             'click', '-inf'::DOUBLE, '{"k": 10}')"""
+             'click', '-inf'::DOUBLE, '{"k": 10}'),
+            (900014, TIMESTAMP '2024-01-06 12:00:00.000000', 900005,
+             'view',  9.9e12,         '{"k": 11}')"""
         if wave5
         else ""
     )
