@@ -451,14 +451,25 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corrupt row must not kill the fill. NULL semantics (SUM skips,
     # COUNT(*) keeps the row) are already pinned by the wave-2
     # degenerate-events corpus, so the degradation target is well-defined
-    # on both engines.
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hour"),
-        F.when(
-            ~F.isnan("value") & (F.abs(F.col("value")) < F.lit(1e12)),
-            F.col("value"),
-        ).alias("value"),
+    # on both engines. Rows with an implausible timestamp are EXCLUDED
+    # (not degraded): the spine is |types| x (max-min) hours, so one
+    # corrupt year-2150 row would inflate it by ~1.1M hours per type at
+    # ANY data scale — a min/max-bounded resample must bound its time
+    # domain or a single bad row owns the job.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+        )
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.when(
+                ~F.isnan("value") & (F.abs(F.col("value")) < F.lit(1e12)),
+                F.col("value"),
+            ).alias("value"),
+        )
     )
     hourly = ev.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).alias("n"),
@@ -499,6 +510,8 @@ def gapfill_locf_oracle() -> str:
                  CASE WHEN isfinite(value) AND abs(value) < 1e12
                       THEN value END AS value
           FROM events
+          WHERE ts >= TIMESTAMP '2000-01-01'
+            AND ts <  TIMESTAMP '2100-01-01'
         ),
         hourly AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,

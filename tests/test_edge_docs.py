@@ -137,10 +137,11 @@ def test_wave5_corpus_oracle_parity(name, spark, wave5_dir, wave5_duck):
 
 
 def test_wave5_rows_stay_gated(tmp_path):
-    """The wave-5 non-finite events.value rows are an r7 lead item whose
-    fixes are deliberately deferred (SURVEY §7) — the default corpus must
-    NOT contain them (they would fail ~10 out-of-window entries), and the
-    --wave5 corpus must plant exactly the three NaN/+Inf/-Inf rows."""
+    """The wave-5 out-of-domain events.value rows are an r7 lead item
+    whose fixes are deliberately deferred (SURVEY §7) — the default corpus
+    must NOT contain them (they would fail the 18 out-of-window entries),
+    and the --wave5 corpus must plant exactly the four rows: NaN, +Inf,
+    -Inf, and the finite 9.9e12 that exceeds the DECIMAL(18,6) domain."""
     import duckdb as _duck
 
     fuzz = _load_fuzz()
@@ -154,3 +155,37 @@ def test_wave5_rows_stay_gated(tmp_path):
     )
     assert con.sql(q.format(a)).fetchone()[0] == 0
     assert con.sql(q.format(b)).fetchone()[0] == 4
+
+
+def test_gapfill_spine_bounded_against_timestamp_outlier(spark, tmp_path):
+    """One corrupt year-2150 timestamp must not inflate gapfill_locf's
+    |types| x hours spine by ~1.1M hours per type (the min/max-bounded
+    resample availability hazard) — the plausible-ts domain excludes it
+    on BOTH engines, and oracle parity holds on the doctored corpus."""
+    import datetime
+
+    import duckdb as _duck
+
+    import __spark_entry__ as e
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i), 1, "click", float(i), None)
+        for i in range(6)
+    ] + [(99, datetime.datetime(2150, 6, 1), 1, "click", 1.0, None)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = e.queries()["gapfill_locf"](spark, d)
+    assert out.count() == 6  # 2024 hours only — the 2150 row is excluded
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{d}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(out, con, e.oracle_sql()["gapfill_locf"])
