@@ -73,7 +73,13 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches in, Arrow batches out; the payload column is consumed
     executor-side and only the (narrow) feature columns survive.
     """
-    frame = binary_payloads(spark, sf_dir)
+    # NULL payloads are excluded from the decode domain (edge fuzz wave
+    # 6): one corrupt ingestion row (NULL media bytes) must not kill a
+    # 100 TB decode job inside the Arrow worker — the binary twin of the
+    # finite-vector guard. Local filter here (not in binary_payloads)
+    # because out-of-window codec entries share that loader until the r7
+    # rotation.
+    frame = binary_payloads(spark, sf_dir).filter(F.col("payload").isNotNull())
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,7 +124,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode end-to-end). Payload bytes stay executor-side; only the narrow
     frame rows shuffle onward.
     """
-    frame = binary_payloads(spark, sf_dir).select("doc_id", "payload")
+    # NULL payloads excluded — same wave-6 decode-domain contract as
+    # multimodal_meta
+    frame = (
+        binary_payloads(spark, sf_dir)
+        .filter(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+    )
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,7 +159,7 @@ def multimodal_frame_sample_oracle() -> str:
           SELECT d.doc_id, CAST(p.i AS INT) AS frame_idx,
                  substr(d.text, CAST(p.i * {FRAME_BYTES} + 1 AS INT),
                         {FRAME_BYTES}) AS frame
-          FROM documents d,
+          FROM (SELECT * FROM documents WHERE text IS NOT NULL) d,
           LATERAL (SELECT unnest(range(0,
                      CAST(ceil(strlen(d.text) / {FRAME_BYTES}.0) AS BIGINT)))
                    AS i) p
@@ -172,7 +184,7 @@ def multimodal_meta_oracle() -> str:
                CAST(CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS INT) AS f1,
                CAST(CASE WHEN length(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS INT) AS f2,
                CAST(CASE WHEN length(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS INT) AS f3
-        FROM documents ORDER BY doc_id
+        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """
 
 
@@ -216,7 +228,13 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
 
-    frame = binary_payloads(spark, sf_dir).select("doc_id", "payload")
+    # NULL payloads excluded — same wave-6 decode-domain contract as
+    # multimodal_meta
+    frame = (
+        binary_payloads(spark, sf_dir)
+        .filter(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+    )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -382,6 +400,7 @@ def multimodal_resize_oracle() -> str:
                        for i in range(0, {t})], ''))
                     ELSE md5('') END AS thumb_md5
         FROM documents
+        WHERE text IS NOT NULL
         ORDER BY doc_id
     """
 

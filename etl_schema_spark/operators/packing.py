@@ -128,8 +128,15 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow per-row explode, no shuffle; chunk construction is
     slice/concat_ws inside whole-stage codegen.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", r"\s+").alias("toks")
+    # NULL-text docs are excluded from the chunk domain (edge fuzz wave
+    # 6): Spark's split(NULL) -> NULL tokens still emits one all-NULL
+    # chunk row (greatest(NULL-1, 0) = 0) where DuckDB's
+    # generate_series(0, NULL) emits none — and a NULL payload has no
+    # chunks to index anyway. isNotNull pushes to the parquet scan.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", r"\s+").alias("toks"))
     )
     n = F.size("toks")
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
@@ -152,7 +159,7 @@ def doc_chunks_oracle() -> str:
     return rf"""
         WITH d AS (
           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id,
                CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
@@ -202,7 +209,7 @@ def chunk_dedup_oracle() -> str:
     return rf"""
         WITH d AS (
           SELECT doc_id, string_split_regex(text, '\s+') AS toks
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         ), chunks AS (
           SELECT doc_id,
                  md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' '))

@@ -136,6 +136,72 @@ def test_wave5_corpus_oracle_parity(name, spark, wave5_dir, wave5_duck):
     )
 
 
+# wave 6 (NULL-key / NULL-payload rows): the five in-window document
+# consumers are fixed (NULL text/payload excluded from the chunk/decode
+# domain on both sides) and pinned here; 10 out-of-window entries stay
+# r7 scope (SURVEY §7).
+WAVE6_FIXED = [
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "doc_chunks",
+    "chunk_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def wave6_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave6_corpus"))
+    _load_fuzz().build_corpus(out, wave6=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave6_duck(wave6_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave6_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE6_FIXED)
+def test_wave6_corpus_oracle_parity(name, spark, wave6_dir, wave6_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave6_dir), wave6_duck, e.oracle_sql()[name]
+    )
+
+
+def test_wave6_rows_stay_gated(tmp_path):
+    """The wave-6 NULL-key rows would fail 10 out-of-window entries —
+    the default corpus must not contain them; --wave6 plants exactly the
+    three NULL-field docs and two NULL-key events."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave6")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave6=True)
+    con = _duck.connect()
+    qd = (
+        "SELECT count(*) FROM read_parquet('{}/documents.parquet') "
+        "WHERE text IS NULL OR lang IS NULL OR source IS NULL"
+    )
+    qe = (
+        "SELECT count(*) FROM read_parquet('{}/events.parquet') "
+        "WHERE user_id IS NULL OR event_type IS NULL"
+    )
+    assert con.sql(qd.format(a)).fetchone()[0] == 0
+    assert con.sql(qe.format(a)).fetchone()[0] == 0
+    assert con.sql(qd.format(b)).fetchone()[0] == 3
+    assert con.sql(qe.format(b)).fetchone()[0] == 2
+
+
 def test_wave5_rows_stay_gated(tmp_path):
     """The wave-5 out-of-domain events.value rows are an r7 lead item
     whose fixes are deliberately deferred (SURVEY §7) — the default corpus

@@ -25,6 +25,16 @@ R7 LEAD ITEM): DuckDB's STDDEV/CORR hard-error on non-finite input
 where Spark degrades to NaN, and the decimal-exact value sums overflow
 under Spark ANSI mode on Inf. The flag exists so r7 starts from a
 pinned failing-entry list instead of rediscovering it.
+
+--wave6 additionally plants NULL-key/NULL-payload rows: a NULL-text
+document (NULL media payload), NULL lang / NULL source docs, a
+NULL-user_id event, and a NULL-event_type event. The five in-window
+document consumers (multimodal_meta/frame_sample/resize, doc_chunks,
+chunk_dedup) are fixed and pinned; 10 out-of-window entries still fail
+(Spark split(NULL) emits a phantom all-NULL chunk row where DuckDB's
+generate_series(0, NULL) emits none; single-member NULL-key groups
+crash ANSI slope/corr with DIVIDE_BY_ZERO; NULL-user rows shift
+distinct-user counts) — r7 scope, enumerated in SURVEY §7.
 """
 
 from __future__ import annotations
@@ -41,7 +51,9 @@ DEFAULT_BASE = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> None:
+def build_corpus(
+    out: str, base: str = DEFAULT_BASE, wave5: bool = False, wave6: bool = False
+) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -49,6 +61,26 @@ def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> Non
         if t not in ("documents", "embeddings", "events"):
             shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con = duckdb.connect()
+    # sixth wave (r7 scope, gated): NULL-key / NULL-payload ingestion
+    # faults — a NULL-text doc (= NULL media payload), NULL lang/source,
+    # a NULL-user event, a NULL-type event
+    wave6_doc_rows = (
+        """,
+            (910001, NULL, 'en', 'edge', 0),
+            (910002, 'null lang doc text here', NULL, 'edge', 23),
+            (910003, 'null source doc text here', 'en', NULL, 25)"""
+        if wave6
+        else ""
+    )
+    wave6_event_rows = (
+        """,
+            (910001, TIMESTAMP '2024-01-07 10:00:00.000000', NULL,
+             'click',  5.0,  '{"k": 12}'),
+            (910002, TIMESTAMP '2024-01-07 11:00:00.000000', 900006,
+             NULL,    6.0,  '{"k": 13}')"""
+        if wave6
+        else ""
+    )
     # documents: append degenerate rows with fresh ids
     con.sql(
         f"""
@@ -63,7 +95,7 @@ def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> Non
             (900005, repeat('z', 500), 'en', 'edge', 500),
             (900006, 'ascii only here: every oracle-side byte assumption '
                      || 'holds; parity for multibyte text is a documented '
-                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140)
+                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140){wave6_doc_rows}
           ) v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
@@ -118,7 +150,7 @@ def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> Non
             (900009, TIMESTAMP '2024-01-05 10:00:00.000000', 900004,
              'view',   10.0,  '{{"k": '),
             (900010, TIMESTAMP '2024-01-05 11:00:00.000000', 900004,
-             'view',   11.0,  'not json at all'){wave5_rows}
+             'view',   11.0,  'not json at all'){wave5_rows}{wave6_event_rows}
           ) v(event_id, ts, user_id, event_type, value, props)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
@@ -159,12 +191,13 @@ def build_corpus(out: str, base: str = DEFAULT_BASE, wave5: bool = False) -> Non
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--wave5"]
+    argv = [a for a in sys.argv[1:] if a not in ("--wave5", "--wave6")]
     wave5 = "--wave5" in sys.argv[1:]
+    wave6 = "--wave6" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
-    build_corpus(out, base, wave5=wave5)
+    build_corpus(out, base, wave5=wave5, wave6=wave6)
     # reuse the driver-compare replica wholesale
     import subprocess
 
