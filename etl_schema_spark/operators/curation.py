@@ -247,15 +247,18 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gopher_quality_flags_oracle() -> str:
+    # length() (characters), NOT strlen() (bytes): the Spark side counts
+    # characters (F.length), and the two only agree on ASCII — a 'café'
+    # word is 4 chars but 5 bytes (edge fuzz wave 7, multibyte corpus)
     words = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
     mean_wl = (
         f"CASE WHEN len({words}) > 0 THEN "
-        f"list_sum([CAST(strlen(w) AS DOUBLE) for w in {words}]) / len({words}) "
+        f"list_sum([CAST(length(w) AS DOUBLE) for w in {words}]) / len({words}) "
         f"ELSE 0.0 END"
     )
-    n_symbol = "strlen(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    n_symbol = "length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
     symbol_ratio = (
-        f"CASE WHEN strlen(text) > 0 THEN {n_symbol} * 1.0 / strlen(text) ELSE 0.0 END"
+        f"CASE WHEN length(text) > 0 THEN {n_symbol} * 1.0 / length(text) ELSE 0.0 END"
     )
     stops = ", ".join(f"'{s}'" for s in _STOPS)
     stop_hits = f"len(list_filter({words}, w -> w IN ({stops})))"

@@ -148,25 +148,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.mapInPandas(sample_batches, FRAME_SCHEMA)
 
 
+def _hexbyte_sql(h: str, pos: str) -> str:
+    """DuckDB expression for the UTF-8 *byte* value whose first hex digit
+    sits at 1-based position ``pos`` of uppercase hex-string column ``h``.
+
+    DuckDB 1.0 has no BLOB slicing and no md5(BLOB), so byte-level oracle
+    math goes through hex(encode(text)): byte i = hex pair at 2i+1. This is
+    what makes the payload oracles byte-true on MULTIBYTE text (edge fuzz
+    wave 7) — ascii(substr(text, ...)) indexes characters and returns
+    codepoints, which only equal bytes on ASCII."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr({h}, {pos}, 1)) - 1) * 16 "
+        f"+ strpos('0123456789ABCDEF', substr({h}, ({pos}) + 1, 1)) - 1)"
+    )
+
+
 def multimodal_frame_sample_oracle() -> str:
-    # substr-range chunking, byte-true for 1-byte/char text: the previous
-    # regexp '.{1,16}' version silently SKIPPED newlines/control chars ('.'
-    # does not match \n), shifting every later frame for any doc containing
-    # one (found by tools/fuzz_edge_docs.py). ASCII payloads assumed, as in
-    # multimodal_meta.
+    # byte-true chunking over hex(encode(text)): frame boundaries fall on
+    # UTF-8 *bytes* exactly like the Spark side's payload slicing. Two
+    # prior oracle generations were subtly wrong here: regexp '.{1,16}'
+    # skipped newlines, and substr-range chunking indexed characters —
+    # exact on ASCII, shifted on any multibyte doc (edge fuzz wave 7).
+    fb = _hexbyte_sql("d.h", f"p.i * {FRAME_BYTES} * 2 + 1")
     return f"""
-        WITH frames AS (
+        WITH hx AS (
+          SELECT doc_id, strlen(text) AS byte_len, hex(encode(text)) AS h
+          FROM documents WHERE text IS NOT NULL
+        ),
+        frames AS (
           SELECT d.doc_id, CAST(p.i AS INT) AS frame_idx,
-                 substr(d.text, CAST(p.i * {FRAME_BYTES} + 1 AS INT),
-                        {FRAME_BYTES}) AS frame
-          FROM (SELECT * FROM documents WHERE text IS NOT NULL) d,
+                 CAST(least({FRAME_BYTES}, d.byte_len - p.i * {FRAME_BYTES})
+                      AS INT) AS frame_len,
+                 CAST({fb} AS INT) AS first_byte
+          FROM hx d,
           LATERAL (SELECT unnest(range(0,
-                     CAST(ceil(strlen(d.text) / {FRAME_BYTES}.0) AS BIGINT)))
+                     CAST(ceil(d.byte_len / {FRAME_BYTES}.0) AS BIGINT)))
                    AS i) p
         )
-        SELECT doc_id, frame_idx,
-               CAST(length(frame) AS INT) AS frame_len,
-               CAST(ascii(substr(frame, 1, 1)) AS INT) AS first_byte
+        SELECT doc_id, frame_idx, frame_len, first_byte
         FROM frames
         WHERE frame_idx % {FRAME_STRIDE} = 0
         ORDER BY doc_id, frame_idx
@@ -174,17 +193,23 @@ def multimodal_frame_sample_oracle() -> str:
 
 
 def multimodal_meta_oracle() -> str:
-    # the fake decoder reads the first 4 UTF-8 bytes; documents are ASCII so
-    # ascii(substr(...)) reproduces it (0-padded under length 4)
-    return """
+    # the fake decoder reads the first 4 UTF-8 BYTES (0-padded under
+    # length 4); hex-pair math reproduces them exactly on any text —
+    # the previous ascii(substr(...)) form returned *codepoints* of the
+    # first 4 *characters*, equal only on ASCII (edge fuzz wave 7)
+    bytes_sql = ",\n               ".join(
+        f"CAST(CASE WHEN byte_len >= {i + 1} THEN "
+        f"{_hexbyte_sql('h', 2 * i + 1)} ELSE 0 END AS INT) AS f{i}"
+        for i in range(4)
+    )
+    return f"""
         SELECT doc_id,
-               strlen(text) AS byte_len,
+               byte_len,
                'text/plain' AS mime,
-               CAST(CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS INT) AS f0,
-               CAST(CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS INT) AS f1,
-               CAST(CASE WHEN length(text) >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS INT) AS f2,
-               CAST(CASE WHEN length(text) >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS INT) AS f3
-        FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+               {bytes_sql}
+        FROM (SELECT doc_id, strlen(text) AS byte_len, hex(encode(text)) AS h
+              FROM documents WHERE text IS NOT NULL)
+        ORDER BY doc_id
     """
 
 
@@ -229,10 +254,19 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     # NULL payloads excluded — same wave-6 decode-domain contract as
-    # multimodal_meta
+    # multimodal_meta. The stand-in domain is additionally ASCII-only
+    # (byte length == char length, both sides): the thumbnail samples
+    # payload bytes at indices that can land MID-CHARACTER on multibyte
+    # text, and DuckDB 1.0 cannot md5 a BLOB, so the fingerprint oracle
+    # is only VARCHAR-expressible on ASCII (edge fuzz wave 7). The
+    # byte-true plumbing itself is proven by multimodal_meta /
+    # multimodal_frame_sample, whose hex-math oracles keep multibyte
+    # payloads in-domain; on a real image corpus the payload column
+    # never round-trips through VARCHAR at all.
     frame = (
         binary_payloads(spark, sf_dir)
         .filter(F.col("payload").isNotNull())
+        .filter(F.length("payload") == F.length(F.decode(F.col("payload"), "UTF-8")))
         .select("doc_id", "payload")
     )
 
@@ -285,8 +319,14 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.codecs import decode_ppm, encode_ppm, resize_ppm_nn
 
+    # ASCII-only stand-in domain, same rationale as multimodal_resize:
+    # pixels sample payload bytes cyclically (mid-character on multibyte
+    # text) and the md5 thumbnail digest is only VARCHAR-expressible on
+    # ASCII in DuckDB 1.0 (edge fuzz wave 7)
     docs = binary_payloads(spark, sf_dir).select("doc_id", "payload").filter(
-        F.col("payload").isNotNull() & (F.length("payload") > 0)
+        F.col("payload").isNotNull()
+        & (F.length("payload") > 0)
+        & (F.length("payload") == F.length(F.decode(F.col("payload"), "UTF-8")))
     )
 
     def ppm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -327,7 +367,7 @@ def multimodal_decode_ppm_oracle() -> str:
                  [substr(text, CAST({src} % strlen(text) AS INT) + 1, 1)
                   for i in range(0, {total})], '')) AS thumb_md5
         FROM documents
-        WHERE strlen(text) > 0
+        WHERE strlen(text) > 0 AND strlen(text) = length(text)
         ORDER BY doc_id
     """
 
@@ -382,7 +422,8 @@ def multimodal_bmp_meta_oracle() -> str:
 
 
 def multimodal_resize_oracle() -> str:
-    # ASCII payloads: char-at-index reproduces byte-at-index; the list
+    # ASCII-only domain (strlen = length, matching the Spark-side filter):
+    # char-at-index then reproduces byte-at-index, so the list
     # comprehension mirrors floor(i * n / target) nearest-neighbor indexing
     t = RESIZE_TARGET
     # zero-byte payloads produce an EMPTY thumbnail row (thumb_len 0,
@@ -400,7 +441,7 @@ def multimodal_resize_oracle() -> str:
                        for i in range(0, {t})], ''))
                     ELSE md5('') END AS thumb_md5
         FROM documents
-        WHERE text IS NOT NULL
+        WHERE text IS NOT NULL AND strlen(text) = length(text)
         ORDER BY doc_id
     """
 

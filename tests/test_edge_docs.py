@@ -177,6 +177,72 @@ def test_wave6_corpus_oracle_parity(name, spark, wave6_dir, wave6_duck):
     )
 
 
+# wave 7 (multibyte text): bytes-vs-characters divergence — Spark
+# F.length counts characters where DuckDB strlen counts bytes, and the
+# multimodal stand-ins index UTF-8 *bytes* on the Spark side where
+# char-indexed oracles only agree on ASCII. Five in-window entries are
+# fixed (char-true curation oracle, byte-true hex-math oracles for
+# meta/frame_sample, ASCII-only stand-in domain for the md5-fingerprint
+# pair) and pinned here; 5 out-of-window entries stay r7 scope
+# (SURVEY §7).
+WAVE7_FIXED = [
+    "gopher_quality_flags",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_decode_ppm",
+]
+
+
+@pytest.fixture(scope="module")
+def wave7_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave7_corpus"))
+    _load_fuzz().build_corpus(out, wave7=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave7_duck(wave7_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave7_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE7_FIXED)
+def test_wave7_corpus_oracle_parity(name, spark, wave7_dir, wave7_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave7_dir), wave7_duck, e.oracle_sql()[name]
+    )
+
+
+def test_wave7_rows_stay_gated(tmp_path):
+    """The wave-7 multibyte docs would fail 5 out-of-window entries
+    (wav_energy/audio_vad crash in struct.pack on bytes >= 0x80;
+    editdistance's DuckDB levenshtein counts bytes; image_ahash pixels and
+    source_quality_profile's strlen are byte-indexed) — the default corpus
+    must stay ASCII; --wave7 plants exactly the five multibyte docs."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave7")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave7=True)
+    con = _duck.connect()
+    q = (
+        "SELECT count(*) FROM read_parquet('{}/documents.parquet') "
+        "WHERE strlen(text) <> length(text)"
+    )
+    assert con.sql(q.format(a)).fetchone()[0] == 0
+    assert con.sql(q.format(b)).fetchone()[0] == 5
+
+
 def test_wave6_rows_stay_gated(tmp_path):
     """The wave-6 NULL-key rows would fail 10 out-of-window entries —
     the default corpus must not contain them; --wave6 plants exactly the

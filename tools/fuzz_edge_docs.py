@@ -35,6 +35,15 @@ chunk_dedup) are fixed and pinned; 10 out-of-window entries still fail
 generate_series(0, NULL) emits none; single-member NULL-key groups
 crash ANSI slope/corr with DIVIDE_BY_ZERO; NULL-user rows shift
 distinct-user counts) — r7 scope, enumerated in SURVEY §7.
+
+--wave7 additionally plants MULTIBYTE documents (2-byte Latin
+accents, 3-byte CJK without spaces, 4-byte emoji, a single multibyte
+char). The divergence class is bytes-vs-characters: Spark `F.length`
+counts characters while DuckDB `strlen` counts bytes, and the
+multimodal stand-ins index the UTF-8 *byte* payload on the Spark side
+but `substr`/`ascii` *characters* on the oracle side (exact only on
+ASCII). In-window fixes are pinned by tests; remaining failures are
+r7 scope, enumerated in SURVEY §7.
 """
 
 from __future__ import annotations
@@ -52,7 +61,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def build_corpus(
-    out: str, base: str = DEFAULT_BASE, wave5: bool = False, wave6: bool = False
+    out: str,
+    base: str = DEFAULT_BASE,
+    wave5: bool = False,
+    wave6: bool = False,
+    wave7: bool = False,
 ) -> None:
     import duckdb
 
@@ -81,13 +94,33 @@ def build_corpus(
         if wave6
         else ""
     )
-    # documents: append degenerate rows with fresh ids
+    # seventh wave (gated): multibyte text — 2-byte Latin accents,
+    # 3-byte CJK with no ASCII spaces, 4-byte emoji, one lone multibyte
+    # char. strlen (bytes) != length (chars) on every one of these rows,
+    # and UTF-8 byte indexing != character indexing.
+    wave7_doc_rows = (
+        """,
+            (920001, 'café résumé naïve déjà vu coöperate', 'fr', 'edge', 0),
+            (920002, '你好世界数据处理引擎测试文档', 'zh', 'edge', 0),
+            (920003, 'data 🚀 pipeline 🔥 works with emoji payloads',
+             'en', 'edge', 0),
+            (920004, 'the café is über wide and the naïve test of the data señor',
+             'en', 'edge', 0),
+            (920005, 'é', 'fr', 'edge', 0)"""
+        if wave7
+        else ""
+    )
+    # documents: append degenerate rows with fresh ids (n_chars recomputed
+    # below so multibyte rows carry the true character count)
     con.sql(
         f"""
         COPY (
           SELECT * FROM read_parquet('{base}/documents.parquet')
           UNION ALL
-          SELECT * FROM (VALUES
+          SELECT doc_id, text, lang, source,
+                 CASE WHEN doc_id >= 920000 THEN length(text) ELSE n_chars END
+                   AS n_chars
+          FROM (VALUES
             (900001, '',          'en', 'edge', 0),
             (900002, '   ',       'en', 'edge', 3),
             (900003, CHR(10)||CHR(9)||' ', 'en', 'edge', 3),
@@ -95,7 +128,7 @@ def build_corpus(
             (900005, repeat('z', 500), 'en', 'edge', 500),
             (900006, 'ascii only here: every oracle-side byte assumption '
                      || 'holds; parity for multibyte text is a documented '
-                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140){wave6_doc_rows}
+                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140){wave6_doc_rows}{wave7_doc_rows}
           ) v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
@@ -191,13 +224,14 @@ def build_corpus(
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--wave5", "--wave6")]
+    argv = [a for a in sys.argv[1:] if a not in ("--wave5", "--wave6", "--wave7")]
     wave5 = "--wave5" in sys.argv[1:]
     wave6 = "--wave6" in sys.argv[1:]
+    wave7 = "--wave7" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
-    build_corpus(out, base, wave5=wave5, wave6=wave6)
+    build_corpus(out, base, wave5=wave5, wave6=wave6, wave7=wave7)
     # reuse the driver-compare replica wholesale
     import subprocess
 
