@@ -243,6 +243,27 @@ def test_wave7_rows_stay_gated(tmp_path):
     assert con.sql(q.format(b)).fetchone()[0] == 5
 
 
+def test_wave8_rows_stay_gated(tmp_path):
+    """Wave-8 case-folding codepoints (İ, Σ/ς, ß/ẞ, ﬁ) diverge in 9
+    lower()-consuming entries because Spark full-maps where DuckDB
+    simple-maps — a documented oracle-expressibility limit, not a
+    hazard (SURVEY §7). The always-on corpus must stay free of them;
+    --wave8 plants exactly the three probe docs."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave8")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave8=True)
+    con = _duck.connect()
+    q = (
+        "SELECT count(*) FROM read_parquet('{}/documents.parquet') "
+        "WHERE regexp_matches(text, '[İΣςßẞﬁ]')"
+    )
+    assert con.sql(q.format(a)).fetchone()[0] == 0
+    assert con.sql(q.format(b)).fetchone()[0] == 3
+
+
 def test_wave6_rows_stay_gated(tmp_path):
     """The wave-6 NULL-key rows would fail 10 out-of-window entries —
     the default corpus must not contain them; --wave6 plants exactly the

@@ -869,3 +869,77 @@ def test_gapfill_locf_matches_bruteforce_with_corrupt_values(
                 False,
             )
     assert got == want, (rows, got, want)
+
+
+# ---------------------------------------------------------------------------
+# wave-7 oracle math: byte-true hex extraction and char-true word stats
+# ---------------------------------------------------------------------------
+
+# non-ASCII-heavy alphabet, pre-lowered and caseless so the property
+# isolates the bytes-vs-characters semantics (case folding is wave-8's
+# separately-documented divergence, excluded here by construction)
+_W7_ALPHABET = "abcz0189 éüñß你好引擎🚀🔥\t\n"
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    text=st.text(alphabet=_W7_ALPHABET, min_size=1, max_size=40),
+    idx=st.integers(min_value=0, max_value=39),
+)
+def test_hexbyte_oracle_math_matches_python_bytes(text, idx):
+    """_hexbyte_sql (the DuckDB byte-extraction used by the
+    multimodal_meta / frame_sample oracles) must return exactly
+    text.encode('utf-8')[i] for ANY unicode text — the property that
+    makes those oracles byte-true on multibyte payloads."""
+    import duckdb
+
+    from etl_schema_spark.operators.multimodal import _hexbyte_sql
+
+    raw = text.encode("utf-8")
+    i = idx % len(raw)
+    expr = _hexbyte_sql("h", str(2 * i + 1))
+    got = (
+        duckdb.connect()
+        .execute(f"SELECT {expr} FROM (SELECT hex(encode(?)) AS h)", [text])
+        .fetchone()[0]
+    )
+    assert got == raw[i], (text, i, raw[i], got)
+
+
+@settings(max_examples=80, deadline=None)
+@given(text=st.text(alphabet=_W7_ALPHABET, min_size=0, max_size=60))
+def test_gopher_oracle_counts_characters_not_bytes(text):
+    """The gopher oracle's mean word length and symbol ratio must count
+    CHARACTERS (matching Spark F.length), never UTF-8 bytes — pinned
+    against a python-exact twin over a multibyte alphabet."""
+    import math
+    import re
+
+    import duckdb
+
+    words = [w for w in re.split(r"\s+", text) if w != ""]
+    mean_wl = (sum(len(w) for w in words) / len(words)) if words else 0.0
+    n_sym = len(re.sub(r"[a-z0-9\s]", "", text))
+    sym_ratio = (n_sym / len(text)) if len(text) > 0 else 0.0
+
+    words_sql = "list_filter(string_split_regex(t, '\\s+'), w -> w <> '')"
+    got_wl, got_sr = (
+        duckdb.connect()
+        .execute(
+            f"""
+            SELECT CASE WHEN len({words_sql}) > 0 THEN
+                     list_sum([CAST(length(w) AS DOUBLE) for w in {words_sql}])
+                       / len({words_sql})
+                   ELSE 0.0 END,
+                   CASE WHEN length(t) > 0 THEN
+                     length(regexp_replace(t, '[a-z0-9\\s]', '', 'g')) * 1.0
+                       / length(t)
+                   ELSE 0.0 END
+            FROM (SELECT ? AS t)
+            """,
+            [text],
+        )
+        .fetchone()
+    )
+    assert math.isclose(got_wl, mean_wl, rel_tol=0, abs_tol=1e-12), (text, got_wl, mean_wl)
+    assert math.isclose(got_sr, sym_ratio, rel_tol=0, abs_tol=1e-12), (text, got_sr, sym_ratio)

@@ -44,6 +44,18 @@ multimodal stand-ins index the UTF-8 *byte* payload on the Spark side
 but `substr`/`ascii` *characters* on the oracle side (exact only on
 ASCII). In-window fixes are pinned by tests; remaining failures are
 r7 scope, enumerated in SURVEY §7.
+
+--wave8 additionally plants CASE-FOLDING documents: Turkish dotted
+capital İ (U+0130), Greek word-final sigma, and the ß / ﬁ ligature
+pair. The divergence class is full-vs-simple Unicode case mapping:
+Spark's lower() applies the FULL mapping (lower('İ') = 'i'+U+0307,
+two codepoints; 'ΑΣ' -> 'ας' via the final-sigma context rule;
+upper('ß') = 'SS') where DuckDB applies the SIMPLE per-codepoint
+mapping ('i', 'ασ', 'ẞ'). No crash hazard on either side — a pure
+normalization divergence in lower()-consuming text entries. Measured
+and documented in SURVEY §7; no fixes planned (Spark's full mapping
+is the correct production behavior; the affected codepoints are
+excluded from the always-on fuzz domains instead).
 """
 
 from __future__ import annotations
@@ -66,6 +78,7 @@ def build_corpus(
     wave5: bool = False,
     wave6: bool = False,
     wave7: bool = False,
+    wave8: bool = False,
 ) -> None:
     import duckdb
 
@@ -110,6 +123,17 @@ def build_corpus(
         if wave7
         else ""
     )
+    # eighth wave (gated, enumeration-only): full-vs-simple Unicode case
+    # mapping — Spark lower() full-maps (İ -> i+U+0307, final-sigma,
+    # upper(ß) = SS) where DuckDB simple-maps per codepoint
+    wave8_doc_rows = (
+        """,
+            (930001, 'İstanbul VE İZMİR data', 'tr', 'edge', 0),
+            (930002, 'ΑΣ ΛΟΓΟΣ κείμενο ΤΕΛΟΣ', 'el', 'edge', 0),
+            (930003, 'straße GROSS ß ẞ ﬁnal ﬁt', 'de', 'edge', 0)"""
+        if wave8
+        else ""
+    )
     # documents: append degenerate rows with fresh ids (n_chars recomputed
     # below so multibyte rows carry the true character count)
     con.sql(
@@ -128,7 +152,7 @@ def build_corpus(
             (900005, repeat('z', 500), 'en', 'edge', 500),
             (900006, 'ascii only here: every oracle-side byte assumption '
                      || 'holds; parity for multibyte text is a documented '
-                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140){wave6_doc_rows}{wave7_doc_rows}
+                     || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140){wave6_doc_rows}{wave7_doc_rows}{wave8_doc_rows}
           ) v(doc_id, text, lang, source, n_chars)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
@@ -224,14 +248,18 @@ def build_corpus(
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--wave5", "--wave6", "--wave7")]
+    argv = [
+        a for a in sys.argv[1:]
+        if a not in ("--wave5", "--wave6", "--wave7", "--wave8")
+    ]
     wave5 = "--wave5" in sys.argv[1:]
     wave6 = "--wave6" in sys.argv[1:]
     wave7 = "--wave7" in sys.argv[1:]
+    wave8 = "--wave8" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
-    build_corpus(out, base, wave5=wave5, wave6=wave6, wave7=wave7)
+    build_corpus(out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8)
     # reuse the driver-compare replica wholesale
     import subprocess
 
