@@ -264,6 +264,32 @@ def test_wave8_rows_stay_gated(tmp_path):
     assert con.sql(q.format(b)).fetchone()[0] == 3
 
 
+def test_wave9_rows_stay_gated(tmp_path):
+    """Wave-9 duplicate-key replays expose 12 entries whose per-key
+    constructs assume primary-key uniqueness — a documented ingest
+    precondition (SURVEY §7), not a fixed class. The always-on corpus
+    must keep unique keys; --wave9 plants exactly 2 duplicate doc_ids,
+    2 duplicate event_ids, and 1 duplicate vec_id."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave9")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave9=True)
+    con = _duck.connect()
+    q = (
+        "SELECT count(*) - count(DISTINCT {key}) "
+        "FROM read_parquet('{d}/{t}.parquet')"
+    )
+    for t, key, extra in (
+        ("documents", "doc_id", 2),
+        ("events", "event_id", 2),
+        ("embeddings", "vec_id", 1),
+    ):
+        assert con.sql(q.format(d=a, t=t, key=key)).fetchone()[0] == 0
+        assert con.sql(q.format(d=b, t=t, key=key)).fetchone()[0] == extra
+
+
 def test_wave6_rows_stay_gated(tmp_path):
     """The wave-6 NULL-key rows would fail 10 out-of-window entries —
     the default corpus must not contain them; --wave6 plants exactly the

@@ -56,6 +56,13 @@ normalization divergence in lower()-consuming text entries. Measured
 and documented in SURVEY §7; no fixes planned (Spark's full mapping
 is the correct production behavior; the affected codepoints are
 excluded from the always-on fuzz domains instead).
+
+--wave9 additionally REPLAYS existing keys (at-least-once ingestion):
+one exact duplicate row each in documents/events/embeddings, plus a
+CONFLICTING replay (same doc_id/event_id, different payload/value).
+Both engines see the same duplicated data, so a deterministic query
+still hash-matches; failures expose tie-breaks or uniqueness
+assumptions that turn nondeterministic under duplicate keys.
 """
 
 from __future__ import annotations
@@ -79,6 +86,7 @@ def build_corpus(
     wave6: bool = False,
     wave7: bool = False,
     wave8: bool = False,
+    wave9: bool = False,
 ) -> None:
     import duckdb
 
@@ -134,6 +142,28 @@ def build_corpus(
         if wave8
         else ""
     )
+    # ninth wave (gated, enumeration-first): at-least-once ingestion —
+    # duplicate-KEY replays. An exact replay (same doc verbatim) and a
+    # CONFLICTING replay (same key, different payload) of existing base
+    # rows; deterministic queries must still hash-match (both engines see
+    # the same duplicated data), and any entry whose tie-break assumes
+    # key uniqueness shows up as a flaky or diverging hash
+    wave9_docs_sql = (
+        f"""
+          UNION ALL
+          SELECT doc_id, text, lang, source, n_chars
+          FROM read_parquet('{base}/documents.parquet')
+          WHERE doc_id = (SELECT min(doc_id)
+                          FROM read_parquet('{base}/documents.parquet'))
+          UNION ALL
+          SELECT doc_id, 'conflicting replay payload for an existing key',
+                 lang, source, 46
+          FROM read_parquet('{base}/documents.parquet')
+          WHERE doc_id = (SELECT max(doc_id)
+                          FROM read_parquet('{base}/documents.parquet'))"""
+        if wave9
+        else ""
+    )
     # documents: append degenerate rows with fresh ids (n_chars recomputed
     # below so multibyte rows carry the true character count)
     con.sql(
@@ -153,7 +183,7 @@ def build_corpus(
             (900006, 'ascii only here: every oracle-side byte assumption '
                      || 'holds; parity for multibyte text is a documented '
                      || 'non-goal of the multimodal stand-ins', 'en', 'edge', 140){wave6_doc_rows}{wave7_doc_rows}{wave8_doc_rows}
-          ) v(doc_id, text, lang, source, n_chars)
+          ) v(doc_id, text, lang, source, n_chars){wave9_docs_sql}
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -175,6 +205,21 @@ def build_corpus(
             (900014, TIMESTAMP '2024-01-06 12:00:00.000000', 900005,
              'view',  9.9e12,         '{"k": 11}')"""
         if wave5
+        else ""
+    )
+    wave9_events_sql = (
+        f"""
+          UNION ALL
+          SELECT event_id, ts, user_id, event_type, value, props
+          FROM read_parquet('{base}/events.parquet')
+          WHERE event_id = (SELECT min(event_id)
+                            FROM read_parquet('{base}/events.parquet'))
+          UNION ALL
+          SELECT event_id, ts, user_id, event_type, value + 1.0, props
+          FROM read_parquet('{base}/events.parquet')
+          WHERE event_id = (SELECT max(event_id)
+                            FROM read_parquet('{base}/events.parquet'))"""
+        if wave9
         else ""
     )
     # events: append rows that exercise ordering ties and numeric domains
@@ -208,7 +253,7 @@ def build_corpus(
              'view',   10.0,  '{{"k": '),
             (900010, TIMESTAMP '2024-01-05 11:00:00.000000', 900004,
              'view',   11.0,  'not json at all'){wave5_rows}{wave6_event_rows}
-          ) v(event_id, ts, user_id, event_type, value, props)
+          ) v(event_id, ts, user_id, event_type, value, props){wave9_events_sql}
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
     )
@@ -218,6 +263,16 @@ def build_corpus(
     # feature rows WILL exist; NaN is the nastiest because both engines
     # rank NaN above +Inf, so an unguarded NaN cosine satisfies every
     # >= tau filter and becomes duplicate-of-everything)
+    wave9_emb_sql = (
+        f"""
+          UNION ALL
+          SELECT vec_id, embedding, label
+          FROM read_parquet('{base}/embeddings.parquet')
+          WHERE vec_id = (SELECT min(vec_id)
+                          FROM read_parquet('{base}/embeddings.parquet'))"""
+        if wave9
+        else ""
+    )
     con.sql(
         f"""
         COPY (
@@ -241,7 +296,7 @@ def build_corpus(
                    2
             UNION ALL
             SELECT 900005, NULL, 3
-          )
+          ){wave9_emb_sql}
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
@@ -250,16 +305,17 @@ def build_corpus(
 def main() -> None:
     argv = [
         a for a in sys.argv[1:]
-        if a not in ("--wave5", "--wave6", "--wave7", "--wave8")
+        if a not in ("--wave5", "--wave6", "--wave7", "--wave8", "--wave9")
     ]
     wave5 = "--wave5" in sys.argv[1:]
     wave6 = "--wave6" in sys.argv[1:]
     wave7 = "--wave7" in sys.argv[1:]
     wave8 = "--wave8" in sys.argv[1:]
+    wave9 = "--wave9" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
-    build_corpus(out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8)
+    build_corpus(out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8, wave9=wave9)
     # reuse the driver-compare replica wholesale
     import subprocess
 
