@@ -1395,34 +1395,70 @@ def substring_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, documents containing any duplicate, duplicate fraction.
     Rising dup_frac at long rungs = template/boilerplate corpora.
 
-    Scale: windows are built fully in-row (nested transform/filter over
-    the rung array, then ONE explode of (win_len, md5) structs — the text
-    itself never explodes or rides a shuffle); every shuffle is keyed on
-    (win_len, whash) uniform md5 keys with map-side partials. Same plan
-    family as substring_dup_spans (parity: the reference has no
-    repeat-length operator; this serves the dedup audit the same way its
-    dedup views serve exact dup detection).
+    Scale: window generation is ONE linear Arrow mapInPandas pass per
+    document — the long-document probe (BENCH_NOTES "Long-document
+    availability") showed why the pure-expression form cannot survive
+    real corpora: Spark's `substring(text, i, w)` walks UTF-8 bytes to
+    find char position i, so an anchor hash at EVERY position is
+    O(len^2) per document — a single 1.8 MB doc ran for >20 min where
+    this pass takes ~2 s (CPython str indexing is O(1), PEP 393). This
+    is precisely the "built-ins genuinely can't express it" case the
+    multimodal family already documents: text stays executor-local,
+    only the narrow (doc_id, win_len, whash) rows leave the worker, and
+    every shuffle is keyed on (win_len, whash) uniform md5 keys with
+    map-side partials. (Parity: the reference has no repeat-length
+    operator; this serves the dedup audit the same way its dedup views
+    serve exact dup detection.)
     """
-    rung_arr = "array(" + ", ".join(str(w) for w in LADDER_WINS) + ")"
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     docs = cpu_parallel(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).filter(F.length("text") >= F.lit(min(LADDER_WINS)))
-    wins_expr = (
-        "flatten(transform({rungs}, w -> "
-        "transform("
-        # i >= 1 AND i + w <= len + 1 guards the short-doc case: Spark
-        # sequence(1, n) with n < 1 yields a DESCENDING run of bogus
-        # positions (the ADVICE-r5 triplet_mining trap) — the bounds
-        # make them unselectable instead of hashing phantom windows
-        "  filter(sequence(1, greatest(length(text) - w + 1, 1)),"
-        "         i -> i >= 1 AND i + w - 1 <= length(text)"
-        "              AND conv(substr(md5(substring(text, i, 4)), 1, 8), 16, 10)"
-        "              % (w div 2) = 0),"
-        "  i -> struct(w AS win_len, md5(substring(text, i, w)) AS whash))))"
-    ).format(rungs=rung_arr)
-    wins = docs.select(
-        "doc_id", F.explode(F.expr(wins_expr)).alias("win")
-    ).select("doc_id", F.col("win.win_len").alias("win_len"), F.col("win.whash").alias("whash"))
+
+    win_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_len", T.IntegerType()),
+            T.StructField("whash", T.StringType()),
+        ]
+    )
+    rungs = LADDER_WINS
+
+    def ladder_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "win_len": [], "whash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                # anchor digest once per position (the JVM expression
+                # recomputed it per rung AND paid an O(i) byte walk per
+                # substring); rung selection = same mod test as the
+                # oracle: first 8 hex digits of md5(4-gram) % (w/2)
+                for i in range(n - rungs[0] + 1):
+                    h8 = int(
+                        md5(text[i : i + 4].encode("utf-8")).hexdigest()[:8], 16
+                    )
+                    for w in rungs:
+                        if i + w <= n and h8 % (w >> 1) == 0:
+                            out["doc_id"].append(doc_id)
+                            out["win_len"].append(w)
+                            out["whash"].append(
+                                md5(text[i : i + w].encode("utf-8")).hexdigest()
+                            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "win_len": pd.Series(out["win_len"], dtype="int32"),
+                    "whash": pd.Series(out["whash"], dtype="object"),
+                }
+            )
+
+    wins = docs.mapInPandas(ladder_batches, win_schema)
     hash_docs = (
         wins.dropDuplicates(["win_len", "whash", "doc_id"])
         .groupBy("win_len", "whash")
