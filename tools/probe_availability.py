@@ -1,0 +1,152 @@
+"""Availability probe: degenerate-SIZE rows that both engines agree on.
+
+The oracle compare cannot flag availability hazards — a quadratic
+per-document pass or a hot-key pair blowup produces the SAME (eventual)
+answer in both engines; it just stops finishing at real-corpus shapes.
+This probe plants size outliers the sf generators never produce and
+times every requested entry with a wall-clock budget:
+
+  documents: one multi-MB varied-vocabulary doc (positional-substring /
+             per-doc-pair blowups), one 200 KB single-token repeat
+             (pathological runs for repetition/BPE/compression passes)
+  events:    one HOT USER carrying `--hot-events` rows across 30 days
+             (per-user window/sessionization/sequence state), plus one
+             hot (user, day) burst at a single hour (salting target)
+
+Found so far (BENCH_NOTES "Long-document availability"):
+  substring_repeat_ladder  super-quadratic expression form -> rewritten
+                           to a linear Arrow pass in r6 (18 s vs 20+ min)
+  substring_dup_spans      quadratic positional substring  -> r7
+  pmi_cooccur_terms        distinct-tokens^2 pair blowup    -> r7
+
+Usage: python tools/probe_availability.py [base_sf_dir] [entry ...]
+       (default: the text/dedup + events families most exposed;
+        BUDGET_S=60 per entry, exceeded = FLAG, not failure)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_BASE = "/root/testdata/sf0.001"
+BUDGET_S = float(os.environ.get("PROBE_BUDGET_S", "60"))
+HOT_EVENTS = int(os.environ.get("PROBE_HOT_EVENTS", "50000"))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+DOC_ENTRIES = [
+    "token_count", "text_quality", "doc_entropy", "repetition_stats",
+    "substring_dup_spans", "substring_repeat_ladder", "winnowing_fingerprint",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_portable",
+    "doc_chunks", "chunk_dedup", "tfidf_top_terms", "containment_dup",
+    "boundary_templates", "perplexity_buckets", "token_count_bpe",
+    "bpe_merge_candidates", "langid_heuristic", "doc_fingerprint",
+    "pii_scrub", "incremental_dedup", "dedup_exact", "pack_sequences",
+    "bigram_surprisal", "pmi_cooccur_terms", "code_detect",
+    "dedup_editdistance", "minhash_jaccard_estimate", "curation_pipeline",
+    "gopher_quality_flags", "ngram_novelty_score", "hashing_trick_features",
+    "vocab_growth_curve", "zipf_term_stats",
+]
+EVENT_ENTRIES = [
+    "sessionized_events", "session_top_paths", "running_totals",
+    "user_transition_matrix", "windowed_funnel", "concurrency_peak",
+    "new_vs_returning", "rolling_active_users", "daily_modal_event",
+    "rfm_features", "scd2_history", "late_arrival_audit",
+    "gapfill_locf", "gapfill_interp", "time_weighted_value",
+    "skew_salted_daily_users", "interval_coverage", "asof_attribution",
+    "asof_nearest", "range_interval_join", "funnel_conversion",
+    "retention_cohorts", "user_activity_gini", "tail_latency_percentiles",
+]
+
+
+def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t not in ("documents", "events"):
+            shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{base}/documents.parquet')
+          UNION ALL
+          SELECT 940001,
+                 array_to_string([concat('tok', CAST(i % 7919 AS VARCHAR),
+                                         ' w', CAST(i % 131 AS VARCHAR))
+                                  for i in range(1, 150000)], ' '),
+                 'en', 'edge', 0
+          UNION ALL
+          SELECT 940002, repeat('spam ', 40000), 'en', 'edge', 0
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # hot user 950001: HOT_EVENTS rows spread over 30 days; hot burst:
+    # user 950002 fires 5000 rows inside one hour of one day
+    con.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{base}/events.parquet')
+          UNION ALL
+          SELECT 950000000 + i,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL (i * 51) SECOND,
+                 950001,
+                 ['view', 'click', 'purchase'][1 + i % 3],
+                 CAST(1 + i % 97 AS DOUBLE),
+                 '{{"k": 1}}'
+          FROM (SELECT unnest(range(0, {HOT_EVENTS})) AS i)
+          UNION ALL
+          SELECT 960000000 + i,
+                 TIMESTAMP '2024-01-15 12:00:00' + INTERVAL (i % 3600) SECOND,
+                 950002,
+                 'view',
+                 CAST(1 + i % 13 AS DOUBLE),
+                 '{{"k": 2}}'
+          FROM (SELECT unnest(range(0, 5000)) AS i)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_BASE
+    only = sys.argv[2:]
+    out = tempfile.mkdtemp(prefix="availprobe_")
+    build_corpus(out, base)
+
+    from etl_schema_spark.session import get_spark  # noqa: E402
+
+    import __spark_entry__ as e  # noqa: E402
+
+    spark = get_spark()
+    qs = e.queries()
+    names = only or (DOC_ENTRIES + EVENT_ENTRIES)
+    flagged = []
+    for name in names:
+        t0 = time.time()
+        try:
+            n = qs[name](spark, out).count()
+            dt = time.time() - t0
+            mark = "  <-- OVER BUDGET" if dt > BUDGET_S else ""
+            print(f"{name:28s} {dt:7.1f}s  rows={n}{mark}", flush=True)
+            if dt > BUDGET_S:
+                flagged.append(name)
+        except Exception as ex:
+            print(f"{name:28s} {time.time() - t0:7.1f}s  ERROR {str(ex)[:140]}", flush=True)
+            flagged.append(name)
+    print(f"\n{len(names) - len(flagged)}/{len(names)} within budget "
+          f"({BUDGET_S:.0f}s); flagged: {flagged or 'none'}")
+    shutil.rmtree(out, ignore_errors=True)
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
