@@ -54,11 +54,16 @@ DOC_ENTRIES = [
     "vocab_growth_curve", "zipf_term_stats",
 ]
 EVENT_ENTRIES = [
+    "bloom_membership", "gapfill_locf", "gapfill_interp",
+    "seasonal_baseline", "pivot_event_counts", "multigrain_stats",
+    "hourly_rollup", "switch_utilization", "histogram_quantile_sketch",
+    "log_pdf_cdf", "geomean_by_type", "hll_distinct_estimate",
+    "cms_frequency_estimate", "kmv_distinct_estimate", "zscore_outliers",
     "sessionized_events", "session_top_paths", "running_totals",
     "user_transition_matrix", "windowed_funnel", "concurrency_peak",
     "new_vs_returning", "rolling_active_users", "daily_modal_event",
     "rfm_features", "scd2_history", "late_arrival_audit",
-    "gapfill_locf", "gapfill_interp", "time_weighted_value",
+    "time_weighted_value",
     "skew_salted_daily_users", "interval_coverage", "asof_attribution",
     "asof_nearest", "range_interval_join", "funnel_conversion",
     "retention_cohorts", "user_activity_gini", "tail_latency_percentiles",
@@ -111,6 +116,17 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
                  CAST(1 + i % 13 AS DOUBLE),
                  '{{"k": 2}}'
           FROM (SELECT unnest(range(0, 5000)) AS i)
+          UNION ALL
+          -- cardinality axis: 10k distinct event_types (per-type state,
+          -- |types|-proportional spines/profiles, and the bloom probe
+          -- universe |types| x |users| at its auto-sampling condition)
+          SELECT 970000000 + i,
+                 TIMESTAMP '2024-01-20 00:00:00' + INTERVAL (i * 97) SECOND,
+                 950003 + i % 7,
+                 concat('etype_', CAST(i % 10000 AS VARCHAR)),
+                 CAST(1 + i % 31 AS DOUBLE),
+                 '{{"k": 3}}'
+          FROM (SELECT unnest(range(0, 20000)) AS i)
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
     )
