@@ -20,6 +20,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .contracts import (
+    FINITE_VALUE_SQL,
+    PLAUSIBLE_TS_SQL,
+    VDEC4_SQL,
+    VDEC_SQL as _VDEC_SQL,
+    finite_value,
+    plausible_ts,
+    vdec as _vdec,
+    vdec4,
+)
 
 DEC = "decimal(18,4)"
 
@@ -28,13 +38,10 @@ def _trunc6(c: Column) -> Column:
     return F.floor(c * 1e6) / 1e6
 
 
-def _vdec(col: str = "value") -> Column:
-    # truncate the double to 6 dp, then lift to exact decimal: the sum
-    # becomes order-independent and the oracle reproduces it bit-for-bit
-    return _trunc6(F.col(col)).cast("decimal(18,6)")
-
-
-_VDEC_SQL = "CAST(FLOOR(value * 1e6) / 1e6 AS DECIMAL(18,6))"
+# _vdec / _VDEC_SQL are the central guarded lifts from .contracts: the
+# truncate-to-6dp DECIMAL(18,6) exact-sum decomposition, with non-finite
+# and |v| >= 1e12 values degrading to NULL on BOTH engines (fuzz wave 5:
+# one corrupt telemetry row must not kill or silently corrupt the plan).
 
 
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +140,10 @@ def corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     One partial-aggregated shuffle; the closed form combines scalars once
     per group in double.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Pairwise domain (fuzz waves 5+6): a corrupt value must remove the
+    # (x, y) PAIR from the regression, not just blank one sum — n and
+    # every co-moment come from the same filtered population.
+    ev = load_table(spark, sf_dir, "events").filter(finite_value("value"))
     x = _vdec()
     y = F.hour("ts").cast("long")
     base = (
@@ -154,7 +164,11 @@ def corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # try_divide: a single-row group has zero variance; ANSI double
+    # division crashes where DuckDB's x/0 yields NULL (wave-6 class 1)
+    corr = F.try_divide(
+        n * sxy - sx * sy, F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
     return base.select(
         "event_type", "n", _trunc6(corr).alias("corr_value_hour")
     ).orderBy("event_type")
@@ -171,6 +185,7 @@ def corr_value_hour_oracle() -> str:
                  SUM({_VDEC_SQL} * {_VDEC_SQL}) AS sxx,
                  SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT) * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS syy
           FROM events
+          WHERE {FINITE_VALUE_SQL}
           GROUP BY event_type
         )
         SELECT event_type, n,
@@ -311,7 +326,12 @@ def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     week-1 engagement. The website views run the same comparison across
     platform generations (entry07_*_comparison unions).
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-key contract (fuzz wave 6): a NULL user_id is outside the
+    # keyed cohort domain on both sides. Spark's left-anti keeps a
+    # NULL-key probe row (NULL != anything) and groupBy makes it a
+    # cohort, while SQL's NOT IN evaluates NULL to UNKNOWN and drops it
+    # — exclude explicitly so both engines agree.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     week1 = ev.filter(
         (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
         & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
@@ -338,10 +358,11 @@ def churned_users_oracle() -> str:
                COUNT(*) AS n_events_week1,
                CAST(SUM({_VDEC_SQL}) AS DOUBLE) AS value_week1
         FROM events
-        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        WHERE user_id IS NOT NULL
+          AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
           AND user_id NOT IN (
             SELECT user_id FROM events
-            WHERE ts >= TIMESTAMP '2024-01-30')
+            WHERE user_id IS NOT NULL AND ts >= TIMESTAMP '2024-01-30')
         GROUP BY user_id
         ORDER BY user_id
     """
@@ -445,30 +466,21 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable. At 100 TB you gap-fill per device/series — swap the
     partition key; the shape is identical.
     """
-    # Non-finite and decimal-range-exceeding values degrade to NULL
-    # before the decimal-exact lift (fuzz wave 5): floor(v*1e6) overflows
-    # DECIMAL(18,6) under ANSI mode for inf AND for finite |v| >= 1e12 —
-    # one corrupt row must not kill the fill. NULL semantics (SUM skips,
-    # COUNT(*) keeps the row) are already pinned by the wave-2
-    # degenerate-events corpus, so the degradation target is well-defined
-    # on both engines. Rows with an implausible timestamp are EXCLUDED
-    # (not degraded): the spine is |types| x (max-min) hours, so one
-    # corrupt year-2150 row would inflate it by ~1.1M hours per type at
-    # ANY data scale — a min/max-bounded resample must bound its time
-    # domain or a single bad row owns the job.
+    # Output contract (contracts.py, fuzz wave 5): values outside the
+    # measurable domain degrade to NULL via the guarded _vdec (SUM skips,
+    # COUNT(*) keeps the row — n_events still counts the arrival); rows
+    # outside [TS_ADMIT_LO, TS_ADMIT_HI) are EXCLUDED entirely — the
+    # spine is |types| x (max-min) hours, so one corrupt year-2150 row
+    # would inflate it by ~1.1M hours per type at ANY data scale. The
+    # window bounds are the named module constants in contracts.py, not
+    # magic literals (ADVICE r6).
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(
-            (F.col("ts") >= F.lit("2000-01-01").cast("timestamp"))
-            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
-        )
+        .filter(plausible_ts("ts"))
         .select(
             "event_type",
             F.date_trunc("hour", "ts").alias("hour"),
-            F.when(
-                ~F.isnan("value") & (F.abs(F.col("value")) < F.lit(1e12)),
-                F.col("value"),
-            ).alias("value"),
+            "value",
         )
     )
     hourly = ev.groupBy("event_type", "hour").agg(
@@ -506,12 +518,9 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gapfill_locf_oracle() -> str:
     return f"""
         WITH ev AS (
-          SELECT event_type, ts,
-                 CASE WHEN isfinite(value) AND abs(value) < 1e12
-                      THEN value END AS value
+          SELECT event_type, ts, value
           FROM events
-          WHERE ts >= TIMESTAMP '2000-01-01'
-            AND ts <  TIMESTAMP '2100-01-01'
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         hourly AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -554,17 +563,32 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy over 5 groups, broadcast back onto the
     scan: two passes over the fact, zero wide shuffles.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value", F.floor(F.col("value") * 1e6).alias("v6")
+    # Finite domain filter (fuzz wave 5): moments and the z population
+    # come from the same clean row set — a corrupt value can neither
+    # shift the mean nor appear as an "outlier" itself. The squares go
+    # through DECIMAL(18,0) so |v| up to the 1e12 domain bound cannot
+    # overflow signed 64-bit (v6² reaches 1e36; long overflows at
+    # v ≈ 3e3 already).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(finite_value("value"))
+        .select(
+            "event_id", "event_type", "value", F.floor(F.col("value") * 1e6).alias("v6")
+        )
     )
+    v6d = F.col("v6").cast("decimal(18,0)")
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("v6").cast("decimal(38,0)")).alias("s1"),
-        F.sum((F.col("v6") * F.col("v6")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(v6d).alias("s1"),
+        F.sum(v6d * v6d).alias("s2"),
     )
     mean6 = F.col("s1").cast("double") / F.col("n")
     var6 = F.col("s2").cast("double") / F.col("n") - mean6 * mean6
-    z = (F.col("v6") - mean6) / F.sqrt(var6)
+    # var == 0 (constant group) would divide by zero — ANSI crash on
+    # Spark, NULL on DuckDB; a tiny negative var from double rounding
+    # would sqrt to NaN, which the engines floor differently. Guard the
+    # divisor two-sided: non-positive variance → z undefined → filtered.
+    z = F.try_divide(F.col("v6") - mean6, F.when(var6 > 0, F.sqrt(var6)))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -579,25 +603,29 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zscore_outliers_oracle() -> str:
-    return """
+    return f"""
         WITH base AS (
           SELECT event_id, event_type, value,
                  CAST(FLOOR(value * 1e6) AS BIGINT) AS v6
           FROM events
+          WHERE {FINITE_VALUE_SQL}
         ),
         stats AS (
           SELECT event_type,
                  COUNT(*) AS n,
-                 SUM(CAST(v6 AS DECIMAL(38,0))) AS s1,
-                 SUM(CAST(v6 * v6 AS DECIMAL(38,0))) AS s2
+                 SUM(CAST(v6 AS DECIMAL(18,0))) AS s1,
+                 SUM(CAST(v6 AS DECIMAL(18,0)) * CAST(v6 AS DECIMAL(18,0))) AS s2
           FROM base GROUP BY event_type
         ),
         z AS (
           SELECT b.event_id, b.event_type, b.value,
-                 (b.v6 - CAST(s1 AS DOUBLE) / n)
-                   / sqrt(CAST(s2 AS DOUBLE) / n
-                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                   AS zr
+                 CASE WHEN CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+                      THEN (b.v6 - CAST(s1 AS DOUBLE) / n)
+                           / sqrt(CAST(s2 AS DOUBLE) / n
+                                  - (CAST(s1 AS DOUBLE) / n)
+                                    * (CAST(s1 AS DOUBLE) / n))
+                 END AS zr
           FROM base b JOIN stats USING (event_type)
         )
         SELECT event_id, event_type, value,
@@ -689,7 +717,9 @@ def linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated shuffle over |types| groups — trend detection at
     100 TB costs one scan.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Pairwise domain (fuzz waves 5+6): corrupt values remove the whole
+    # (x, y) pair — same discipline as corr_value_hour.
+    ev = load_table(spark, sf_dir, "events").filter(finite_value("value"))
     base = (
         ev.select(
             "event_type",
@@ -712,7 +742,11 @@ def linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a group whose events share one day has sxx*n == sx²
+    # (zero x-variance) — ANSI double division crashes where DuckDB's
+    # x/0 yields NULL (wave-6 class 1); slope NULL propagates to
+    # intercept on both engines.
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     r2num = (n * sxy - sx * sy) * (n * sxy - sx * sy)
     r2den = (n * sxx - sx * sx) * (n * syy - sy * sy)
@@ -721,7 +755,7 @@ def linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _trunc6(slope).alias("slope_per_day"),
         _trunc6(intercept).alias("intercept"),
-        _trunc6(r2num / r2den).alias("r2"),
+        _trunc6(F.try_divide(r2num, r2den)).alias("r2"),
     )
 
 
@@ -737,6 +771,7 @@ def linear_trend_oracle() -> str:
                      * (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400)) AS sxx,
                  SUM({_VDEC_SQL} * {_VDEC_SQL}) AS syy
           FROM events
+          WHERE {FINITE_VALUE_SQL}
           GROUP BY event_type
         )
         SELECT event_type, n,
@@ -783,7 +818,9 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("ts").cast("date").alias("date"),
             F.hour("ts").alias("hod"),
-            F.col("value").cast("decimal(18,4)").alias("v"),
+            # guarded lift (fuzz wave 5): corrupt values leave the sum,
+            # COUNT(*) keeps the row — mirrored in the oracle
+            vdec4("value").alias("v"),
         )
         .groupBy("event_type", "date", "hod")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
@@ -816,20 +853,22 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         t4(F.col("actual").cast("double")).alias("actual_sum"),
         t4(F.col("expected").cast("double")).alias("expected_sum"),
-        _trunc6(F.col("actual").cast("double") / F.col("expected").cast("double")).alias(
-            "seasonal_ratio"
-        ),
+        _trunc6(
+            F.try_divide(
+                F.col("actual").cast("double"), F.col("expected").cast("double")
+            )
+        ).alias("seasonal_ratio"),
     )
 
 
 def seasonal_baseline_oracle() -> str:
-    return """
+    return f"""
         WITH hourly AS (
           SELECT event_type,
                  CAST(ts AS DATE) AS d,
                  EXTRACT(hour FROM ts) AS hod,
                  COUNT(*) AS n,
-                 SUM(CAST(value AS DECIMAL(18,4))) AS s
+                 SUM({VDEC4_SQL}) AS s
           FROM events
           GROUP BY 1, 2, 3
         ), base AS (
@@ -928,15 +967,17 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .distributed import grouped_running_sum
 
-    # NULL values are excluded from the measurable domain on BOTH sides:
-    # Spark's rank struct sorts NULL first while DuckDB's ROW_NUMBER puts
-    # it last, so a single NULL-valued event shifted the median rank by
-    # one between engines (tools/fuzz_edge_docs.py, round 6); `n` counts
-    # measurable values only.
+    # Measurable-domain filter, same contract as its sibling
+    # tail_latency_percentiles (contracts.finite_value, ADVICE r6):
+    # NULLs are excluded because Spark's rank struct sorts NULL first
+    # while DuckDB's ROW_NUMBER puts it last (a single NULL shifted the
+    # median rank by one between engines, fuzz r6); NaN/Inf/|v| >= 1e12
+    # because a NaN reaching the median rank floors to NULL on Spark but
+    # stays NaN on DuckDB; `n` counts measurable values only.
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
-        .filter(F.col("value").isNotNull())
+        .filter(finite_value("value"))
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     target = F.expr("(n + 1) div 2").alias("target")
@@ -991,7 +1032,7 @@ def mad_outliers_oracle() -> str:
     return f"""
         WITH ev AS (
           SELECT event_type, event_id, value FROM events
-          WHERE value IS NOT NULL
+          WHERE {FINITE_VALUE_SQL}
         ),
         counts AS (
           SELECT event_type, COUNT(*) AS n, (COUNT(*) + 1) // 2 AS target
@@ -1415,8 +1456,14 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight uses exact integer hour arithmetic; the value math is the same
     IEEE double expression on both engines, trunc6 at the end.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    # Same admission contracts as gapfill_locf (fuzz wave 5): corrupt
+    # values degrade to NULL via the guarded _vdec, and rows outside the
+    # plausible-ts window are EXCLUDED — the spine is |types| x hours, so
+    # one year-2150 row would inflate it by ~1.1M hours per type.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(plausible_ts("ts"))
+        .select("event_type", F.date_trunc("hour", "ts").alias("hour"), "value")
     )
     hourly = ev.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1463,11 +1510,12 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gapfill_interp_oracle() -> str:
-    return """
+    return f"""
         WITH ev AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
-                 CAST(FLOOR(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vdec
+                 {_VDEC_SQL} AS vdec
           FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         hourly AS (
           SELECT event_type, hour, COUNT(*) AS n,
@@ -1647,10 +1695,10 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rfm_features_oracle() -> str:
-    return """
+    return f"""
         WITH ev AS (
           SELECT user_id, epoch_us(ts) AS us,
-                 CAST(FLOOR(value * 1e6) / 1e6 AS DECIMAL(18,6)) AS vdec
+                 {_VDEC_SQL} AS vdec
           FROM events
         ),
         per_user AS (

@@ -40,6 +40,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .contracts import (
+    FINITE_VALUE_SQL,
+    VCLEAN_SQL,
+    VDEC4_SQL,
+    finite_value,
+    vclean,
+    vdec4,
+)
 from .views_layer import extended_view, is_valid_best
 
 DECILE_PROBS = [i / 10.0 for i in range(11)]
@@ -176,9 +184,13 @@ def switch_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("samples"),
-            F.round(F.max("value"), 4).alias("peak"),
-            F.round(F.avg("value"), 4).alias("mean"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("total"),
+            # guarded domain (contracts.py, fuzz wave 5): a NaN counter
+            # sample would become the max/mean on Spark (NaN ranks above
+            # +Inf) and crash DuckDB's cast path; corrupt samples degrade
+            # to NULL, which MAX/AVG/SUM skip identically in both engines
+            F.round(F.max(vclean("value")), 4).alias("peak"),
+            F.round(F.avg(vclean("value")), 4).alias("mean"),
+            F.round(F.sum(vdec4("value")).cast("double"), 4).alias("total"),
         )
         .orderBy("hour", "event_type")
     )
@@ -201,8 +213,15 @@ def sidestream_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-truncation, not round: Spark's round() decimal-izes via the
             # double's shortest repr while DuckDB rounds the true binary value,
             # so they disagree on exact .5e-6 boundaries; floor(x*1e6)/1e6 is
-            # the same IEEE op sequence in both engines.
-            (F.floor(F.col("value") / (F.col("k_value") + 1) * 1e6) / 1e6).alias("rate"),
+            # the same IEEE op sequence in both engines. The rate is guarded
+            # (contracts.py, fuzz wave 5): a corrupt counter degrades to a
+            # NULL rate instead of Spark's floor saturating at Long.MAX;
+            # try_divide mirrors DuckDB's x/0 -> NULL should k_value be -1.
+            F.when(
+                finite_value("value"),
+                F.floor(F.try_divide(F.col("value"), F.col("k_value") + 1) * 1e6)
+                / 1e6,
+            ).alias("rate"),
             "k_value",
         )
     )
@@ -323,12 +342,12 @@ def geomean_by_type_oracle() -> str:
 
 
 def switch_utilization_oracle() -> str:
-    return """
+    return f"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
                COUNT(*) AS samples,
-               ROUND(MAX(value), 4) AS peak,
-               ROUND(AVG(value), 4) AS mean,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+               ROUND(MAX({VCLEAN_SQL}), 4) AS peak,
+               ROUND(AVG({VCLEAN_SQL}), 4) AS mean,
+               ROUND(CAST(SUM({VDEC4_SQL}) AS DOUBLE), 4) AS total
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type
     """
 
@@ -337,7 +356,9 @@ def sidestream_view_oracle() -> str:
     return f"""
         WITH extended AS ({_EXTENDED_SQL})
         SELECT event_id, partition_date, user_id, event_type,
-               FLOOR(value / (k_value + 1) * 1e6) / 1e6 AS rate, k_value
+               CASE WHEN {FINITE_VALUE_SQL}
+                    THEN FLOOR(value / (k_value + 1) * 1e6) / 1e6
+               END AS rate, k_value
         FROM extended
         WHERE is_complete AND NOT is_error
         ORDER BY event_id
@@ -387,7 +408,8 @@ def multistream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_snapshot"),
             (
                 F.floor(
-                    F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                    # guarded lift (contracts.py, fuzz wave 5)
+                    F.sum(vdec4("value")).cast("double")
                     / (
                         (
                             F.unix_micros(F.max("ts"))
@@ -406,7 +428,7 @@ def multistream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multistream_throughput_oracle() -> str:
-    return """
+    return f"""
         WITH ranges AS (
           SELECT user_id, event_type,
                  MIN(ts) AS test_start, MAX(ts) AS test_end
@@ -424,7 +446,7 @@ def multistream_throughput_oracle() -> str:
                COUNT(*) AS n_snapshots,
                ANY_VALUE(test_start) AS test_start,
                MAX(ts) AS last_snapshot,
-               FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               FLOOR(CAST(SUM({VDEC4_SQL}) AS DOUBLE)
                      / (CAST(epoch_us(MAX(ts)) - epoch_us(ANY_VALUE(test_start)) AS DOUBLE)
                         / 1e6 + 1) * 1e6) / 1e6
                  AS rate
@@ -453,7 +475,11 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.date_trunc("hour", "ts").alias("hour"),
-            F.floor(F.col("value") * 1e6).cast("decimal(18,0)").alias("v6"),
+            # guarded integer lift (contracts.py, fuzz wave 5): corrupt
+            # values degrade to NULL; floor stays far inside int64
+            F.when(finite_value("value"), F.floor(F.col("value") * 1e6))
+            .cast("decimal(18,0)")
+            .alias("v6"),
         )
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v6").alias("s6"))
@@ -477,13 +503,14 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sliding_window_stats_oracle() -> str:
-    return """
+    return f"""
         WITH hourly AS (
           SELECT event_type,
                  date_trunc('hour', ts) AS hour,
                  CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
                  COUNT(*) AS n,
-                 SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(18,0))) AS s6
+                 SUM(CAST(CASE WHEN {FINITE_VALUE_SQL} THEN FLOOR(value * 1e6) END
+                          AS DECIMAL(18,0))) AS s6
           FROM events
           GROUP BY 1, 2, 3
         )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .contracts import VDEC4_SQL, vdec4
 
 SESSION_GAP_MIN = 30
 TOP_K_CLIENTS = 5
@@ -49,14 +50,15 @@ def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
                 "duration_sec"
             ),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
-                "total_value"
-            ),
+            # guarded decimal lift (contracts.py, fuzz wave 5): a corrupt
+            # value leaves the session sum, not the session
+            F.round(F.sum(vdec4("value")).cast("double"), 4).alias("total_value"),
         )
     )
 
 
 def sessionized_events_oracle() -> str:
+    # VDEC4_SQL mirrors the guarded total_value lift
     return f"""
         WITH flagged AS (
           SELECT *,
@@ -79,7 +81,7 @@ def sessionized_events_oracle() -> str:
                MIN(ts) AS session_start,
                MAX(ts) AS session_end,
                CAST(MAX(FLOOR(epoch(ts))) - MIN(FLOOR(epoch(ts))) AS BIGINT) AS duration_sec,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+               ROUND(CAST(SUM({VDEC4_SQL}) AS DOUBLE), 4) AS total_value
         FROM numbered
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
@@ -87,7 +89,13 @@ def sessionized_events_oracle() -> str:
 
 
 def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user cumulative value ordered by time (exact decimal cumsum)."""
+    """Per-user cumulative value ordered by time (exact decimal cumsum).
+
+    The raw `value` passes through untouched (NaN/Inf render identically
+    in both engines); only the cumulative sum goes through the guarded
+    decimal lift — a corrupt row shows itself but cannot poison every
+    subsequent running total (fuzz wave 5).
+    """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -99,14 +107,14 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("cum_value"),
+        F.sum(vdec4("value")).over(w).cast("double").alias("cum_value"),
     )
 
 
 def running_totals_oracle() -> str:
-    return """
+    return f"""
         SELECT event_id, user_id, ts, value,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               CAST(SUM({VDEC4_SQL}) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS cum_value
@@ -119,9 +127,11 @@ def top_clients_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K users by exact total value within each event_type."""
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("event_type", "user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("_total"),
+        F.sum(vdec4("value")).alias("_total"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # desc NULLS LAST in both engines: an all-corrupt user (guarded sum
+    # -> NULL) ranks behind every measurable total, tie-broken by user_id
     w = Window.partitionBy("event_type").orderBy(F.desc("_total"), F.asc("user_id"))
     return (
         totals.withColumn("rank", F.row_number().over(w))
@@ -141,7 +151,7 @@ def top_clients_per_type_oracle() -> str:
     return f"""
         WITH totals AS (
           SELECT event_type, user_id,
-                 SUM(CAST(value AS DECIMAL(18,4))) AS _total,
+                 SUM({VDEC4_SQL}) AS _total,
                  COUNT(*) AS n_events
           FROM events GROUP BY 1, 2
         ),

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
+from .contracts import FINITE_VALUE_SQL, finite_value
 
 KMV_K = 64
 _HEX15 = float(16**15)  # 2^60 — exactly representable in double
@@ -364,7 +365,13 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stable in log_pdf_cdf, so the sketch is oracle-checkable end to
     end. One shuffle for the bin counts, window + tiny explode for readout.
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # Sketch domain: strictly positive AND finite (contracts.py, fuzz
+    # wave 5) — NaN > 0 is TRUE in both engines (NaN ranks above +Inf),
+    # so the positivity filter alone admits NaN into log10, where Spark's
+    # floor saturates and DuckDB's BIGINT cast hard-errors.
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") > 0) & finite_value("value")
+    )
     binned = (
         ev.select(
             "event_type",
@@ -410,7 +417,7 @@ def histogram_quantile_sketch_oracle() -> str:
           SELECT event_type,
                  FLOOR(log10(value) * {QUANTILE_BINS_PER_DECADE}) AS bin,
                  COUNT(*) AS n
-          FROM events WHERE value > 0
+          FROM events WHERE value > 0 AND {FINITE_VALUE_SQL}
           GROUP BY 1, 2
         ),
         cum AS (

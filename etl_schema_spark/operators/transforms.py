@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .contracts import finite_value, finite_value_sql
 
 # static mapping table (transform/web100.sql parity: variable-name mapping)
 EVENT_CATEGORY = [
@@ -46,8 +47,15 @@ def static_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # guarded lift (contracts.py, fuzz wave 5): a corrupt value
+            # leaves the weighted sum, COUNT(*) keeps the row
             F.round(
-                F.sum((F.col("value") * F.col("weight")).cast("decimal(18,4)")).cast("double"), 4
+                F.sum(
+                    F.when(
+                        finite_value("value"), F.col("value") * F.col("weight")
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                4,
             ).alias("weighted_value"),
         )
         .orderBy("category")
@@ -60,7 +68,9 @@ def static_mapping_oracle() -> str:
         WITH mapping(event_type, category, weight) AS (VALUES {values})
         SELECT category,
                COUNT(*) AS n_events,
-               ROUND(CAST(SUM(CAST(value * weight AS DECIMAL(18,4))) AS DOUBLE), 4)
+               ROUND(CAST(SUM(CAST(CASE WHEN {finite_value_sql("value")}
+                                        THEN value * weight END
+                                   AS DECIMAL(18,4))) AS DOUBLE), 4)
                  AS weighted_value
         FROM events JOIN mapping USING (event_type)
         GROUP BY category ORDER BY category

@@ -92,8 +92,21 @@ def _ewma_update(
 
 
 def ewma_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA anomaly counts over the events stream."""
-    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    """Per-user EWMA anomaly counts over the events stream.
+
+    The recurrence domain is the central finite-value contract
+    (operators.contracts, fuzz wave 5): one NaN sample would otherwise
+    poison the state (mean/var = NaN forever after) — the streaming twin
+    of the batch rule that a corrupt row must not own the job. Filtered
+    at the source so the state store never sees out-of-domain values.
+    """
+    from ..operators.contracts import finite_value
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .filter(finite_value("value"))
+    )
     return ev.groupBy("user_id").applyInPandasWithState(
         _ewma_update,
         outputStructType=_OUT_SCHEMA,
