@@ -349,7 +349,14 @@ def source_token_budget(
     entire source in one task at 100 TB. The md5 ordering makes the kept
     set a uniform random — but reproducible — sample of each source.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # NULL-key contract (edge fuzz wave 6): a NULL source is outside the
+    # per-source quota domain — there is no budget bucket for "no
+    # source"; exclusion is mirrored in the oracle and pushes to the scan
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
     cum = grouped_running_sum(
         docs, "source", F.md5(F.col("doc_id").cast("string")), "n_chars", "cum_chars"
     )
@@ -372,7 +379,7 @@ def source_token_budget_oracle(budget_chars: int = SOURCE_BUDGET_CHARS) -> str:
                                     ORDER BY md5(CAST(doc_id AS VARCHAR))
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cum_chars
-          FROM documents
+          FROM documents WHERE source IS NOT NULL
         )
         SELECT source, doc_id,
                CAST(n_chars AS BIGINT) AS n_chars,
@@ -499,7 +506,14 @@ def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.catalog import load_table
 
-    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    # NULL-key contract (edge fuzz wave 6): a NULL event_type is outside
+    # the keyed sample domain — and the hash would diverge anyway (Spark
+    # concat_ws skips NULL args; SQL || propagates NULL)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", "event_id")
+    )
     h = F.md5(F.concat_ws(":", "event_type", "event_id"))
     salted = ev.select(
         "event_type",
@@ -538,7 +552,7 @@ def reservoir_sample_per_key_oracle() -> str:
                    PARTITION BY event_type
                    ORDER BY md5(event_type || ':' || event_id), event_id
                  ) AS sample_rank
-          FROM events
+          FROM events WHERE event_type IS NOT NULL
         )
         SELECT event_type, CAST(sample_rank AS BIGINT) AS sample_rank,
                event_id, h

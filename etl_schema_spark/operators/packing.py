@@ -66,8 +66,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (grouped_running_sum) — never ``Window.partitionBy(source)``,
     which would sort an entire source in one task at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+    # NULL-text and NULL-source docs are excluded from the packing
+    # domain (edge fuzz wave 6, same contract as doc_chunks /
+    # source_token_budget): split(NULL) yields a NULL token count that
+    # poisons the running offset, and a NULL source has no per-source
+    # shard to pack into. isNotNull pushes to the parquet scan.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok"))
     )
     cum = grouped_running_sum(docs, "source", "doc_id", "n_tok", "cum_tok")
     start_off = F.col("cum_tok") - F.col("n_tok")
@@ -98,6 +105,7 @@ def pack_sequences_oracle() -> str:
           SELECT doc_id, source,
                  len(string_split_regex(text, '\s+')) AS n_tok
           FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
         ), c AS (
           SELECT doc_id, source, n_tok,
                  SUM(n_tok) OVER (
@@ -392,8 +400,15 @@ def pack_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     each budget's bin id is pure arithmetic over the same cum column —
     |budgets| cheap aggregations, not |budgets| repacking runs.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok")
+    # NULL-text and NULL-source docs are excluded from the packing
+    # domain (edge fuzz wave 6, same contract as doc_chunks /
+    # source_token_budget): split(NULL) yields a NULL token count that
+    # poisons the running offset, and a NULL source has no per-source
+    # shard to pack into. isNotNull pushes to the parquet scan.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok"))
     )
     cum = grouped_running_sum(docs, "source", "doc_id", "n_tok", "cum_tok")
     start_off = F.col("cum_tok") - F.col("n_tok")
@@ -428,6 +443,7 @@ def pack_efficiency_sweep_oracle() -> str:
           SELECT doc_id, source,
                  len(string_split_regex(text, '\s+')) AS n_tok
           FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL
         ), c AS (
           SELECT doc_id, source, n_tok,
                  SUM(n_tok) OVER (

@@ -104,8 +104,13 @@ def skew_salted_daily_users(spark, sf_dir: str) -> DataFrame:
     """
     from ..sources.catalog import load_table
 
+    # NULL-user contract (edge fuzz wave 6): Spark's collect_list drops
+    # NULL elements while SQL COUNT(*) over the pair set keeps the row,
+    # so a NULL user inflates n_users on one side only — a NULL user is
+    # not a user; exclude it from the pair domain on both sides.
     pairs = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
         .select("event_type", F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
@@ -122,7 +127,7 @@ def skew_salted_daily_users_oracle() -> str:
     return """
         WITH pairs AS (
           SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
-          FROM events
+          FROM events WHERE user_id IS NOT NULL
         )
         SELECT event_type, day,
                COUNT(*) AS n_users,

@@ -232,7 +232,14 @@ def annotate_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + shuffle-join + re-group plan for dims too large to broadcast;
     the two are equivalence-tested.
     """
-    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NULL-text docs are excluded (edge fuzz wave 6, doc_chunks
+    # contract): a NULL array re-nests to a phantom row on Spark where
+    # SQL's UNNEST emits nothing — and there are no elements to annotate.
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     tag_map = F.map_from_arrays(
         F.array(*[F.lit(t) for t, _ in ANNOTATION_TAGS]),
         F.array(*[F.lit(g) for _, g in ANNOTATION_TAGS]),
@@ -259,7 +266,11 @@ def annotate_renest_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join the annotation dim, re-group on doc_id restoring element
     order by position. Same result; use when the dim can't broadcast.
     """
-    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     dim = spark.createDataFrame(list(ANNOTATION_TAGS), "term string, tag string")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "term")
@@ -293,7 +304,7 @@ def annotate_renest_oracle() -> str:
         WITH anns(term, tag) AS (VALUES {values}),
         d AS (
           SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         ),
         tok AS (
           SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos

@@ -458,8 +458,14 @@ TOPK_PER_HOUR = 3
 
 def hourly_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hourly event counts per (hour, user_id) — the
-    high-cardinality windowed aggregate a leaderboard drains from."""
-    ev = events_stream(spark, sf_dir)
+    high-cardinality windowed aggregate a leaderboard drains from.
+
+    NULL-user contract (edge fuzz wave 6): unattributed events are
+    outside the leaderboard key domain — and Spark's asc rank puts NULL
+    first where SQL puts it last, so a NULL key would also scramble the
+    tie-break. Filtered before the stateful aggregate so the state store
+    never keys on NULL."""
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -497,7 +503,7 @@ def streaming_topk_keys_oracle() -> str:
     return f"""
         WITH counts AS (
           SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n
-          FROM events GROUP BY 1, 2
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
         ),
         ranked AS (
           SELECT hour, user_id, CAST(n AS BIGINT) AS n,
