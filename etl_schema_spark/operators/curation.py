@@ -537,15 +537,18 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def source_quality_profile_oracle() -> str:
+    # length() (characters), NOT strlen() (bytes) — the same char-true
+    # expressions as gopher_quality_flags_oracle, whose flag columns this
+    # rollup aggregates (edge fuzz wave 7, multibyte corpus)
     words = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
     mean_wl = (
         f"CASE WHEN len({words}) > 0 THEN "
-        f"list_sum([CAST(strlen(w) AS DOUBLE) for w in {words}]) / len({words}) "
+        f"list_sum([CAST(length(w) AS DOUBLE) for w in {words}]) / len({words}) "
         f"ELSE 0.0 END"
     )
-    n_symbol = "strlen(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
+    n_symbol = "length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))"
     symbol_ratio = (
-        f"CASE WHEN strlen(text) > 0 THEN {n_symbol} * 1.0 / strlen(text) ELSE 0.0 END"
+        f"CASE WHEN length(text) > 0 THEN {n_symbol} * 1.0 / length(text) ELSE 0.0 END"
     )
     stops = ", ".join(f"'{s}'" for s in _STOPS)
     stop_hits = f"len(list_filter({words}, w -> w IN ({stops})))"

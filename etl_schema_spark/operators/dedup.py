@@ -580,9 +580,20 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str, d_max: int = EDIT_D_MAX
     Verification uses Spark's banded levenshtein(l, r, threshold) — O(n*d)
     not O(n*m) — and keeps only real pairs, so blocking recall is exactly 1
     and the output matches the oracle's unblocked range-join.
+
+    Domain contract (edge fuzz wave 7): the typo-dup domain is ASCII
+    documents (char length == byte length) on BOTH sides. Spark's
+    levenshtein counts CHARACTERS while DuckDB's counts BYTES
+    (levenshtein('é','a') = 2 there), so char-true distance over
+    multibyte text is an oracle-expressibility limit — the same class as
+    the wave-8 case-mapping contract. Char-level distance is the correct
+    production behavior; a deployment wanting multibyte typo dedup drops
+    the ASCII filter and keeps Spark's semantics.
     """
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    norm = docs.select(
+    norm = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") == F.octet_length("text"))
+    ).select(
         "doc_id",
         F.lower("text").alias("t"),
         F.length(F.lower("text")).cast("int").alias("len"),
@@ -614,7 +625,9 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str, d_max: int = EDIT_D_MAX
 def dedup_editdistance_oracle(d_max: int = EDIT_D_MAX) -> str:
     return f"""
         WITH n AS (
-          SELECT doc_id, lower(text) AS t, length(lower(text)) AS len FROM documents
+          SELECT doc_id, lower(text) AS t, length(lower(text)) AS len
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) = strlen(text)
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance

@@ -466,8 +466,11 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-checkable like the PPM image path).
 
     Samples derive cyclically from the doc's bytes (sample_i =
-    (byte_i - 64) * 256, int16-ranged), so the oracle reproduces each
-    window's energy arithmetically. One-to-many like frame_sample: a doc
+    (byte_i - 128) * 256 — centered at 128 so EVERY byte 0..255 maps
+    inside int16: the previous -64 centering overflowed struct.pack('h')
+    on any UTF-8 continuation byte >= 0xC0, so one multibyte row killed
+    the whole decode job — edge fuzz wave 7), so the oracle reproduces
+    each window's energy arithmetically, byte-true via hex-pair math. One-to-many like frame_sample: a doc
     yields n_samples/256 window rows; payloads are built and consumed
     inside the executor batch, only (doc_id, meta, energy) rows shuffle.
     The windowed-energy shape is the VAD / silence-trim primitive an audio
@@ -488,7 +491,7 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n_samples = 1024 + int(doc_id) % 7 * 128
                 m = len(payload)
-                samples = [(payload[i % m] - 64) * 256 for i in range(n_samples)]
+                samples = [(payload[i % m] - 128) * 256 for i in range(n_samples)]
                 wav = encode_wav(samples)
                 rate, n, parsed = decode_wav(wav)  # real container parse
                 for w in range(n // WAV_WINDOW):
@@ -503,20 +506,27 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(wav_batches, WAV_SCHEMA)
 
 
+def _wav_sample_sql() -> str:
+    """DuckDB expression for sample (widx * WAV_WINDOW + i) of the doc —
+    byte-TRUE via hex-pair math over hex(encode(text)) (`h`/`byte_len`
+    columns), exactly mirroring the Spark side's payload[i % m] byte
+    indexing on multibyte text (edge fuzz wave 7); ascii(substr(...))
+    indexed characters and returned codepoints, exact only on ASCII."""
+    byte_pos = f"(CAST((widx * {WAV_WINDOW} + i) % byte_len AS BIGINT) * 2 + 1)"
+    return f"(({_hexbyte_sql('h', byte_pos)} - 128) * 256)"
+
+
 def multimodal_wav_energy_oracle() -> str:
     from ..functions.codecs import WAV_RATE
 
     n_samples = "(1024 + (doc_id % 7) * 128)"
-    sample = (
-        "((ascii(substr(text, CAST((widx * {win} + i) % strlen(text) AS INT) + 1, 1)) - 64)"
-        " * 256)"
-    ).format(win=WAV_WINDOW)
+    sample = _wav_sample_sql()
     return f"""
         WITH wins AS (
-          SELECT doc_id, text,
+          SELECT doc_id, strlen(text) AS byte_len, hex(encode(text)) AS h,
                  CAST({n_samples} AS INT) AS n_samples,
                  unnest(range(0, {n_samples} // {WAV_WINDOW})) AS widx
-          FROM documents WHERE strlen(text) > 0
+          FROM documents WHERE text IS NOT NULL AND strlen(text) > 0
         )
         SELECT doc_id,
                {WAV_RATE} AS sample_rate,
@@ -599,21 +609,27 @@ def image_ahash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_ahash_dup_oracle() -> str:
     # Reproduce the 8x8 NN thumbnail's grayscale arithmetically from the
     # cyclic text->pixel map (same index algebra as multimodal_decode_ppm),
-    # then the strict-above-integer-mean bit rule.
+    # then the strict-above-integer-mean bit rule. Pixels index the UTF-8
+    # BYTE payload (Spark slices payload bytes), so the channel reads go
+    # through the hex-pair math — ascii(substr(...)) indexed characters
+    # and returned codepoints, exact only on ASCII (edge fuzz wave 7).
     s = AHASH_SIDE
     w = "(8 + doc_id % 8)"
     h = "(6 + doc_id % 6)"
     sx = f"(((p % {s}) * {w}) // {s})"
     sy = f"(((p // {s}) * {h}) // {s})"
     base = f"((({sy} * {w}) + {sx}) * 3)"
-    chan = (
-        f"ascii(substr(text, CAST(({base} + {{c}}) % strlen(text) AS INT) + 1, 1))"
-    )
+    chan_pos = f"(CAST(({base} + {{c}}) % byte_len AS BIGINT) * 2 + 1)"
+    chan = _hexbyte_sql("h", chan_pos)
     gray = f"(({chan.format(c=0)} + {chan.format(c=1)} + {chan.format(c=2)}) // 3)"
     return f"""
-        WITH grays AS (
+        WITH hx AS (
+          SELECT doc_id, strlen(text) AS byte_len, hex(encode(text)) AS h
+          FROM documents WHERE text IS NOT NULL AND strlen(text) > 0
+        ),
+        grays AS (
           SELECT doc_id, [{gray} for p in range(0, {s * s})] AS g
-          FROM documents WHERE strlen(text) > 0
+          FROM hx
         ),
         bits AS (
           SELECT doc_id,
@@ -678,15 +694,12 @@ def audio_vad_segments_oracle() -> str:
     from ..functions.codecs import WAV_RATE  # noqa: F401  (doc parity)
 
     n_samples = "(1024 + (doc_id % 7) * 128)"
-    sample = (
-        "((ascii(substr(text, CAST((widx * {win} + i) % strlen(text) AS INT) + 1, 1)) - 64)"
-        " * 256)"
-    ).format(win=WAV_WINDOW)
+    sample = _wav_sample_sql()
     return f"""
         WITH wins AS (
-          SELECT doc_id, text,
+          SELECT doc_id, strlen(text) AS byte_len, hex(encode(text)) AS h,
                  unnest(range(0, {n_samples} // {WAV_WINDOW})) AS widx
-          FROM documents WHERE strlen(text) > 0
+          FROM documents WHERE text IS NOT NULL AND strlen(text) > 0
         ),
         energy AS (
           SELECT doc_id, CAST(widx AS INT) AS window_idx,
