@@ -127,6 +127,11 @@ def main() -> None:
     WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
     timings, total = one_pass()
     warm_runs = [one_pass()[0] for _ in range(WARM_PASSES)]
+    # release registry-pinned frames (cachereg) so a bench run leaves the
+    # session with zero cache pins — the persist-leak audit's release point
+    from etl_schema_spark.operators.cachereg import release_pins
+
+    release_pins()
     warm_med = {
         k: sorted(run[k] for run in warm_runs)[WARM_PASSES // 2] for k in timings
     }

@@ -23,9 +23,8 @@ The window/best-per-key dedup variant lives in rollups.dedup_best_per_user
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import cpu_parallel, load_table
 
@@ -142,13 +141,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_T
     verification join — and tokenize+shingle+hash is the dominant per-row
     cost; without the persist Spark recomputes it per reference (measured
     ~2.5x the operator wall time at sf0.1). At cluster scale this is the
-    standard stage-materialization of a set-similarity join.
+    standard stage-materialization of a set-similarity join. Both pins go
+    through the cachereg registry (ADVICE r5 leak class): a repeat
+    invocation releases the previous frames, so a long session holds at
+    most one pinned pair, and bench/sweep harnesses release_pins() at
+    exit.
     """
-    docs = (
+    from .cachereg import swap_pin
+
+    docs = swap_pin(
+        "dedup_ngram_jaccard.shingles",
         _shingled_docs(spark, sf_dir)
         .filter(F.size("shingles") > 0)
-        .select("doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(
+            "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
+        ),
     )
     posting = docs.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
@@ -181,8 +188,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_T
                 (F.size("by_rarity") - F.ceil(F.size("by_rarity") * tau) + 1).cast("int"),
             ).alias("prefix"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the self-join
     )
+    # feeds both sides of the self-join; registry-pinned (no accumulation)
+    ordered = swap_pin("dedup_ngram_jaccard.prefix", ordered)
     pref = ordered.select("doc_id", "n_sh", F.explode("prefix").alias("shingle"))
     a = pref.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = pref.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
@@ -721,37 +729,76 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction that exact doc-level dedup cannot see and paragraph chunking
     blurs.
 
-    Plan: windows are built in-row (sequence + transform + explode of md5
-    hashes — 2·len/stride narrow rows per doc, never the text itself);
-    window→doc-count aggregates with map-side partials on the uniform md5
-    key; the per-window flag joins back on the same key; one final per-doc
-    aggregate. At 100 TB every shuffle is keyed on uniform hashes with no
-    skew axis, and payloads are (hash, id) pairs only.
+    Plan: window hashes are generated in ONE linear Arrow mapInPandas
+    pass per document (the substring_repeat_ladder discipline): the
+    expression form `substring(text, i, W)` walks UTF-8 bytes to char
+    position i, so hashing a window at every stride position is O(len²)
+    per document — 461-478 s for a single 1.8 MB doc on the long-document
+    probe, where CPython's O(1) str slicing (PEP 393) takes seconds. Text
+    stays executor-local; only narrow (doc_id, whash) rows leave the
+    worker. Downstream is a single computation chain with NO persist
+    (the r6 form pinned the window frame in MEMORY_AND_DISK and never
+    released it — the ADVICE-r5 leak class): (whash, doc_id) pair counts
+    first (one shuffle, map-side partials on the uniform md5 key), the
+    cross-doc count as a whash-partition window over the pair table
+    (bounded by docs-per-window, not window occurrences), then the
+    per-doc aggregate. Every shuffle is keyed on uniform hashes.
     """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
     docs = cpu_parallel(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).filter(F.length("text") >= SUBSTR_WIN)
-    whash = F.explode(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.length("text") - (SUBSTR_WIN - 1), F.lit(SUBSTR_STRIDE)
-            ),
-            lambda i: F.md5(F.col("text").substr(i, F.lit(SUBSTR_WIN))),
-        )
-    ).alias("whash")
-    wins = docs.select("doc_id", whash).persist(StorageLevel.MEMORY_AND_DISK)
-    hash_docs = (
-        wins.distinct()
-        .groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+
+    win_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("whash", T.StringType()),
+        ]
     )
-    flagged = wins.join(hash_docs, "whash").withColumn(
-        "is_dup", (F.col("n_docs_with") >= 2).cast("int")
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "whash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i in range(0, len(text) - (SUBSTR_WIN - 1), SUBSTR_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["whash"].append(
+                        md5(text[i : i + SUBSTR_WIN].encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "whash": pd.Series(out["whash"], dtype="object"),
+                }
+            )
+
+    wins = docs.mapInPandas(window_batches, win_schema)
+    per_pair = wins.groupBy("whash", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_win_in_doc")
+    )
+    w_hash = Window.partitionBy("whash")
+    flagged = per_pair.withColumn(
+        "is_dup", (F.count(F.lit(1)).over(w_hash) >= 2).cast("int")
     )
     return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        F.sum("is_dup").cast("bigint").alias("n_dup_windows"),
-        (F.floor(F.sum("is_dup") / F.count(F.lit(1)) * 1e6) / 1e6).alias("dup_frac"),
+        F.sum("n_win_in_doc").cast("bigint").alias("n_windows"),
+        F.sum(F.col("is_dup") * F.col("n_win_in_doc"))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+        (
+            F.floor(
+                F.sum(F.col("is_dup") * F.col("n_win_in_doc"))
+                / F.sum("n_win_in_doc")
+                * 1e6
+            )
+            / 1e6
+        ).alias("dup_frac"),
     )
 
 
@@ -794,17 +841,25 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     without shingles or signatures, which re-attach by two doc_id
     equi-joins — the same ids-first discipline as embedding_cosine_dup.
     """
+    from .cachereg import swap_pin
+
     docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-    sig = docs.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
-                for i in range(MINHASH_SEEDS)
-            ]
-        ).alias("minhash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # signature frame feeds the band explode AND both estimate re-joins;
+    # registry-pinned so repeat invocations release the previous frame
+    # (ADVICE r5 leak class)
+    sig = swap_pin(
+        "minhash_jaccard_estimate.signatures",
+        docs.select(
+            "doc_id",
+            "shingles",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
+                    for i in range(MINHASH_SEEDS)
+                ]
+            ).alias("minhash"),
+        ),
+    )
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     banded = sig.select(
         "doc_id",

@@ -703,6 +703,14 @@ def tokenizer_fertility_oracle() -> str:
 
 PMI_MIN_PAIR_DOCS = 5
 PMI_TOP_K = 50
+# Per-doc pair-domain cap (hot-doc probe, BENCH_NOTES): the doc-keyed
+# self-join emits distinct-tokens²/2 pairs per document into one reducer
+# key — the 1.8 MB probe doc alone is ~32M pairs and a 100k-distinct-token
+# doc would be ~5e9. Each doc contributes only its CAP lexicographically
+# smallest distinct tokens (deterministic and engine-portable: UTF-8
+# binary order), bounding per-doc fan-out at CAP²/2 ≈ 131k while typical
+# web docs (<512 distinct tokens) pass through uncapped.
+PMI_DOC_TOKEN_CAP = 512
 
 
 def pmi_cooccur_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,18 +723,30 @@ def pmi_cooccur_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reaches the ranking.
 
     Scale: tokens are distinct-reduced per doc BEFORE the pair build, and
-    pairs form via a (doc_id)-keyed self equi-join — per-doc fan-out is
-    bounded by distinct-tokens-per-doc squared (web-doc sized), and the
-    pair counting is one partial-aggregated groupBy. The final top-K is a
-    TakeOrdered over the (already aggregated) pair table, never a global
-    sort of raw pairs. Deterministic total order: (pmi desc, pair asc).
+    each doc contributes at most PMI_DOC_TOKEN_CAP distinct tokens (the
+    lexicographically smallest — deterministic on both engines), so the
+    (doc_id)-keyed self equi-join's per-doc fan-out is hard-bounded at
+    CAP²/2 instead of distinct-tokens² (one giant doc was ~32M pairs in
+    one reducer key on the hot-doc probe). Pair counting is one
+    partial-aggregated groupBy; the final top-K is a TakeOrdered over the
+    (already aggregated) pair table, never a global sort of raw pairs.
+    Deterministic total order: (pmi desc, pair asc).
     """
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.filter(
+                            F.split(F.lower("text"), r"\s+"),
+                            lambda t: t != F.lit(""),
+                        )
+                    )
+                ),
+                1,
+                PMI_DOC_TOKEN_CAP,
             )
         ).alias("tok"),
     )
@@ -763,9 +783,9 @@ def pmi_cooccur_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pmi_cooccur_terms_oracle() -> str:
     return rf"""
         WITH toks AS (
-          SELECT DISTINCT doc_id, unnest(
+          SELECT doc_id, unnest(list_slice(list_sort(list_distinct(
             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
-          ) AS tok
+          )), 1, {PMI_DOC_TOKEN_CAP})) AS tok
           FROM documents
         ),
         df_t AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),

@@ -453,6 +453,32 @@ def test_minhash_banded_candidates_release_signature_cache(spark, sf_dir):
     assert jsc.getPersistentRDDs().size() == before, "signature cache leaked"
 
 
+def test_registry_pins_do_not_accumulate(spark, sf_dir):
+    """The remaining persist sites (ngram_jaccard's shingle + prefix
+    frames, jaccard_estimate's signatures) go through cachereg.swap_pin:
+    a repeat invocation RELEASES the previous invocation's pins, so the
+    steady-state pin count is constant however many times the operators
+    run in one session, and release_pins() drops it to the baseline
+    (VERDICT r6 item 5 — the other half of the ADVICE-r5 leak class;
+    substring_dup_spans' pin is gone entirely with the Arrow rewrite)."""
+    from etl_schema_spark.operators.cachereg import release_pins
+
+    jsc = spark.sparkContext._jsc.sc()
+    release_pins()
+    baseline = jsc.getPersistentRDDs().size()
+    dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    dedup.substring_dup_spans(spark, sf_dir).collect()
+    after_one = jsc.getPersistentRDDs().size()
+    dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    dedup.substring_dup_spans(spark, sf_dir).collect()
+    dedup.minhash_jaccard_estimate(spark, sf_dir).collect()
+    dedup.minhash_jaccard_estimate(spark, sf_dir).collect()
+    # repeats added jaccard_estimate's single pin but accumulated nothing
+    assert jsc.getPersistentRDDs().size() <= after_one + 1, "pins accumulate"
+    assert release_pins() >= 3  # both jaccard pins + the signature pin
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
 def test_substring_repeat_ladder_oracle(spark, sf_dir, duck):
     assert_matches_oracle(
         dedup.substring_repeat_ladder(spark, sf_dir),

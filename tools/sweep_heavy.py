@@ -73,7 +73,13 @@ def main() -> None:
             f"| {d['mem_spill'] / mb:.0f} / {d['disk_spill'] / mb:.0f} MiB |",
             flush=True,
         )
-    # leak audit: the whole point of the one-session requirement
+    # leak audit: the whole point of the one-session requirement.
+    # Registry-pinned frames (cachereg) release here — the sweep's
+    # end-state must read zero pins, proving nothing leaks past an
+    # explicit release point.
+    from etl_schema_spark.operators.cachereg import release_pins
+
+    release_pins()
     jsc = spark.sparkContext._jsc.sc()
     print(
         f"\nend-of-sweep: persistentRDDs={jsc.getPersistentRDDs().size()} "
