@@ -41,7 +41,15 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-parallel and the aggregate is partial before its single shuffle.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # Value-domain contract (ADVICE r6): a VALID-JSON row whose k is not
+    # an INTEGRAL number ({"k":"x"}, {"k":12.5}) degrades to NULL like
+    # malformed JSON does — a bare ANSI cast aborts the whole job on one
+    # such row. The integral regex is load-bearing for parity: Spark's
+    # try_cast('12.5' as bigint) is NULL where DuckDB's TRY_CAST *rounds*
+    # to 13, so both engines gate on ^-?\d+$ before the cast; try_cast
+    # still guards bigint overflow past the regex.
+    k_str = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(k_str.rlike(r"^-?\d+$"), k_str).try_cast("bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -60,8 +68,14 @@ def json_extract_props_oracle() -> str:
     # try_cast(... AS JSON): malformed props must degrade to NULL exactly
     # like Spark's get_json_object — bare json_extract_string ERRORS on
     # invalid JSON and would crash the oracle on one bad row
-    # (tools/fuzz_edge_docs.py wave 3)
-    k = "CAST(json_extract_string(try_cast(props AS JSON), '$.k') AS BIGINT)"
+    # (tools/fuzz_edge_docs.py wave 3). Non-integral k degrades to NULL
+    # behind the same ^-?\d+$ gate as the Spark side — DuckDB's TRY_CAST
+    # ROUNDS '12.5' to 13 where Spark's try_cast yields NULL (ADVICE r6).
+    k_raw = "json_extract_string(try_cast(props AS JSON), '$.k')"
+    k = (
+        f"TRY_CAST(CASE WHEN regexp_matches({k_raw}, '^-?\\d+$')"
+        f" THEN {k_raw} END AS BIGINT)"
+    )
     return f"""
         SELECT event_type,
                COUNT(*) AS n,

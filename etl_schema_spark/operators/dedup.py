@@ -31,6 +31,18 @@ from ..sources.catalog import cpu_parallel, load_table
 JACCARD_TAU = 0.5
 MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
+# Per-bucket occupancy cap for the ids-only LSH candidate paths. On a
+# degenerate/templated corpus near-identical docs collide in EVERY band
+# bucket, so one bucket row would hold an O(N) collect_list array and one
+# task would materialize the C(N,2) pair explosion (executor OOM/skew).
+# Each bucket contributes only its CAP smallest doc_ids (deterministic,
+# row_number before the aggregate — bounds the agg buffer at CAP ids and
+# the explode at C(CAP,2) ≈ 524k pairs), mirrored by QUALIFY in the
+# oracles. Past the cap the corpus is a near-identical mega-cluster where
+# pair-shaped output is the wrong shape anyway — the cluster-shaped
+# family (semdedup/dup_components/canonical_pick) is the documented
+# scale path (BENCH_NOTES, label-skew probe).
+LSH_BUCKET_CAP = 1024
 
 
 def _normalized() -> Column:
@@ -278,7 +290,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     Ids-only candidate generation (same shape as
     ``_minhash_banded_candidates``): only (doc_id, band, bucket) rides the
     band shuffle, per-bucket pairs come from a sorted collect_list +
-    double explode, and shingle arrays re-attach after the pair dedupe.
+    double explode (occupancy hard-capped at LSH_BUCKET_CAP so a
+    templated corpus cannot concentrate an O(N) bucket into one task),
+    and shingle arrays re-attach after the pair dedupe.
     The r5 version persisted the signature frame to share it across the
     band self-join's two sides; that persist stayed pinned in the cache
     manager forever (ADVICE r5 leak class). Now the MinHash map stage
@@ -316,8 +330,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
             )
         ).alias("band", "bucket"),
     )
+    w_bucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
     pairs = (
-        banded.groupBy("band", "bucket")
+        banded.withColumn("_rn", F.row_number().over(w_bucket))
+        .filter(F.col("_rn") <= LSH_BUCKET_CAP)  # occupancy cap, see constant
+        .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
         .select(F.posexplode("ids").alias("_i", "doc_a"), F.col("ids"))
@@ -352,9 +369,11 @@ def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ids-only candidate generation (the embedding_cosine_dup shape): only
     (doc_id, bucket) rides the band shuffle; per-bucket pairs come from a
-    sorted collect_list + double explode (bucket occupancy is banding-
-    bounded), and shingle arrays re-attach AFTER the pair dedupe via two
-    doc_id equi-joins. This replaces the r5 self-join over a persisted
+    sorted collect_list + double explode, occupancy hard-capped at
+    LSH_BUCKET_CAP (banding bounds occupancy only on non-adversarial
+    corpora — a templated corpus collides a whole near-identical cluster
+    into every band bucket), and shingle arrays re-attach AFTER the pair
+    dedupe via two doc_id equi-joins. This replaces the r5 self-join over a persisted
     signature frame — that persist stayed pinned in the cache manager
     forever (ADVICE r5, the streaming drain-leak class), and the wide
     shingle arrays rode both the band join and the pair dedupe shuffle.
@@ -389,8 +408,11 @@ def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    w_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     pairs = (
-        banded.groupBy("bucket")
+        banded.withColumn("_rn", F.row_number().over(w_bucket))
+        .filter(F.col("_rn") <= LSH_BUCKET_CAP)  # occupancy cap, see constant
+        .groupBy("bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
         .select(F.posexplode("ids").alias("_i", "doc_a"), F.col("ids"))
@@ -456,8 +478,13 @@ def dedup_minhash_portable_oracle(tau: float = JACCARD_TAU) -> str:
         sig AS (
           SELECT doc_id, shingles, [{sig_list}] AS mh FROM s
         ),
-        banded AS (
+        banded_all AS (
           SELECT doc_id, shingles, unnest([{bucket_list}]) AS bucket FROM sig
+        ),
+        banded AS (
+          SELECT * FROM banded_all
+          QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                  <= {LSH_BUCKET_CAP}
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1400,8 +1427,13 @@ def minhash_pr_eval_oracle(tau: float = JACCARD_TAU) -> str:
         sig AS (
           SELECT doc_id, shingles, [{sig_list}] AS mh FROM s
         ),
-        banded AS (
+        banded_all AS (
           SELECT doc_id, shingles, unnest([{bucket_list}]) AS bucket FROM sig
+        ),
+        banded AS (
+          SELECT * FROM banded_all
+          QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                  <= {LSH_BUCKET_CAP}
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -101,11 +101,35 @@ def test_edge_corpus_oracle_parity(name, spark, edge_dir, edge_duck):
     )
 
 
-# wave 5 (non-finite events.value) is an r7 lead item: 20 entries fail on
-# the --wave5 corpus; the two inside the r6 scored window are fixed now
-# (local finite-value domain guards) and pinned here against the wave-5
-# corpus. The other 18 rotate in r7 with the central _vdec contract.
-WAVE5_FIXED = ["tail_latency_percentiles", "gapfill_locf"]
+# wave 5 (non-finite events.value): the central finite-value contract
+# (operators/contracts.py — isfinite AND |v| < 1e12, non-finite degrades
+# to NULL on both engines) landed in r7 across every events.value
+# consumer; the full fuzz run is 174/174. Pinned here: the two r6
+# in-window fixes plus all 18 rotated entries and mad_outliers
+# (ADVICE r6 — same finite-domain filter as its sibling).
+WAVE5_FIXED = [
+    "tail_latency_percentiles",
+    "gapfill_locf",
+    "churned_users",
+    "corr_value_hour",
+    "gapfill_interp",
+    "histogram_quantile_sketch",
+    "linear_trend",
+    "mad_outliers",
+    "multistream_throughput",
+    "rfm_features",
+    "running_totals",
+    "seasonal_baseline",
+    "sessionized_events",
+    "sidestream_view",
+    "sliding_window_stats",
+    "static_mapping",
+    "streaming_ewma_flags",
+    "switch_utilization",
+    "time_weighted_value",
+    "top_clients_per_type",
+    "zscore_outliers",
+]
 
 
 @pytest.fixture(scope="module")
@@ -136,16 +160,30 @@ def test_wave5_corpus_oracle_parity(name, spark, wave5_dir, wave5_duck):
     )
 
 
-# wave 6 (NULL-key / NULL-payload rows): the five in-window document
-# consumers are fixed (NULL text/payload excluded from the chunk/decode
-# domain on both sides) and pinned here; 10 out-of-window entries stay
-# r7 scope (SURVEY §7).
+# wave 6 (NULL-key / NULL-payload rows): the NULL-key domain contract
+# (NULL keys/payloads excluded at the scan on both engines) landed in r7
+# across every keyed consumer; the full fuzz run is 174/174. Pinned
+# here: the five r6 in-window document consumers plus the 10 rotated
+# keyed entries and json_extract_props (valid-JSON non-integral k —
+# DuckDB TRY_CAST rounds '12.5' where Spark NULLs; both gate on the
+# integral regex now).
 WAVE6_FIXED = [
     "multimodal_meta",
     "multimodal_frame_sample",
     "multimodal_resize",
     "doc_chunks",
     "chunk_dedup",
+    "annotate_renest",
+    "churned_users",
+    "corr_value_hour",
+    "json_extract_props",
+    "linear_trend",
+    "pack_efficiency_sweep",
+    "pack_sequences",
+    "reservoir_sample_per_key",
+    "skew_salted_daily_users",
+    "source_token_budget",
+    "streaming_topk_keys",
 ]
 
 
@@ -191,6 +229,16 @@ WAVE7_FIXED = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_decode_ppm",
+    # r7 rotation: wav/vad byte->sample map recentered at 128 (a UTF-8
+    # continuation byte overflowed struct.pack('h') and killed the Arrow
+    # worker), byte-true hex-pair oracles for the pixel/sample stand-ins,
+    # char-true length in source_quality_profile's oracle, ASCII-domain
+    # levenshtein for the typo-dup pair (DuckDB counts bytes, Spark chars)
+    "multimodal_wav_energy",
+    "audio_vad_segments",
+    "image_ahash_dup",
+    "source_quality_profile",
+    "dedup_editdistance",
 ]
 
 
@@ -223,11 +271,12 @@ def test_wave7_corpus_oracle_parity(name, spark, wave7_dir, wave7_duck):
 
 
 def test_wave7_rows_stay_gated(tmp_path):
-    """The wave-7 multibyte docs would fail 5 out-of-window entries
-    (wav_energy/audio_vad crash in struct.pack on bytes >= 0x80;
-    editdistance's DuckDB levenshtein counts bytes; image_ahash pixels and
-    source_quality_profile's strlen are byte-indexed) — the default corpus
-    must stay ASCII; --wave7 plants exactly the five multibyte docs."""
+    """Corpus-composition pin: the default corpus stays ASCII and --wave7
+    plants exactly the five multibyte docs. The r7 rotation fixed the
+    five formerly-failing entries (wav/vad int16 recenter, byte-true
+    oracles, ASCII levenshtein domain — pinned in WAVE7_FIXED above), so
+    this now guards corpus determinism, not known divergence: the
+    always-on gate's row set must not drift when waves are added."""
     import duckdb as _duck
 
     fuzz = _load_fuzz()

@@ -212,41 +212,36 @@ def test_stale_entries_sort_into_scored_window():
     names, _ = _registry_order_and_cap()
     scored = set(names[:50])
     fresh = vf.freshness()
-    # r6 one-round defer (expires r7): the union of changed + r2-era
-    # entries is 53 for a 50-slot window. These three carry a HELPER-ONLY,
-    # result-neutral change (the r5 run_available_now drain fix — full
-    # local gate green, and two siblings of the identical change class
-    # sit INSIDE the window as scored representatives). An entry whose
-    # OWN function changed may never be deferred.
+    # r7 one-round defer (expires r8): the wave-5/6/7 contract rollout +
+    # the scale-killer rewrites put 39 own-changed entries in the window,
+    # leaving 11 slots for 20 helper-changed entries. Every entry the r6
+    # allowlist deferred that is still helper-stale sits IN-window this
+    # round (the allowlist retires scored, not exempted) except fn_pdf/
+    # fn_geomean and streaming hourly/session, each of whose change class
+    # gains a NEWLY-SCORED in-window owner below. An entry whose OWN
+    # function changed may never be deferred.
     DEFERRED_HELPER_ONLY = {
-        # r5 run_available_now drain fix (rep in-window:
-        # streaming_attribution_join; hopping_counts joined the deferral
-        # when fuzz wave 4's finite-vector guard made jl_projection
-        # own-changed and it took the slot)
-        "streaming_hourly_counts",
-        "streaming_session_windows",
-        "streaming_distinct_keys",
-        "streaming_hopping_counts",
-        # grouped_running_sum helper change (reps in-window:
-        # mad_outliers, tail_latency_percentiles — own-changed r6)
-        "pack_sequences",
-        "source_token_budget",
-        # extended_view k_value try_cast (r6 fuzz wave 3): the changed
-        # function ITSELF — extended_view_events — is own-changed and
-        # scored in-window; these compose it unchanged
-        "daily_deciles",
-        "dedup_best_per_user",
+        # thin parameterizations of log_pdf_cdf / geomean_by_type — the
+        # shared metric machinery is scored in-window through the twins
         "fn_geomean_download_complete",
         "fn_pdf_upload_2021",
-        "log_pdf_cdf",
-        "autojoin_tiered_counts",
-        "geomean_by_type",
-        "sidestream_view",
-        "hourly_rollup",
-        "tiered_views",
-        "unified_view_events",
-        # _gopher_flag_cols (rep in-window: gopher_quality_flags, own-changed)
-        "curation_pipeline",
+        # r5 run_available_now drain helper (reps in-window this round:
+        # streaming_distinct_keys, streaming_hopping_counts — same class,
+        # newly scored; plus own-changed ewma_flags/topk_keys)
+        "streaming_hourly_counts",
+        "streaming_session_windows",
+        # dup-graph family consumes dedup pair frames whose producers
+        # (dedup_ngram_jaccard, minhash_jaccard_estimate,
+        # substring_dup_spans, minhash_pr_eval) are in-window own-changed
+        # — the helper change is the cachereg pin lifecycle + LSH
+        # occupancy cap, result-neutral below CAP occupancy
+        "dedup_impact_curve",
+        "dup_cluster_stats",
+        "dup_components",
+        "dup_pagerank",
+        # shares the _vdec finite-value contract with 17 in-window
+        # own-changed wave-5 owners (sliding_window_stats, zscore, ...)
+        "time_weighted_value",
     }
     for k in DEFERRED_HELPER_ONLY:
         assert fresh[k].get("reason") == "helper changed", (

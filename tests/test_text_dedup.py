@@ -541,3 +541,34 @@ def test_repeat_ladder_alignment_free(spark, tmp_path):
     for w in (16, 32, 64, 128, 256):
         assert out[w].dup_windows > 0, f"rung {w} missed the unaligned repeat"
         assert out[w].docs_with_dup == 5, (w, out[w])
+
+
+def test_lsh_bucket_occupancy_cap(spark, tmp_path, monkeypatch):
+    """A templated corpus collides a whole near-identical cluster into
+    every band bucket (ADVICE r6): per-bucket occupancy is hard-capped at
+    LSH_BUCKET_CAP before the collect_list, so no single task holds an
+    O(N) array / C(N,2) explode. Deterministic on both engines: cap 3
+    over 6 identical docs yields exactly C(3,2)=3 verified pairs (the 3
+    smallest doc_ids), not C(6,2)=15 — and the oracle's QUALIFY mirrors
+    the selection bit-for-bit."""
+    import duckdb as _duck
+
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 3)
+    d = str(tmp_path)
+    con = _duck.connect()
+    con.execute(
+        "COPY (SELECT CAST(i AS BIGINT) AS doc_id,"
+        " 'one shared template body repeated verbatim across every doc"
+        " in the cluster' AS text FROM range(6) t(i))"
+        f" TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    out = dedup.dedup_minhash_portable(spark, d)
+    rows = out.collect()
+    assert len(rows) == 3, rows
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 1), (0, 2), (1, 2)}
+    assert_matches_oracle(out, con, dedup.dedup_minhash_portable_oracle())
+    # the production xxhash64 path applies the same cap
+    assert dedup.dedup_minhash_lsh(spark, d).count() == 3

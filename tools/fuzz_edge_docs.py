@@ -252,7 +252,11 @@ def build_corpus(
             (900009, TIMESTAMP '2024-01-05 10:00:00.000000', 900004,
              'view',   10.0,  '{{"k": '),
             (900010, TIMESTAMP '2024-01-05 11:00:00.000000', 900004,
-             'view',   11.0,  'not json at all'){wave5_rows}{wave6_event_rows}
+             'view',   11.0,  'not json at all'),
+            (900021, TIMESTAMP '2024-01-05 12:00:00.000000', 900004,
+             'view',   12.0,  '{{"k": "x"}}'),
+            (900022, TIMESTAMP '2024-01-05 13:00:00.000000', 900004,
+             'view',   13.0,  '{{"k": 12.5}}'){wave5_rows}{wave6_event_rows}
           ) v(event_id, ts, user_id, event_type, value, props){wave9_events_sql}
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
