@@ -173,19 +173,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, tau: float = JACCARD_T
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
     # Global order: rarest first, shingle hash as tie-break (total order).
-    # df and the per-doc re-group are fused into one shuffle chain
-    # (groupBy shingle carrying the postings list, explode back, groupBy
-    # doc) instead of a separate dfreq aggregate + join — one fewer
-    # full-postings shuffle, same result.
-    by_shingle = posting.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"),
-    )
+    # df attaches by a shingle-keyed equi-join, NOT by carrying a
+    # collect_list postings array through the df aggregate: a corpus-
+    # common shingle (stopword trigram) holds O(docs-with-shingle) rows,
+    # and the fused groupBy(shingle).collect_list(docs) form concentrated
+    # that whole postings list into ONE agg buffer / task — the same
+    # single-row blowup class as the LSH bucket cap (ADVICE r6), except
+    # unbounded by banding. The count aggregate is fixed-state with
+    # map-side partials, and the df join distributes the hot shingle's
+    # rows across tasks (AQE skew-split handles the residual imbalance).
+    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        by_shingle.select("df", "shingle", F.explode("docs").alias("d"))
-        .groupBy(F.col("d.doc_id").alias("doc_id"))
+        posting.join(dfreq, "shingle")
+        .groupBy("doc_id")
         .agg(
-            F.any_value(F.col("d.n_sh")).alias("n_sh"),
+            F.any_value(F.col("n_sh")).alias("n_sh"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "shingle"))),
                 lambda s: s["shingle"],

@@ -37,6 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_BASE = "/root/testdata/sf0.001"
 BUDGET_S = float(os.environ.get("PROBE_BUDGET_S", "60"))
 HOT_EVENTS = int(os.environ.get("PROBE_HOT_EVENTS", "50000"))
+# opt-in templated-cluster axis: N IDENTICAL docs collide in every LSH
+# band bucket — the adversarial shape behind the LSH_BUCKET_CAP
+# (ADVICE r6). Set above the 1024 cap (e.g. 2200) to prove the ids-only
+# candidate paths complete with bounded single-task cost; 0 = off so the
+# default probe numbers stay comparable round-over-round.
+TEMPLATE_DOCS = int(os.environ.get("PROBE_TEMPLATE_DOCS", "0"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -78,6 +84,18 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
         if t not in ("documents", "events"):
             shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con = duckdb.connect()
+    template_rows = (
+        f"""
+          UNION ALL
+          SELECT 941000 + i,
+                 'one shared template body repeated verbatim across'
+                 || ' every replica of the cluster alpha beta gamma delta'
+                 || ' epsilon zeta eta theta',
+                 'en', 'edge', 0
+          FROM (SELECT unnest(range(0, {TEMPLATE_DOCS})) AS i)"""
+        if TEMPLATE_DOCS
+        else ""
+    )
     con.sql(
         f"""
         COPY (
@@ -89,7 +107,7 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
                                   for i in range(1, 150000)], ' '),
                  'en', 'edge', 0
           UNION ALL
-          SELECT 940002, repeat('spam ', 40000), 'en', 'edge', 0
+          SELECT 940002, repeat('spam ', 40000), 'en', 'edge', 0{template_rows}
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
