@@ -31,6 +31,20 @@ from ..sources.catalog import load_table
 N_QUERIES = 5
 TOP_K = 10
 COSINE_TAU = 0.4
+# Per-bucket occupancy cap for embedding_cosine_dup's banded candidate
+# join (VERDICT r6 item 9 — the embedding twin of dedup.LSH_BUCKET_CAP).
+# The (band, key) equi-join distributes pair generation across tasks, so
+# unlike the collect_list paths nothing concentrates into ONE row — but a
+# near-identical mega-cluster still makes the pair OUTPUT C(cluster, 2):
+# 10M templated embeddings would emit 5e13 pairs and the job never
+# finishes. Each bucket contributes only its CAP smallest vec_ids
+# (row_number before the join, QUALIFY-mirrored in the oracle), bounding
+# output at bands * buckets * C(CAP, 2). Past the cap the corpus is a
+# mega-cluster where pair-shaped output is the wrong shape anyway — the
+# cluster-shaped family (semdedup_clusters / dup_components /
+# canonical_pick) is the documented scale path (BENCH_NOTES label-skew
+# probe).
+COSINE_BUCKET_CAP = 1024
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -185,6 +199,12 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     ~2.4k vectors the family widens per _adaptive_band_params; at every
     driver scale the params resolve to the 4×4 baseline the static oracle
     SQL encodes, so oracle parity is unaffected where the oracle runs.
+
+    Bucket occupancy is additionally hard-capped at COSINE_BUCKET_CAP
+    (row_number per (band, key) before the candidate join, QUALIFY-mirrored
+    in the oracle) so a templated mega-cluster cannot make the pair output
+    C(cluster, 2) — see the constant's comment for the bound and the
+    cluster-shaped escape hatch.
     """
     emb = load_vectors(spark, sf_dir)
     # Parquet count-star resolves from footer metadata — a cheap action that
@@ -192,7 +212,13 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     n_bits, n_bands = _adaptive_band_params(emb.count())
     keyed = emb.select("vec_id", *_band_key_cols(F.col("embedding"), n_bits, n_bands))
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
-    ids = keyed.select("vec_id", F.posexplode(bands).alias("band", "key"))
+    w_bucket = Window.partitionBy("band", "key").orderBy("vec_id")
+    ids = (
+        keyed.select("vec_id", F.posexplode(bands).alias("band", "key"))
+        .withColumn("_rn", F.row_number().over(w_bucket))
+        .filter(F.col("_rn") <= COSINE_BUCKET_CAP)  # occupancy cap, see constant
+        .drop("_rn")
+    )
     pairs = (
         ids.select(F.col("vec_id").alias("vec_a"), "band", "key")
         .join(ids.select(F.col("vec_id").alias("vec_b"), "band", "key"), ["band", "key"])
@@ -221,7 +247,9 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
 
 
 def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
-    band_match = " OR ".join(f"a.k{b} = b.k{b}" for b in range(LSH_BANDS))
+    exploded = "\n          UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(LSH_BANDS)
+    )
     return finite_scan(f"""
         WITH sig AS (
           SELECT vec_id, embedding,
@@ -230,10 +258,25 @@ def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
         ),
         keys AS (
           SELECT vec_id, embedding, {_lsh_key_exprs_sql()} FROM sig
+        ),
+        exploded AS (
+          {exploded}
+        ),
+        capped AS (
+          SELECT * FROM exploded
+          QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY vec_id)
+                  <= {COSINE_BUCKET_CAP}
+        ),
+        cand AS (
+          SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b
+          FROM capped ca JOIN capped cb
+            ON ca.band = cb.band AND ca.key = cb.key AND ca.vec_id < cb.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT c.vec_a, c.vec_b,
                FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
-        FROM keys a JOIN keys b ON a.vec_id < b.vec_id AND ({band_match})
+        FROM cand c
+        JOIN keys a ON a.vec_id = c.vec_a
+        JOIN keys b ON b.vec_id = c.vec_b
         WHERE ({_COS_SQL}) >= {tau}
         ORDER BY vec_a, vec_b
     """)
