@@ -213,8 +213,8 @@ def test_stale_entries_sort_into_scored_window():
     scored = set(names[:50])
     fresh = vf.freshness()
     # r7 one-round defer (expires r8): the wave-5/6/7 contract rollout +
-    # the scale-killer rewrites put 39 own-changed entries in the window,
-    # leaving 11 slots for 20 helper-changed entries. Every entry the r6
+    # the scale-killer rewrites put 40 own-changed entries in the window,
+    # leaving 10 slots for 20 helper-changed entries. Every entry the r6
     # allowlist deferred that is still helper-stale sits IN-window this
     # round (the allowlist retires scored, not exempted) except fn_pdf/
     # fn_geomean and streaming hourly/session, each of whose change class
@@ -242,6 +242,11 @@ def test_stale_entries_sort_into_scored_window():
         # shares the _vdec finite-value contract with 17 in-window
         # own-changed wave-5 owners (sliding_window_stats, zscore, ...)
         "time_weighted_value",
+        # displaced by embedding_cosine_dup (own-changed: bucket occupancy
+        # cap) — its helper class (views_layer.extended_view /
+        # _EXTENDED_SQL) keeps 5 in-window owners: unified_view_events,
+        # daily_deciles, dedup_best_per_user, geomean_by_type, log_pdf_cdf
+        "hourly_rollup",
     }
     for k in DEFERRED_HELPER_ONLY:
         assert fresh[k].get("reason") == "helper changed", (
