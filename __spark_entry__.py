@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_portable": dedup.dedup_minhash_portable,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "embedding_cosine_dup": similarity.embedding_cosine_dup,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
         "gapfill_interp": analytics.gapfill_interp,
         "gapfill_locf": analytics.gapfill_locf,
         "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
@@ -113,7 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry's verdict (result-neutral per the local gate + edge
         # fuzz); these 11 include every r6-deferred entry still
         # helper-stale — the r6 allowlist retires scored, not exempted --
-        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
         "curation_pipeline": curation.curation_pipeline,
         "daily_deciles": rollups.daily_deciles,
         "dedup_best_per_user": rollups.dedup_best_per_user,
@@ -125,20 +125,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unified_view_events": views_layer.unified_view,
         # ---------------- 50-entry scoring cap lands here ----------------
         # deferred helper-only entries lead the r8 rotation (window
-        # holds 50 = 40 own-changed + 10 helper-changed; the
-        # embedding_cosine_dup occupancy cap displaced hourly_rollup).
-        # Each deferral keeps newly-scored in-window owners of the SAME
-        # change class: fn_pdf/fn_geomean are thin parameterizations of
-        # log_pdf_cdf/geomean_by_type (in-window); streaming
-        # hourly/session share the drain helper with
-        # distinct_keys/hopping_counts (in-window); the dup-graph family
-        # consumes dedup pair frames whose producers (ngram_jaccard,
-        # jaccard_estimate, dup_spans) are in-window own-changed;
-        # time_weighted_value shares the _vdec contract with 17 in-window
-        # wave-5 owners; hourly_rollup's helper class (extended_view /
-        # _EXTENDED_SQL) keeps 5 in-window owners (unified_view_events,
-        # daily_deciles, dedup_best_per_user, geomean_by_type,
-        # log_pdf_cdf). Pinned in tests/test_plan_audit.py -------------
+        # holds 50 = 41 own-changed + 9 helper-changed; the
+        # embedding_cosine_dup occupancy cap displaced hourly_rollup and
+        # the embedding_decontaminate witness/eval-bucket caps displaced
+        # autojoin_tiered_counts). Each deferral keeps newly-scored
+        # in-window owners of the SAME change class: fn_pdf/fn_geomean
+        # are thin parameterizations of log_pdf_cdf/geomean_by_type
+        # (in-window); streaming hourly/session share the drain helper
+        # with distinct_keys/hopping_counts (in-window); the dup-graph
+        # family consumes dedup pair frames whose producers
+        # (ngram_jaccard, jaccard_estimate, dup_spans) are in-window
+        # own-changed; time_weighted_value shares the _vdec contract
+        # with 17 in-window wave-5 owners; hourly_rollup's helper class
+        # (extended_view / _EXTENDED_SQL) keeps 5 in-window owners
+        # (unified_view_events, daily_deciles, dedup_best_per_user,
+        # geomean_by_type, log_pdf_cdf); autojoin_tiered_counts' helper
+        # class (_kval_sql) keeps tiered_views in-window. Pinned in
+        # tests/test_plan_audit.py -------------------------------------
+        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
         "dedup_impact_curve": dedup.dedup_impact_curve,
         "dup_cluster_stats": graph.dup_cluster_stats,
         "dup_components": graph.dup_components,
@@ -240,7 +244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": packing.doc_chunks,
         "doc_entropy": text.doc_entropy,
         "domain_mix_weights": packing.domain_mix_weights,
-        "embedding_decontaminate": similarity.embedding_decontaminate,
         "embedding_outliers": similarity.embedding_outliers,
         "embedding_quantize": similarity.embedding_quantize,
         "extended_view_events": views_layer.extended_view,

@@ -864,6 +864,26 @@ def ann_ivf_topk_oracle() -> str:
 
 DECON_EVAL_MOD = 10  # md5(vec_id) % 10 == 0 -> held-out "eval" split (~10%)
 DECON_TAU = COSINE_TAU
+# Witness cap: a train item is dropped because SOME eval item matches it;
+# the drop decision needs at most a few witnesses, never the full
+# (train x eval) pair matrix. A templated cluster spanning both splits
+# otherwise makes the output |train ∩ cluster| * |eval ∩ cluster| —
+# measured quadratic by the TEMPLATE_VECS availability probe (460k pairs
+# at 2200 replicas, 1.79M at 4400). Keep the top-W eval witnesses per
+# train item (trunc6 cosine desc, eval_id asc — deterministic both
+# engines), bounding output at |train| * W: linear in the corpus.
+DECON_WITNESS_CAP = 8
+# Candidate-side bound: cap EVAL occupancy per (band, key) bucket. A
+# train item in bucket B collides with every eval in B, so keeping any
+# nonempty eval subset of B preserves collision-EXISTENCE for every
+# colliding train item — contaminated train items are never missed, only
+# which witnesses surface changes (deterministically: smallest eval_ids,
+# QUALIFY-mirrored). Without this the exact-cosine verify count is
+# |train ∩ cluster| * |eval ∩ cluster| (quadratic in a templated
+# cluster); with it, <= |train| * CAP * bands (linear). Train occupancy
+# is NOT capped — dropping train candidates would false-negative the
+# drop list.
+DECON_EVAL_BUCKET_CAP = 64
 
 
 def embedding_decontaminate(
@@ -885,7 +905,10 @@ def embedding_decontaminate(
     re-attach by vec_id equi-join for verification. Real eval suites are
     tiny relative to the corpus, so the eval band table broadcasts and
     the train side never shuffles — the same asymmetry the n-gram
-    decontamination exploits.
+    decontamination exploits. Output is bounded at DECON_WITNESS_CAP
+    eval witnesses per train item (QUALIFY-mirrored in the oracle) so a
+    templated cluster spanning both splits cannot make the pair matrix
+    quadratic — see the constant's comment for the probe receipts.
     """
     emb = load_vectors(spark, sf_dir)
     # Same fixed-width-is-quadratic hazard as embedding_cosine_dup: with
@@ -906,16 +929,18 @@ def embedding_decontaminate(
     )
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     ids = keyed.select("vec_id", "is_eval", F.posexplode(bands).alias("band", "key"))
+    w_ebucket = Window.partitionBy("band", "key").orderBy("eval_id")
+    eval_ids = (
+        ids.filter(F.col("is_eval") == 1)
+        .select(F.col("vec_id").alias("eval_id"), "band", "key")
+        .withColumn("_rn", F.row_number().over(w_ebucket))
+        .filter(F.col("_rn") <= DECON_EVAL_BUCKET_CAP)  # eval occupancy cap
+        .drop("_rn")
+    )
     cands = (
         ids.filter(F.col("is_eval") == 0)
         .select(F.col("vec_id").alias("train_id"), "band", "key")
-        .join(
-            F.broadcast(
-                ids.filter(F.col("is_eval") == 1)
-                .select(F.col("vec_id").alias("eval_id"), "band", "key")
-            ),
-            ["band", "key"],
-        )
+        .join(F.broadcast(eval_ids), ["band", "key"])
         .select("train_id", "eval_id")
         .dropDuplicates(["train_id", "eval_id"])
     )
@@ -931,19 +956,31 @@ def embedding_decontaminate(
         norm.alias("n_e"),
     )
     cos = F.try_divide(_dot(F.col("emb_t"), F.col("emb_e")), F.col("n_t") * F.col("n_e"))
+    w_train = Window.partitionBy("train_id").orderBy(
+        F.desc("cosine"), F.asc("eval_id")
+    )
     return (
         cands.join(tr, "train_id")
         .join(F.broadcast(ev), "eval_id")
         .withColumn("cosine", _trunc6(cos))
         .filter(cos >= tau)
+        .withColumn("_wn", F.row_number().over(w_train))
+        .filter(F.col("_wn") <= DECON_WITNESS_CAP)  # witness cap, see constant
         .select("train_id", "eval_id", "cosine")
     )
 
 
 def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
-    band_match = " OR ".join(f"t.k{b} = e.k{b}" for b in range(LSH_BANDS))
     cos_sql = _COS_SQL.replace("a.embedding", "t.embedding").replace(
         "b.embedding", "e.embedding"
+    )
+    e_exploded = "\n          UNION ALL ".join(
+        f"SELECT vec_id AS eval_id, {b} AS band, k{b} AS key FROM keys WHERE is_eval = 1"
+        for b in range(LSH_BANDS)
+    )
+    t_exploded = "\n          UNION ALL ".join(
+        f"SELECT vec_id AS train_id, {b} AS band, k{b} AS key FROM keys WHERE is_eval = 0"
+        for b in range(LSH_BANDS)
     )
     return finite_scan(f"""
         WITH sig AS (
@@ -955,11 +992,36 @@ def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
         ),
         keys AS (
           SELECT vec_id, embedding, is_eval, {_lsh_key_exprs_sql()} FROM sig
+        ),
+        e_exploded AS (
+          {e_exploded}
+        ),
+        e_capped AS (
+          SELECT * FROM e_exploded
+          QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY eval_id)
+                  <= {DECON_EVAL_BUCKET_CAP}
+        ),
+        t_exploded AS (
+          {t_exploded}
+        ),
+        cand AS (
+          SELECT DISTINCT tx.train_id, ex.eval_id
+          FROM t_exploded tx JOIN e_capped ex
+            ON tx.band = ex.band AND tx.key = ex.key
+        ),
+        scored AS (
+          SELECT c.train_id, c.eval_id,
+                 FLOOR(({cos_sql}) * 1e6) / 1e6 AS cosine
+          FROM cand c
+          JOIN keys t ON t.vec_id = c.train_id
+          JOIN keys e ON e.vec_id = c.eval_id
+          WHERE ({cos_sql}) >= {tau}
         )
-        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
-               FLOOR(({cos_sql}) * 1e6) / 1e6 AS cosine
-        FROM keys t JOIN keys e ON t.is_eval = 0 AND e.is_eval = 1 AND ({band_match})
-        WHERE ({cos_sql}) >= {tau}
+        SELECT train_id, eval_id, cosine
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY train_id ORDER BY cosine DESC, eval_id ASC)
+          <= {DECON_WITNESS_CAP}
         ORDER BY train_id, eval_id
     """)
 

@@ -213,8 +213,8 @@ def test_stale_entries_sort_into_scored_window():
     scored = set(names[:50])
     fresh = vf.freshness()
     # r7 one-round defer (expires r8): the wave-5/6/7 contract rollout +
-    # the scale-killer rewrites put 40 own-changed entries in the window,
-    # leaving 10 slots for 20 helper-changed entries. Every entry the r6
+    # the scale-killer rewrites put 41 own-changed entries in the window,
+    # leaving 9 slots for 20 helper-changed entries. Every entry the r6
     # allowlist deferred that is still helper-stale sits IN-window this
     # round (the allowlist retires scored, not exempted) except fn_pdf/
     # fn_geomean and streaming hourly/session, each of whose change class
@@ -247,6 +247,10 @@ def test_stale_entries_sort_into_scored_window():
         # _EXTENDED_SQL) keeps 5 in-window owners: unified_view_events,
         # daily_deciles, dedup_best_per_user, geomean_by_type, log_pdf_cdf
         "hourly_rollup",
+        # displaced by embedding_decontaminate (own-changed: witness +
+        # eval-bucket caps) — its helper class (_kval_sql) keeps
+        # tiered_views in-window
+        "autojoin_tiered_counts",
     }
     for k in DEFERRED_HELPER_ONLY:
         assert fresh[k].get("reason") == "helper changed", (

@@ -505,3 +505,89 @@ def test_ann_pq_sample_vectors_encode_to_self(spark, sf_dir):
             assert best[0] == 0.0 and best[1] == expect_code[vid], (
                 vid, m, best,
             )
+
+
+def test_cosine_dup_bucket_cap(spark, tmp_path, monkeypatch):
+    """A templated cluster (identical vectors colliding in every band
+    bucket) must contribute at most C(cap, 2) pairs — the cap keeps only
+    the `cap` smallest vec_ids per (band, key) — and the QUALIFY mirror
+    must agree bit-for-bit at the same patched cap."""
+    import duckdb
+
+    monkeypatch.setattr(similarity, "COSINE_BUCKET_CAP", 4)
+    tpl = [float(((j % 8) + 1)) / 8.0 for j in range(64)]
+
+    def vec(seed):
+        return [float(((seed * 37 + i * 11) % 89) - 44) / 44.0 for i in range(64)]
+
+    rows = [(v, tpl, 0) for v in range(10)]  # 10-replica cluster
+    rows += [(10 + v, vec(v + 3), 1) for v in range(5)]  # background
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path / "embcap"
+    df.write.parquet(str(d / "embeddings.parquet"))
+
+    out = similarity.embedding_cosine_dup(spark, str(d))
+    got = out.collect()
+    cluster_pairs = [r for r in got if r.vec_a < 10 and r.vec_b < 10]
+    # every band keeps the same 4 smallest ids -> exactly C(4,2) pairs
+    assert len(cluster_pairs) == 6, cluster_pairs
+    assert {(r.vec_a, r.vec_b) for r in cluster_pairs} == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(out, con, similarity.embedding_cosine_dup_oracle())
+
+
+def test_decontaminate_witness_and_eval_bucket_caps(spark, tmp_path, monkeypatch):
+    """A cluster spanning the train/eval split must emit at most
+    DECON_WITNESS_CAP rows per train item (not the |train| x |eval| pair
+    matrix), witnesses chosen deterministically (trunc6 cosine desc,
+    eval_id asc), with the eval-side bucket cap never dropping a
+    contaminated train item — and the oracle must mirror both caps."""
+    import duckdb
+    import hashlib
+
+    monkeypatch.setattr(similarity, "DECON_WITNESS_CAP", 2)
+    monkeypatch.setattr(similarity, "DECON_EVAL_BUCKET_CAP", 3)
+
+    def is_eval(v):
+        return int(hashlib.md5(f"split:{v}".encode()).hexdigest()[:8], 16) % 10 == 0
+
+    # collect >= 5 eval ids so the eval bucket cap (3) actually bites
+    ids, evals = [], []
+    v = 0
+    while len(evals) < 5 or len(ids) - len(evals) < 8:
+        ids.append(v)
+        if is_eval(v):
+            evals.append(v)
+        v += 1
+    tpl = [float(((j % 5) + 2)) / 7.0 for j in range(64)]
+    rows = [(i, tpl, 0) for i in ids]  # one mega-cluster spanning the split
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path / "deconcap"
+    df.write.parquet(str(d / "embeddings.parquet"))
+
+    out = similarity.embedding_decontaminate(spark, str(d))
+    got = out.collect()
+    train_ids = [i for i in ids if not is_eval(i)]
+    by_train = {}
+    for r in got:
+        by_train.setdefault(r.train_id, []).append(r)
+    # every train item IS flagged (eval cap must not false-negative) ...
+    assert set(by_train) == set(train_ids), (sorted(by_train), train_ids)
+    kept_evals = sorted(evals)[:3]  # identical vectors: same bucket, 3 kept
+    for t, rs in by_train.items():
+        # ... with at most DECON_WITNESS_CAP witnesses, drawn from the
+        # capped eval set, smallest eval_ids first (cosine all-equal here)
+        assert len(rs) == 2, rs
+        assert sorted(r.eval_id for r in rs) == kept_evals[:2], rs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    assert_matches_oracle(out, con, similarity.embedding_decontaminate_oracle())

@@ -43,6 +43,11 @@ HOT_EVENTS = int(os.environ.get("PROBE_HOT_EVENTS", "50000"))
 # candidate paths complete with bounded single-task cost; 0 = off so the
 # default probe numbers stay comparable round-over-round.
 TEMPLATE_DOCS = int(os.environ.get("PROBE_TEMPLATE_DOCS", "0"))
+# opt-in embedding twin: N IDENTICAL vectors collide in every hyperplane
+# band bucket — the shape behind similarity.COSINE_BUCKET_CAP. Above the
+# cap (e.g. 2200) the pair output must flatten at C(CAP, 2) per bucket
+# instead of growing C(N, 2); 0 = off.
+TEMPLATE_VECS = int(os.environ.get("PROBE_TEMPLATE_VECS", "0"))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -58,6 +63,13 @@ DOC_ENTRIES = [
     "dedup_editdistance", "minhash_jaccard_estimate", "curation_pipeline",
     "gopher_quality_flags", "ngram_novelty_score", "hashing_trick_features",
     "vocab_growth_curve", "zipf_term_stats",
+]
+EMB_ENTRIES = [
+    "embedding_cosine_dup", "semdedup_clusters", "embedding_outliers",
+    "embedding_decontaminate", "knn_classify", "kmeans_clusters",
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
+    "jl_projection", "embedding_quantize", "centroid_per_label",
+    "triplet_mining",
 ]
 EVENT_ENTRIES = [
     "bloom_membership", "gapfill_locf", "gapfill_interp",
@@ -80,10 +92,27 @@ def build_corpus(out: str, base: str = DEFAULT_BASE) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
+    skip = {"documents", "events"} | ({"embeddings"} if TEMPLATE_VECS else set())
     for t in TABLES:
-        if t not in ("documents", "events"):
+        if t not in skip:
             shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con = duckdb.connect()
+    if TEMPLATE_VECS:
+        # one fixed finite vector replicated TEMPLATE_VECS times: every
+        # replica shares every band key, the worst collision shape
+        con.sql(
+            f"""
+            COPY (
+              SELECT * FROM read_parquet('{base}/embeddings.parquet')
+              UNION ALL
+              SELECT 980000 + i,
+                     [CAST(0.125 + 0.001 * (j % 8) AS FLOAT)
+                      for j in range(0, 64)],
+                     0
+              FROM (SELECT unnest(range(0, {TEMPLATE_VECS})) AS i)
+            ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
     template_rows = (
         f"""
           UNION ALL
@@ -162,7 +191,7 @@ def main() -> None:
 
     spark = get_spark()
     qs = e.queries()
-    names = only or (DOC_ENTRIES + EVENT_ENTRIES)
+    names = only or (DOC_ENTRIES + EMB_ENTRIES + EVENT_ENTRIES)
     flagged = []
     for name in names:
         t0 = time.time()
