@@ -67,8 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contracts, the wave-7 multibyte fixes (wav/vad int16 recenter,
         # byte-true oracles, ASCII levenshtein domain), the
         # substring_dup_spans linear-Arrow rewrite + pmi pair-domain cap
-        # (the two r6 scale-killers), the LSH bucket-occupancy cap, and
-        # the cachereg pin-registry lifecycle sweep -------------------
+        # (the two r6 scale-killers), the LSH bucket-occupancy cap, the
+        # cachereg pin-registry lifecycle sweep, and the wave-10
+        # empty-partition observed-rows contract (rollup_revenue,
+        # multigrain_stats: oracle HAVING COUNT(*) > 0 pins Spark's
+        # zero-rows-on-zero-input rollup semantics) -------------------
         "annotate_renest": views_layer.annotate_renest,
         "audio_vad_segments": multimodal.audio_vad_segments,
         "churned_users": analytics.churned_users,
@@ -88,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": analytics.mad_outliers,
         "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
         "minhash_pr_eval": dedup.minhash_pr_eval,
+        "multigrain_stats": analytics.multigrain_stats,
         "multimodal_wav_energy": multimodal.multimodal_wav_energy,
         "multistream_throughput": rollups.multistream_throughput,
         "pack_efficiency_sweep": packing.pack_efficiency_sweep,
@@ -95,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_cooccur_terms": text.pmi_cooccur_terms,
         "reservoir_sample_per_key": corpus.reservoir_sample_per_key,
         "rfm_features": analytics.rfm_features,
+        "rollup_revenue": analytics.rollup_revenue,
         "running_totals": sessions.running_totals,
         "seasonal_baseline": analytics.seasonal_baseline,
         "sessionized_events": sessions.sessionized_events,
@@ -112,37 +117,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": analytics.zscore_outliers,
         # -- group 2: a transitively-referenced helper changed since the
         # entry's verdict (result-neutral per the local gate + edge
-        # fuzz); these 11 include every r6-deferred entry still
+        # fuzz); these 7 include every r6-deferred entry still
         # helper-stale — the r6 allowlist retires scored, not exempted --
         "curation_pipeline": curation.curation_pipeline,
         "daily_deciles": rollups.daily_deciles,
-        "dedup_best_per_user": rollups.dedup_best_per_user,
         "geomean_by_type": rollups.geomean_by_type,
         "log_pdf_cdf": rollups.log_pdf_cdf,
         "streaming_distinct_keys": streaming.streaming_distinct_keys,
         "streaming_hopping_counts": streaming.streaming_hopping_counts,
         "tiered_views": view_families.tiered_views,
-        "unified_view_events": views_layer.unified_view,
         # ---------------- 50-entry scoring cap lands here ----------------
         # deferred helper-only entries lead the r8 rotation (window
-        # holds 50 = 41 own-changed + 9 helper-changed; the
-        # embedding_cosine_dup occupancy cap displaced hourly_rollup and
+        # holds 50 = 43 own-changed + 7 helper-changed; the
+        # embedding_cosine_dup occupancy cap displaced hourly_rollup,
         # the embedding_decontaminate witness/eval-bucket caps displaced
-        # autojoin_tiered_counts). Each deferral keeps newly-scored
-        # in-window owners of the SAME change class: fn_pdf/fn_geomean
-        # are thin parameterizations of log_pdf_cdf/geomean_by_type
-        # (in-window); streaming hourly/session share the drain helper
-        # with distinct_keys/hopping_counts (in-window); the dup-graph
+        # autojoin_tiered_counts, and the wave-10 observed-rows oracle
+        # contract (rollup_revenue, multigrain_stats own-changed)
+        # displaced dedup_best_per_user + unified_view_events). Each
+        # deferral keeps newly-scored in-window owners of the SAME
+        # change class: fn_pdf/fn_geomean are thin parameterizations of
+        # log_pdf_cdf/geomean_by_type (in-window); streaming
+        # hourly/session share the drain helper with
+        # distinct_keys/hopping_counts (in-window); the dup-graph
         # family consumes dedup pair frames whose producers
         # (ngram_jaccard, jaccard_estimate, dup_spans) are in-window
         # own-changed; time_weighted_value shares the _vdec contract
-        # with 17 in-window wave-5 owners; hourly_rollup's helper class
-        # (extended_view / _EXTENDED_SQL) keeps 5 in-window owners
-        # (unified_view_events, daily_deciles, dedup_best_per_user,
+        # with 17 in-window wave-5 owners; the extended_view /
+        # _EXTENDED_SQL helper class (hourly_rollup, dedup_best_per_user,
+        # unified_view_events) keeps 3 in-window owners (daily_deciles,
         # geomean_by_type, log_pdf_cdf); autojoin_tiered_counts' helper
         # class (_kval_sql) keeps tiered_views in-window. Pinned in
         # tests/test_plan_audit.py -------------------------------------
         "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
+        "dedup_best_per_user": rollups.dedup_best_per_user,
         "dedup_impact_curve": dedup.dedup_impact_curve,
         "dup_cluster_stats": graph.dup_cluster_stats,
         "dup_components": graph.dup_components,
@@ -153,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_session_windows": streaming.streaming_session_windows,
         "time_weighted_value": analytics.time_weighted_value,
+        "unified_view_events": views_layer.unified_view,
         # -- re-verification rotation: fresh entries, oldest verdict
         # first ---------------------------------------------------------
         # fresh, last scored r3 --
@@ -198,7 +206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_inactive_customers": transforms.q22_inactive_customers,
         "quality_logreg_score": curation.quality_logreg_score,
         "raw_view_events": views_layer.raw_view,
-        "rollup_revenue": analytics.rollup_revenue,
         "session_top_paths": sessions.session_top_paths,
         "simhash_fingerprint": dedup.simhash_fingerprint,
         "token_count": text.token_count,
@@ -253,7 +260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": similarity.kmeans_clusters,
         "kmv_set_ops": sketches.kmv_set_ops,
         "knn_classify": similarity.knn_classify,
-        "multigrain_stats": analytics.multigrain_stats,
         "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
         "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,

@@ -51,6 +51,14 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle; Catalyst expands the rollup into a single Expand +
     aggregate, so the fact is read once for all three levels.
+
+    Empty-input contract (fuzz wave 10): rollup levels are computed over
+    OBSERVED rows — an empty partition yields an empty rollup. Spark's
+    ``.rollup()`` natively emits zero rows on zero input, while ANSI
+    ``GROUP BY ROLLUP`` emits the ``()`` grand-total grouping set even
+    over an empty relation; the oracle's ``HAVING COUNT(*) > 0`` pins the
+    observed-rows semantics (a no-op on any non-empty input, since every
+    grouping-set row aggregates at least one source row).
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -91,6 +99,7 @@ def rollup_revenue_oracle() -> str:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
+        HAVING COUNT(*) > 0
         ORDER BY lvl, r_name, n_name
     """
 
@@ -384,6 +393,12 @@ def multigrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue is an exact DECIMAL sum cast to double once per group, so the
     result is order-independent and bit-portable (see module docstring).
+
+    Empty-input contract (fuzz wave 10): grouping-set members are computed
+    over OBSERVED rows — an empty fact yields an empty cross, matching
+    Spark's native ``groupingSets`` behavior; the oracle's
+    ``HAVING COUNT(*) > 0`` drops only ANSI's phantom ``()`` row over an
+    empty relation (see rollup_revenue).
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice", "o_orderpriority"
@@ -449,6 +464,7 @@ def multigrain_stats_oracle() -> str:
           (), (r_name), (r_name, n_name), (o_orderpriority),
           (r_name, o_orderpriority), (r_name, n_name, o_orderpriority)
         )
+        HAVING COUNT(*) > 0
         ORDER BY gid, r_name, n_name, o_orderpriority
     """
 

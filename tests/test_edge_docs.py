@@ -417,3 +417,74 @@ def test_gapfill_spine_bounded_against_timestamp_outlier(spark, tmp_path):
         f"'{d}/events.parquet/*.parquet')"
     )
     assert_matches_oracle(out, con, e.oracle_sql()["gapfill_locf"])
+
+
+# wave 10 (EMPTY corpus — zero-row tables, schema preserved): the
+# production shape of a day partition with no data. The full fuzz run is
+# 172/174 before the r7 fix, 174/174 after: Spark's .rollup()/
+# groupingSets() emit ZERO rows on zero input while ANSI GROUP BY
+# ROLLUP emits the () grand-total grouping set even over an empty
+# relation — the two grouping-set entries' oracles pin the observed-rows
+# semantics with HAVING COUNT(*) > 0 (a no-op on any non-empty input).
+# Also pinned: the entries whose empty-input survival is structural, not
+# accidental — the three driver-side .collect()/.first() consumers
+# (kmeans centroids, PQ codebook, scalar thresholds) and the
+# sequence-spine/running-sum family, all of which must keep returning an
+# EMPTY frame rather than crashing when a partition has no rows.
+WAVE10_PINNED = [
+    # the two r7 fixes (phantom grand-total row)
+    "rollup_revenue",
+    "multigrain_stats",
+    # driver-side collect sites: empty centroid/codebook frames
+    "kmeans_clusters",
+    "ann_pq_topk",
+    # min/max-bounded sequence spine from an empty domain
+    "gapfill_locf",
+    # two-phase running sum / distributed rank over zero rows
+    "pack_sequences",
+    "epoch_shuffle",
+    # global-aggregate scalars unpacked from a 1-or-0-row frame
+    "dedup_impact_curve",
+]
+
+
+@pytest.fixture(scope="module")
+def wave10_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave10_corpus"))
+    _load_fuzz().build_corpus(out, wave10=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave10_duck(wave10_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave10_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE10_PINNED)
+def test_wave10_empty_corpus_oracle_parity(name, spark, wave10_dir, wave10_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave10_dir), wave10_duck, e.oracle_sql()[name]
+    )
+
+
+def test_wave10_corpus_is_empty(tmp_path):
+    """Corpus-composition pin: --wave10 produces schema-true ZERO-row
+    copies of every table (and is exclusive of the append waves)."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    d = str(tmp_path / "wave10")
+    fuzz.build_corpus(d, wave10=True, wave5=True, wave7=True)
+    con = _duck.connect()
+    for t in fuzz.TABLES:
+        n, = con.sql(f"SELECT count(*) FROM read_parquet('{d}/{t}.parquet')").fetchone()
+        assert n == 0, f"{t} not empty under --wave10"

@@ -213,8 +213,9 @@ def test_stale_entries_sort_into_scored_window():
     scored = set(names[:50])
     fresh = vf.freshness()
     # r7 one-round defer (expires r8): the wave-5/6/7 contract rollout +
-    # the scale-killer rewrites put 41 own-changed entries in the window,
-    # leaving 9 slots for 20 helper-changed entries. Every entry the r6
+    # the scale-killer rewrites + the wave-10 observed-rows contract put
+    # 43 own-changed entries in the window,
+    # leaving 7 slots for 19 helper-changed entries. Every entry the r6
     # allowlist deferred that is still helper-stale sits IN-window this
     # round (the allowlist retires scored, not exempted) except fn_pdf/
     # fn_geomean and streaming hourly/session, each of whose change class
@@ -243,10 +244,14 @@ def test_stale_entries_sort_into_scored_window():
         # own-changed wave-5 owners (sliding_window_stats, zscore, ...)
         "time_weighted_value",
         # displaced by embedding_cosine_dup (own-changed: bucket occupancy
-        # cap) — its helper class (views_layer.extended_view /
-        # _EXTENDED_SQL) keeps 5 in-window owners: unified_view_events,
-        # daily_deciles, dedup_best_per_user, geomean_by_type, log_pdf_cdf
+        # cap), then the wave-10 observed-rows oracle contract
+        # (rollup_revenue + multigrain_stats own-changed) displaced two
+        # more of the same class — the views_layer.extended_view /
+        # _EXTENDED_SQL helper class keeps 3 in-window owners:
+        # daily_deciles, geomean_by_type, log_pdf_cdf
         "hourly_rollup",
+        "dedup_best_per_user",
+        "unified_view_events",
         # displaced by embedding_decontaminate (own-changed: witness +
         # eval-bucket caps) — its helper class (_kval_sql) keeps
         # tiered_views in-window

@@ -63,6 +63,17 @@ CONFLICTING replay (same doc_id/event_id, different payload/value).
 Both engines see the same duplicated data, so a deterministic query
 still hash-matches; failures expose tie-breaks or uniqueness
 assumptions that turn nondeterministic under duplicate keys.
+
+--wave10 is EXCLUSIVE of the append waves: it builds an EMPTY corpus —
+every table keeps its schema but holds ZERO rows (the production shape
+of a day partition with no data, a source filtered to nothing, or a
+backfill that hasn't landed). The divergence classes it targets are
+invisible to every append wave: driver-side ``.collect()``/``.first()``
+on an empty frame (kmeans centroids, PQ codebooks, scalar thresholds
+unpacked as ``row[0]``), global aggregates that emit one NULL row in
+one engine and zero rows in the other, and NULL-bound ``F.sequence``
+spines from an empty min/max. An engine that crashes on an empty
+partition cannot run scheduled on real ingestion.
 """
 
 from __future__ import annotations
@@ -87,10 +98,24 @@ def build_corpus(
     wave7: bool = False,
     wave8: bool = False,
     wave9: bool = False,
+    wave10: bool = False,
 ) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
+    if wave10:
+        # Empty corpus: schema-true zero-row copies of every table. The
+        # append waves are meaningless here, so wave10 is exclusive.
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(
+                f"""
+                COPY (SELECT * FROM read_parquet('{base}/{t}.parquet')
+                      WHERE false)
+                TO '{out}/{t}.parquet' (FORMAT PARQUET)
+                """
+            )
+        return
     for t in TABLES:
         if t not in ("documents", "embeddings", "events"):
             shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
@@ -307,19 +332,21 @@ def build_corpus(
 
 
 def main() -> None:
-    argv = [
-        a for a in sys.argv[1:]
-        if a not in ("--wave5", "--wave6", "--wave7", "--wave8", "--wave9")
-    ]
+    flags = ("--wave5", "--wave6", "--wave7", "--wave8", "--wave9", "--wave10")
+    argv = [a for a in sys.argv[1:] if a not in flags]
     wave5 = "--wave5" in sys.argv[1:]
     wave6 = "--wave6" in sys.argv[1:]
     wave7 = "--wave7" in sys.argv[1:]
     wave8 = "--wave8" in sys.argv[1:]
     wave9 = "--wave9" in sys.argv[1:]
+    wave10 = "--wave10" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
-    build_corpus(out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8, wave9=wave9)
+    build_corpus(
+        out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8,
+        wave9=wave9, wave10=wave10,
+    )
     # reuse the driver-compare replica wholesale
     import subprocess
 
