@@ -488,3 +488,72 @@ def test_wave10_corpus_is_empty(tmp_path):
     for t in fuzz.TABLES:
         n, = con.sql(f"SELECT count(*) FROM read_parquet('{d}/{t}.parquet')").fetchone()
         assert n == 0, f"{t} not empty under --wave10"
+
+
+# wave 11 (SINGLE-ROW corpus — every table exactly one deterministic
+# row): global singleton-sample statistics the grouped singletons (base
+# wave's single-event user) cannot reach. First full run: 174/174 with
+# NO fixes needed — the finite-value/_vdec contracts and the
+# two-phase-rank order statistics already give singleton sample
+# variance, single-point correlation/slope, and 1-row quantile domains
+# NULL-identical treatment in both engines. Pinned here: the entries
+# whose statistics have an n-1 or covariance denominator, plus the
+# 1-row rank/quantile representatives.
+WAVE11_PINNED = [
+    "zscore_outliers",          # stddev_samp over a 1-row domain
+    "corr_value_hour",          # single-point correlation
+    "linear_trend",             # single-point slope denominator
+    "user_activity_gini",       # gini of one user
+    "mad_outliers",             # 1-row median/MAD rank domain
+    "daily_deciles",            # 1-row decile boundaries
+    "rollup_revenue",           # grouping sets over one fact row
+]
+
+
+@pytest.fixture(scope="module")
+def wave11_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave11_corpus"))
+    _load_fuzz().build_corpus(out, wave11=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave11_duck(wave11_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave11_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE11_PINNED)
+def test_wave11_single_row_oracle_parity(name, spark, wave11_dir, wave11_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave11_dir), wave11_duck, e.oracle_sql()[name]
+    )
+
+
+def test_wave11_corpus_is_single_row(tmp_path):
+    """Corpus-composition pin: --wave11 produces exactly one row per
+    table, deterministically (ORDER BY ALL LIMIT 1)."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "one"), str(tmp_path / "two")
+    fuzz.build_corpus(a, wave11=True)
+    fuzz.build_corpus(b, wave11=True)
+    con = _duck.connect()
+    for t in fuzz.TABLES:
+        n, = con.sql(f"SELECT count(*) FROM read_parquet('{a}/{t}.parquet')").fetchone()
+        assert n == 1, f"{t} not single-row under --wave11"
+        m, = con.sql(
+            f"SELECT count(*) FROM read_parquet('{a}/{t}.parquet') x "
+            f"POSITIONAL JOIN read_parquet('{b}/{t}.parquet') y "
+            f"WHERE x != y"
+        ).fetchone()
+        assert m == 0, f"{t} single row not deterministic"

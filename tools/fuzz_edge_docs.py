@@ -74,6 +74,13 @@ unpacked as ``row[0]``), global aggregates that emit one NULL row in
 one engine and zero rows in the other, and NULL-bound ``F.sequence``
 spines from an empty min/max. An engine that crashes on an empty
 partition cannot run scheduled on real ingestion.
+
+--wave11 is likewise EXCLUSIVE: a SINGLE-ROW corpus — every table holds
+exactly one deterministic row (ORDER BY ALL LIMIT 1). Targets global
+singleton-sample statistics the grouped singleton rows (base wave's
+single-event user) cannot reach: sample-variance denominators (n-1 = 0:
+Spark stddev_samp/variance return NaN where DuckDB returns NULL),
+single-point correlation/slope, and 1-row quantile/rank domains.
 """
 
 from __future__ import annotations
@@ -99,19 +106,23 @@ def build_corpus(
     wave8: bool = False,
     wave9: bool = False,
     wave10: bool = False,
+    wave11: bool = False,
 ) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
-    if wave10:
-        # Empty corpus: schema-true zero-row copies of every table. The
-        # append waves are meaningless here, so wave10 is exclusive.
+    if wave10 or wave11:
+        # Degenerate-cardinality corpora: schema-true copies of every
+        # table with zero rows (wave10) or exactly one deterministic row
+        # (wave11). The append waves are meaningless here, so both are
+        # exclusive.
+        pred = "WHERE false" if wave10 else "ORDER BY ALL LIMIT 1"
         con = duckdb.connect()
         for t in TABLES:
             con.sql(
                 f"""
                 COPY (SELECT * FROM read_parquet('{base}/{t}.parquet')
-                      WHERE false)
+                      {pred})
                 TO '{out}/{t}.parquet' (FORMAT PARQUET)
                 """
             )
@@ -332,7 +343,10 @@ def build_corpus(
 
 
 def main() -> None:
-    flags = ("--wave5", "--wave6", "--wave7", "--wave8", "--wave9", "--wave10")
+    flags = (
+        "--wave5", "--wave6", "--wave7", "--wave8", "--wave9",
+        "--wave10", "--wave11",
+    )
     argv = [a for a in sys.argv[1:] if a not in flags]
     wave5 = "--wave5" in sys.argv[1:]
     wave6 = "--wave6" in sys.argv[1:]
@@ -340,12 +354,13 @@ def main() -> None:
     wave8 = "--wave8" in sys.argv[1:]
     wave9 = "--wave9" in sys.argv[1:]
     wave10 = "--wave10" in sys.argv[1:]
+    wave11 = "--wave11" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
     build_corpus(
         out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8,
-        wave9=wave9, wave10=wave10,
+        wave9=wave9, wave10=wave10, wave11=wave11,
     )
     # reuse the driver-compare replica wholesale
     import subprocess
