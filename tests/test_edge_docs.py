@@ -557,3 +557,32 @@ def test_wave11_corpus_is_single_row(tmp_path):
             f"WHERE x != y"
         ).fetchone()
         assert m == 0, f"{t} single row not deterministic"
+
+
+def test_wave12_rows_stay_gated(tmp_path):
+    """Wave-12 ragged-dimension embeddings (a finite dim-8 truncated
+    vector + a finite dim-65 over-long one) are a ONE-CORRUPT-ROW JOB
+    KILLER on the oracle side — DuckDB's list_dot_product hard-errors on
+    unequal lengths — while Spark's zip_with silently NULL-pads (the row
+    vanishes from tau filters with no trace). 11 entries fail
+    (ann_bruteforce/ivf/lsh/pq_topk, embedding_decontaminate,
+    embedding_outliers, jl_projection, kmeans_clusters, knn_classify,
+    ndcg_eval, semdedup_clusters) until the uniform-dimension clause of
+    the vector-domain contract lands — r8 scope, because the shared
+    load_vectors/FINITE_EMB_PRED_SQL change flags every embedding
+    consumer helper-stale and must ride a rotation window (SURVEY §7).
+    Until then the always-on corpora must stay dimension-uniform and
+    --wave12 must plant exactly the two ragged rows."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave12")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave12=True)
+    con = _duck.connect()
+    q = (
+        "SELECT count(*) FROM read_parquet('{}/embeddings.parquet') "
+        "WHERE embedding IS NOT NULL AND len(embedding) NOT IN (0, 64)"
+    )
+    assert con.sql(q.format(a)).fetchone()[0] == 0
+    assert con.sql(q.format(b)).fetchone()[0] == 2

@@ -81,6 +81,20 @@ singleton-sample statistics the grouped singleton rows (base wave's
 single-event user) cannot reach: sample-variance denominators (n-1 = 0:
 Spark stddev_samp/variance return NaN where DuckDB returns NULL),
 single-point correlation/slope, and 1-row quantile/rank domains.
+
+--wave12 (gated, enumeration-first — r8 scope) plants RAGGED embedding
+rows: a finite dim-8 truncated vector and a finite dim-65 over-long
+vector. Both pass the wave-4 finite-vector guard (NULL/empty/non-finite
+only), but the dimension mismatch is a one-corrupt-row job killer on
+the oracle side — DuckDB's list_dot_product/list_cosine_similarity
+hard-ERROR on unequal lengths — while Spark's zip_with silently
+NULL-pads, so the dot degrades to NULL and the row vanishes from tau
+filters without a trace. The fix is the same shape as wave 4: extend
+the shared vector-domain contract (load_vectors / FINITE_EMB_PRED_SQL)
+with a uniform-dimension clause on BOTH sides. It flags every embedding
+consumer helper-stale, so it must ride the r8 rotation window exactly
+as the _vdec contract rode r7's; this flag exists so r8 starts from a
+pinned failing-entry list.
 """
 
 from __future__ import annotations
@@ -107,6 +121,7 @@ def build_corpus(
     wave9: bool = False,
     wave10: bool = False,
     wave11: bool = False,
+    wave12: bool = False,
 ) -> None:
     import duckdb
 
@@ -313,6 +328,25 @@ def build_corpus(
         if wave9
         else ""
     )
+    # twelfth wave (gated, enumeration-first): RAGGED dimensions — a
+    # finite truncated dim-8 vector and a finite dim-65 over-long one.
+    # Fully finite, so the wave-4 guard admits both; DuckDB's
+    # list_dot_product hard-errors on the length mismatch where Spark's
+    # zip_with NULL-pads (silent row loss). r8 scope: the
+    # uniform-dimension clause of the vector-domain contract.
+    wave12_emb_rows = (
+        """
+          UNION ALL
+          SELECT 940001 AS vec_id,
+                 CAST([0.125 * i for i in range(1, 9)] AS FLOAT[]),
+                 9903 AS label
+          UNION ALL
+          SELECT 940002,
+                 CAST([0.0625 * i for i in range(1, 66)] AS FLOAT[]),
+                 9904"""
+        if wave12
+        else ""
+    )
     con.sql(
         f"""
         COPY (
@@ -336,7 +370,7 @@ def build_corpus(
                    2
             UNION ALL
             SELECT 900005, NULL, 3
-          ){wave9_emb_sql}
+          ){wave9_emb_sql}{wave12_emb_rows}
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
@@ -345,7 +379,7 @@ def build_corpus(
 def main() -> None:
     flags = (
         "--wave5", "--wave6", "--wave7", "--wave8", "--wave9",
-        "--wave10", "--wave11",
+        "--wave10", "--wave11", "--wave12",
     )
     argv = [a for a in sys.argv[1:] if a not in flags]
     wave5 = "--wave5" in sys.argv[1:]
@@ -355,12 +389,13 @@ def main() -> None:
     wave9 = "--wave9" in sys.argv[1:]
     wave10 = "--wave10" in sys.argv[1:]
     wave11 = "--wave11" in sys.argv[1:]
+    wave12 = "--wave12" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
     build_corpus(
         out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8,
-        wave9=wave9, wave10=wave10, wave11=wave11,
+        wave9=wave9, wave10=wave10, wave11=wave11, wave12=wave12,
     )
     # reuse the driver-compare replica wholesale
     import subprocess
