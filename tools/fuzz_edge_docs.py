@@ -18,13 +18,10 @@ Usage: python tools/fuzz_edge_docs.py [base_sf_dir] [entry ...]
 --wave5 additionally plants out-of-domain events.value rows (NaN / +Inf /
 -Inf, plus a finite 9.9e12 that exceeds the DECIMAL(18,6) exact-sum
 domain — Spark's floor(v*1e6) LongType silently saturates at Long.MAX
-where DuckDB keeps the double). This wave is EXPECTED TO FAIL until the
-r7 rotation lands the
-two-sided "non-finite value degrades to NULL" contract (SURVEY §7
-R7 LEAD ITEM): DuckDB's STDDEV/CORR hard-error on non-finite input
-where Spark degrades to NaN, and the decimal-exact value sums overflow
-under Spark ANSI mode on Inf. The flag exists so r7 starts from a
-pinned failing-entry list instead of rediscovering it.
+where DuckDB keeps the double). FIXED in r7: the central finite-value
+contract (operators/contracts.py — isfinite AND |v| < 1e12, degrading
+to NULL on both engines) landed across all 18 events.value consumers;
+the wave now runs 174/174 and test_wave5_corpus_oracle_parity pins it.
 
 --wave6 additionally plants NULL-key/NULL-payload rows: a NULL-text
 document (NULL media payload), NULL lang / NULL source docs, a
@@ -42,8 +39,9 @@ char). The divergence class is bytes-vs-characters: Spark `F.length`
 counts characters while DuckDB `strlen` counts bytes, and the
 multimodal stand-ins index the UTF-8 *byte* payload on the Spark side
 but `substr`/`ascii` *characters* on the oracle side (exact only on
-ASCII). In-window fixes are pinned by tests; remaining failures are
-r7 scope, enumerated in SURVEY §7.
+ASCII). FIXED in r7 (wav/vad int16 recenter at 128, byte-true hex-pair
+oracles, ASCII-domain levenshtein contract); the wave now runs 174/174
+and test_wave7_corpus_oracle_parity pins it.
 
 --wave8 additionally plants CASE-FOLDING documents: Turkish dotted
 capital İ (U+0130), Greek word-final sigma, and the ß / ﬁ ligature
