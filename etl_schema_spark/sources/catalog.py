@@ -116,6 +116,56 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+# Primary keys, as the generator and every uniqueness-assuming tie-break
+# define them (fuzz wave 9 enumerated the assumption; TESTDATA.md is the
+# source of truth for the key columns).
+PRIMARY_KEYS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def load_table_unique(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """OPT-IN exactly-once restore over at-least-once ingestion.
+
+    Fuzz wave 9 enumerated the contract: every operator assumes
+    primary-key uniqueness (an exact replay is harmless to deterministic
+    queries, but a CONFLICTING replay — same key, different payload —
+    turns uniqueness-assuming tie-breaks nondeterministic). This loader
+    is the front door for restoring that precondition at the ingest
+    boundary: one row per primary key, the winner chosen
+    DETERMINISTICALLY as the row_number()==1 row under the remaining
+    columns' ascending NULLS-LAST ordering — any engine, any run, any
+    partitioning picks the same row.
+
+    Deliberately NOT the default ``load_table`` path: it costs one
+    key-shuffle per table at 100 TB, which is exactly why it stays
+    opt-in (SURVEY §7 wave-9 record). Swapping it in flags every
+    consumer helper-stale, so adopting it fleet-wide must ride a
+    rotation window like the r7 ``_vdec`` contract.
+    """
+    from pyspark.sql.window import Window
+
+    df = load_table(spark, sf_dir, name)
+    pk = list(PRIMARY_KEYS[name])
+    rest = [c for c in df.columns if c not in pk]
+    order = [F.col(c).asc_nulls_last() for c in rest] or [F.lit(1)]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (
+        df.withColumn("_pk_rn", F.row_number().over(w))
+        .filter(F.col("_pk_rn") == 1)
+        .drop("_pk_rn")
+    )
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view so operators can be written in SQL.
 
