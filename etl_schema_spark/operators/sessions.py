@@ -20,15 +20,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
-from .contracts import VDEC4_SQL, vdec4
+from .contracts import PLAUSIBLE_TS_SQL, VDEC4_SQL, plausible_ts, vdec4
 
 SESSION_GAP_MIN = 30
 TOP_K_CLIENTS = 5
 
 
 def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign gap-based sessions and aggregate one row per session."""
-    ev = load_table(spark, sf_dir, "events")
+    """Assign gap-based sessions and aggregate one row per session.
+
+    Event-time admission (fuzz wave 13): a row without a plausible event
+    time has no position in a session timeline — a NULL ts even sorts
+    differently per engine (Spark ASC puts NULL first, DuckDB last) — so
+    the operator's time domain is contracts.plausible_ts on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     with_flag = ev.withColumn(
@@ -69,6 +75,7 @@ def sessionized_events_oracle() -> str:
                           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         numbered AS (
           SELECT *, CAST(SUM(new_session) OVER (
@@ -94,9 +101,12 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw `value` passes through untouched (NaN/Inf render identically
     in both engines); only the cumulative sum goes through the guarded
     decimal lift — a corrupt row shows itself but cannot poison every
-    subsequent running total (fuzz wave 5).
+    subsequent running total (fuzz wave 5). Event-time admission (fuzz
+    wave 13): a NULL ts has no position in the cumulative ordering (and
+    the engines disagree on one — Spark ASC sorts NULL first, DuckDB
+    last), so the time domain is contracts.plausible_ts on both sides.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -119,6 +129,7 @@ def running_totals_oracle() -> str:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS cum_value
         FROM events
+        WHERE {PLAUSIBLE_TS_SQL}
         ORDER BY user_id, ts, event_id
     """
 

@@ -417,7 +417,7 @@ def streaming_ewma_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_ewma_flags_oracle() -> str:
-    from ..operators.contracts import FINITE_VALUE_SQL
+    from ..operators.contracts import FINITE_VALUE_SQL, PLAUSIBLE_TS_SQL
     from .stateful import ANOMALY_Z, EWMA_ALPHA
 
     a = EWMA_ALPHA
@@ -428,7 +428,7 @@ def streaming_ewma_flags_oracle() -> str:
                    PARTITION BY user_id ORDER BY ts, event_id) AS i,
                  COUNT(*) OVER (PARTITION BY user_id) AS n
           FROM events
-          WHERE {FINITE_VALUE_SQL}
+          WHERE {FINITE_VALUE_SQL} AND {PLAUSIBLE_TS_SQL}
         ),
         step AS (
           SELECT user_id, i, n, value AS mean, CAST(0.0 AS DOUBLE) AS var,

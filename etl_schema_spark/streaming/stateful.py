@@ -99,13 +99,17 @@ def ewma_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     poison the state (mean/var = NaN forever after) — the streaming twin
     of the batch rule that a corrupt row must not own the job. Filtered
     at the source so the state store never sees out-of-domain values.
+    Event-time admission (fuzz wave 13): the recurrence is ordered by
+    (ts, event_id), and a NULL ts has no position in that order (one
+    NULL-ts row crashed the Arrow state pass outright) — the same
+    contracts.plausible_ts domain as the batch event-time operators.
     """
-    from ..operators.contracts import finite_value
+    from ..operators.contracts import finite_value, plausible_ts
 
     ev = (
         events_stream(spark, sf_dir)
         .select("user_id", "ts", "event_id", "value")
-        .filter(finite_value("value"))
+        .filter(finite_value("value") & plausible_ts("ts"))
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _ewma_update,

@@ -586,3 +586,71 @@ def test_wave12_rows_stay_gated(tmp_path):
     )
     assert con.sql(q.format(a)).fetchone()[0] == 0
     assert con.sql(q.format(b)).fetchone()[0] == 2
+
+
+# wave 13 (timestamp-domain faults: NULL ts, epoch-0, year-9999): the
+# event-TIME twin of wave 5's value contract. First run found 11
+# divergences in 3 classes — NULL-ts position in time orderings (Spark
+# ASC sorts NULL first, DuckDB last: running totals / sessions /
+# transitions shift), NULL-ts bucket retention (one engine keeps a NULL
+# time-bucket group), and a Spark-side HARD CRASH ("year 10000 is out
+# of range") when a far-future row enters a hopping/session window —
+# one corrupt row kills the streaming job. The three in-window entries
+# are fixed via the central plausible-ts admission contract
+# (contracts.plausible_ts / PLAUSIBLE_TS_SQL, the gapfill bound) and
+# pinned here; the remaining 8 (streaming hopping/hourly/session,
+# session_top_paths, user_transition_matrix, interval_coverage,
+# new_vs_returning, scd2_history) are enumerated r8 scope (SURVEY §7).
+WAVE13_FIXED = [
+    "running_totals",
+    "sessionized_events",
+    "streaming_ewma_flags",
+]
+
+
+@pytest.fixture(scope="module")
+def wave13_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave13_corpus"))
+    _load_fuzz().build_corpus(out, wave13=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave13_duck(wave13_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave13_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE13_FIXED)
+def test_wave13_corpus_oracle_parity(name, spark, wave13_dir, wave13_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave13_dir), wave13_duck, e.oracle_sql()[name]
+    )
+
+
+def test_wave13_rows_stay_gated(tmp_path):
+    """Corpus-composition pin: the always-on corpus keeps every event ts
+    inside the plausible admission window and non-NULL; --wave13 plants
+    exactly the three fault rows (NULL / epoch-0 / year-9999)."""
+    import duckdb as _duck
+
+    fuzz = _load_fuzz()
+    a, b = str(tmp_path / "default"), str(tmp_path / "wave13")
+    fuzz.build_corpus(a)
+    fuzz.build_corpus(b, wave13=True)
+    con = _duck.connect()
+    q = (
+        "SELECT count(*) FROM read_parquet('{}/events.parquet') "
+        "WHERE ts IS NULL OR ts < TIMESTAMP '2000-01-01' "
+        "   OR ts >= TIMESTAMP '2100-01-01'"
+    )
+    assert con.sql(q.format(a)).fetchone()[0] == 0
+    assert con.sql(q.format(b)).fetchone()[0] == 3

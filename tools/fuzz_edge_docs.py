@@ -25,13 +25,12 @@ the wave now runs 174/174 and test_wave5_corpus_oracle_parity pins it.
 
 --wave6 additionally plants NULL-key/NULL-payload rows: a NULL-text
 document (NULL media payload), NULL lang / NULL source docs, a
-NULL-user_id event, and a NULL-event_type event. The five in-window
-document consumers (multimodal_meta/frame_sample/resize, doc_chunks,
-chunk_dedup) are fixed and pinned; 10 out-of-window entries still fail
-(Spark split(NULL) emits a phantom all-NULL chunk row where DuckDB's
-generate_series(0, NULL) emits none; single-member NULL-key groups
-crash ANSI slope/corr with DIVIDE_BY_ZERO; NULL-user rows shift
-distinct-user counts) — r7 scope, enumerated in SURVEY §7.
+NULL-user_id event, and a NULL-event_type event. FIXED in r7: the
+NULL-key/NULL-payload domain contracts landed across all 10 formerly
+diverging keyed operators (phantom split(NULL) chunk rows, ANSI
+DIVIDE_BY_ZERO on single-member NULL-key groups, NULL-user
+distinct-count shifts); the wave now runs 174/174 and
+test_wave6_corpus_oracle_parity pins it.
 
 --wave7 additionally plants MULTIBYTE documents (2-byte Latin
 accents, 3-byte CJK without spaces, 4-byte emoji, a single multibyte
@@ -93,6 +92,16 @@ with a uniform-dimension clause on BOTH sides. It flags every embedding
 consumer helper-stale, so it must ride the r8 rotation window exactly
 as the _vdec contract rode r7's; this flag exists so r8 starts from a
 pinned failing-entry list.
+
+--wave13 (gated, enumeration-first) plants TIMESTAMP-domain faults in
+events: a NULL ts, an epoch-0 row (1970-01-01), and a far-future row
+(9999-12-31). The divergence classes: NULL-ts rows in time-bucketed
+aggregation (Spark's window()/date_trunc grouping vs DuckDB
+time_bucket/date_trunc NULL-group retention), NULL position in ts
+orderings (Spark ASC sorts NULLs FIRST, DuckDB LAST), and min/max-
+bounded spines inflated by outlier timestamps (the gapfill family
+already rides the [2000, 2100) plausible-ts admission contract; this
+wave measures who else needs it).
 """
 
 from __future__ import annotations
@@ -120,6 +129,7 @@ def build_corpus(
     wave10: bool = False,
     wave11: bool = False,
     wave12: bool = False,
+    wave13: bool = False,
 ) -> None:
     import duckdb
 
@@ -256,6 +266,21 @@ def build_corpus(
         if wave5
         else ""
     )
+    # thirteenth wave (gated, enumeration-first): timestamp-domain
+    # faults — a NULL ts, an epoch-0 row, a far-future row. NULL-ts
+    # grouping/ordering and outlier-driven spine inflation are the
+    # target classes (see module docstring).
+    wave13_rows = (
+        """,
+            (950001, NULL,                                    950001,
+             'view',  7.0,  '{"k": 21}'),
+            (950002, TIMESTAMP '1970-01-01 00:00:00.000000',  950001,
+             'click', 8.0,  '{"k": 22}'),
+            (950003, TIMESTAMP '9999-12-31 23:59:59.000000',  950001,
+             'view',  9.0,  '{"k": 23}')"""
+        if wave13
+        else ""
+    )
     wave9_events_sql = (
         f"""
           UNION ALL
@@ -305,7 +330,7 @@ def build_corpus(
             (900021, TIMESTAMP '2024-01-05 12:00:00.000000', 900004,
              'view',   12.0,  '{{"k": "x"}}'),
             (900022, TIMESTAMP '2024-01-05 13:00:00.000000', 900004,
-             'view',   13.0,  '{{"k": 12.5}}'){wave5_rows}{wave6_event_rows}
+             'view',   13.0,  '{{"k": 12.5}}'){wave5_rows}{wave13_rows}{wave6_event_rows}
           ) v(event_id, ts, user_id, event_type, value, props){wave9_events_sql}
         ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
@@ -377,7 +402,7 @@ def build_corpus(
 def main() -> None:
     flags = (
         "--wave5", "--wave6", "--wave7", "--wave8", "--wave9",
-        "--wave10", "--wave11", "--wave12",
+        "--wave10", "--wave11", "--wave12", "--wave13",
     )
     argv = [a for a in sys.argv[1:] if a not in flags]
     wave5 = "--wave5" in sys.argv[1:]
@@ -388,12 +413,14 @@ def main() -> None:
     wave10 = "--wave10" in sys.argv[1:]
     wave11 = "--wave11" in sys.argv[1:]
     wave12 = "--wave12" in sys.argv[1:]
+    wave13 = "--wave13" in sys.argv[1:]
     base = argv[0] if argv else DEFAULT_BASE
     only = sorted(set(argv[1:]))
     out = tempfile.mkdtemp(prefix="edgefuzz_")
     build_corpus(
         out, base, wave5=wave5, wave6=wave6, wave7=wave7, wave8=wave8,
         wave9=wave9, wave10=wave10, wave11=wave11, wave12=wave12,
+        wave13=wave13,
     )
     # reuse the driver-compare replica wholesale
     import subprocess
