@@ -154,13 +154,16 @@ def main() -> None:
         )
     )
     # The FINAL stdout line is the driver contract and must survive the
-    # driver's bounded tail capture (r2/r3 recorded "parsed": null because
-    # one long line with both passes was truncated mid-JSON). Keep it
-    # compact. KEY STABILITY (ADVICE r4): "queries" carries COLD per-query
-    # timings, the same meaning as rounds 1-3 (r4 briefly put warm numbers
-    # there); per-query warm medians live in the detail line above, and
-    # only the scalar warm total rides here (line length is the tail-
-    # capture budget).
+    # driver's bounded tail capture — 2000 chars (r2/r3 recorded
+    # "parsed": null because one long line with both passes was truncated
+    # mid-JSON). Keep it compact. KEY STABILITY (ADVICE r4): "queries"
+    # carries COLD per-query timings, the same meaning as rounds 1-3.
+    # VERDICT r7 item 7: per-query WARM medians must ride the parsed
+    # final line too, so cold-pass drift can be adjudicated from the
+    # artifact alone — as "queries_warm", an ARRAY aligned with the
+    # "queries" dict's own key order (a second full dict would blow the
+    # 2000-char tail budget: 1476 + 1570 > 2000; the array costs ~280,
+    # measured 1773 total).
     print(
         json.dumps(
             {
@@ -168,6 +171,7 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries_warm": [round(warm_med[k], 2) for k in timings],
                 "value_warm": round(warm_total, 2),
                 "sf": sf,
             },

@@ -173,8 +173,11 @@ def corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    # try_divide: a single-row group has zero variance; ANSI double
-    # division crashes where DuckDB's x/0 yields NULL (wave-6 class 1)
+    # try_divide: a single-row group has zero variance. Spark's ANSI
+    # divide-by-zero error covers integral/decimal only — double x/0
+    # yields Inf/NaN — so the guard here is Inf/NaN-vs-NULL PARITY:
+    # try_divide degrades to NULL, bit-matching DuckDB's x/0 -> NULL
+    # for doubles (wave-6; rationale corrected per ADVICE r7)
     corr = F.try_divide(
         n * sxy - sx * sy, F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     )
@@ -581,10 +584,17 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Finite domain filter (fuzz wave 5): moments and the z population
     # come from the same clean row set — a corrupt value can neither
-    # shift the mean nor appear as an "outlier" itself. The squares go
-    # through DECIMAL(18,0) so |v| up to the 1e12 domain bound cannot
-    # overflow signed 64-bit (v6² reaches 1e36; long overflows at
-    # v ≈ 3e3 already).
+    # shift the mean nor appear as an "outlier" itself.
+    #
+    # Second moment (ADVICE r7): a direct SUM(v6²) DECIMAL(38,0) has only
+    # ~100-row headroom at the 1e12 domain bound (each square reaches
+    # 1e36), so a cluster of in-domain unit-bug rows could still overflow
+    # under ANSI — counter to the degrade-don't-crash contract. Split
+    # |v6| = a*1e6 + b (a <= 1e12, b < 1e6, both nonnegative so integer
+    # div/mod agree across engines) and sum a², ab, b² separately:
+    # each term is <= 1e24 per row, giving ~1e14-row headroom per type,
+    # and sum(v6²) = Sa2*1e12 + 2*Sab*1e6 + Sb2 recombines exactly in
+    # double with a fixed expression order — still bit-portable.
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(finite_value("value"))
@@ -593,13 +603,22 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v6d = F.col("v6").cast("decimal(18,0)")
+    a = F.expr("abs(v6) div 1000000").cast("decimal(18,0)")
+    b = F.expr("abs(v6) % 1000000").cast("decimal(18,0)")
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v6d).alias("s1"),
-        F.sum(v6d * v6d).alias("s2"),
+        F.sum(a * a).alias("sa2"),
+        F.sum(a * b).alias("sab"),
+        F.sum(b * b).alias("sb2"),
     )
     mean6 = F.col("s1").cast("double") / F.col("n")
-    var6 = F.col("s2").cast("double") / F.col("n") - mean6 * mean6
+    s2 = (
+        F.col("sa2").cast("double") * 1e12
+        + F.col("sab").cast("double") * 2e6
+        + F.col("sb2").cast("double")
+    )
+    var6 = s2 / F.col("n") - mean6 * mean6
     # var == 0 (constant group) would divide by zero — ANSI crash on
     # Spark, NULL on DuckDB; a tiny negative var from double rounding
     # would sqrt to NaN, which the engines floor differently. Guard the
@@ -626,23 +645,37 @@ def zscore_outliers_oracle() -> str:
           FROM events
           WHERE {FINITE_VALUE_SQL}
         ),
+        split AS (
+          SELECT *,
+                 CAST(abs(v6) // 1000000 AS DECIMAL(18,0)) AS ah,
+                 CAST(abs(v6) % 1000000 AS DECIMAL(18,0)) AS bl
+          FROM base
+        ),
         stats AS (
           SELECT event_type,
                  COUNT(*) AS n,
                  SUM(CAST(v6 AS DECIMAL(18,0))) AS s1,
-                 SUM(CAST(v6 AS DECIMAL(18,0)) * CAST(v6 AS DECIMAL(18,0))) AS s2
-          FROM base GROUP BY event_type
+                 SUM(ah * ah) AS sa2,
+                 SUM(ah * bl) AS sab,
+                 SUM(bl * bl) AS sb2
+          FROM split GROUP BY event_type
+        ),
+        moments AS (
+          SELECT event_type, n, s1,
+                 CAST(sa2 AS DOUBLE) * 1e12 + CAST(sab AS DOUBLE) * 2e6
+                   + CAST(sb2 AS DOUBLE) AS s2
+          FROM stats
         ),
         z AS (
           SELECT b.event_id, b.event_type, b.value,
-                 CASE WHEN CAST(s2 AS DOUBLE) / n
+                 CASE WHEN s2 / n
                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
                       THEN (b.v6 - CAST(s1 AS DOUBLE) / n)
-                           / sqrt(CAST(s2 AS DOUBLE) / n
+                           / sqrt(s2 / n
                                   - (CAST(s1 AS DOUBLE) / n)
                                     * (CAST(s1 AS DOUBLE) / n))
                  END AS zr
-          FROM base b JOIN stats USING (event_type)
+          FROM base b JOIN moments USING (event_type)
         )
         SELECT event_id, event_type, value,
                FLOOR(zr * 1e4) / 1e4 AS zscore
@@ -759,7 +792,8 @@ def linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     # try_divide: a group whose events share one day has sxx*n == sx²
-    # (zero x-variance) — ANSI double division crashes where DuckDB's
+    # (zero x-variance). Double x/0 is NOT an ANSI error in Spark (that
+    # applies to integral/decimal); it yields Inf/NaN where DuckDB's
     # x/0 yields NULL (wave-6 class 1); slope NULL propagates to
     # intercept on both engines.
     slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
@@ -919,8 +953,12 @@ def user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rassingly parallel, nothing like a low-cardinality reducer), then a
     partial-aggregated count over |types|^2 pairs and a metadata-sized
     normalization window over the aggregate.
+
+    Event-time admission (fuzz wave 13): a NULL ts shifts every lead()
+    pairing (Spark ASC sorts NULLs first, DuckDB last), so the sequence
+    domain is contracts.plausible_ts on both sides.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -941,12 +979,13 @@ def user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def user_transition_matrix_oracle() -> str:
-    return """
+    return f"""
         WITH seq AS (
           SELECT event_type AS from_type,
                  LEAD(event_type) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
           FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         counts AS (
           SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
@@ -1257,9 +1296,16 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is reused), then one metadata-sized day aggregate. The
     cumulative total is a running sum over ~30 day rows — a driver-safe
     ordered window over an already-aggregated frame, never over raw rows.
+
+    Event-time admission (fuzz wave 13): a NULL ts makes a NULL day
+    bucket that the engines order differently (and a year-9999 row would
+    be a nonsense cohort day), so the day domain is
+    contracts.plausible_ts on both sides.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(plausible_ts("ts"))
+        .select("user_id", F.to_date("ts").alias("day"))
     )
     first_day = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
     active = ev.distinct()
@@ -1283,13 +1329,14 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def new_vs_returning_oracle() -> str:
-    return """
+    return f"""
         WITH first_day AS (
           SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
-          FROM events GROUP BY user_id
+          FROM events WHERE {PLAUSIBLE_TS_SQL} GROUP BY user_id
         ),
         active AS (
-          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE {PLAUSIBLE_TS_SQL}
         ),
         per_day AS (
           SELECT a.day,
@@ -1592,8 +1639,16 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     change flags numbers the versions (classic gaps-and-islands), a
     groupBy collapses runs, and a lead attaches each version's close
     time. Per-user windows — high cardinality, naturally parallel.
+
+    Event-time admission (fuzz wave 13): a NULL ts shifts the run
+    boundaries (Spark ASC sorts NULLs first, DuckDB last), so the
+    dimension's time domain is contracts.plausible_ts on both sides.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(plausible_ts("ts"))
+        .select("user_id", "event_type", "ts")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_type")
     changed = F.when(
         F.lag("event_type").over(w).isNull()
@@ -1626,9 +1681,10 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scd2_history_oracle() -> str:
-    return """
+    return f"""
         WITH ev AS (
           SELECT user_id, event_type, ts FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         marked AS (
           SELECT *,
@@ -1806,4 +1862,85 @@ def late_arrival_audit_oracle() -> str:
         FROM marked
         GROUP BY user_id
         ORDER BY user_id
+    """
+
+
+# --- exact-rank trimmed mean ------------------------------------------------
+
+TRIM_FRAC_DENOM = 10  # trim floor(n/10) rows from each tail (10%)
+
+
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 10% trimmed mean of `value`: drop the lowest and
+    highest floor(n/10) values by EXACT rank, average the middle — the
+    robust location estimate between the mean (breaks on one unit-bug
+    row) and the median (discards too much). Pairs with mad_outliers in
+    the robust-stats family; same measurable-value domain contract.
+
+    Exactness: the kept-rows sum is the guarded DECIMAL(18,6) lift
+    (contracts.vdec) — order-independent, so the 32-way shuffle and the
+    oracle's single thread agree bit-for-bit; only the final divide is
+    IEEE (correctly rounded, then trunc6).
+
+    Scale shape: event_type is a hot key, so ranks come from the
+    distributed two-phase pattern (``distributed.grouped_running_sum`` —
+    range partition + per-partition window + broadcast prefix offsets),
+    never `row_number() OVER (PARTITION BY event_type)` (one task per
+    type at 100 TB). Tail bounds join back via a broadcast of the
+    |event_type|-sized count table.
+    """
+    from .distributed import grouped_running_sum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(finite_value("value"))
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = grouped_running_sum(
+        ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
+    )
+    k = F.expr(f"n div {TRIM_FRAC_DENOM}")
+    kept = (
+        ranked.join(F.broadcast(counts), "event_type")
+        .filter((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            _trunc6(
+                F.sum(_vdec("value")).cast("double") / F.count(F.lit(1))
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def trimmed_mean_value_oracle() -> str:
+    return f"""
+        WITH base AS (
+          SELECT event_type, event_id, value
+          FROM events WHERE {FINITE_VALUE_SQL}
+        ),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY value, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM base
+        ),
+        kept AS (
+          SELECT * FROM ranked
+          WHERE rk > n // {TRIM_FRAC_DENOM} AND rk <= n - n // {TRIM_FRAC_DENOM}
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               FLOOR(CAST(SUM({_VDEC_SQL}) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                 AS trimmed_mean
+        FROM kept
+        GROUP BY event_type
+        ORDER BY event_type
     """

@@ -83,6 +83,46 @@ def plausible_ts(col: str | Column = "ts") -> Column:
     )
 
 
+# --- occupancy-cap observability (ADVICE r7) ------------------------------
+#
+# The bucket-occupancy caps (dedup.LSH_BUCKET_CAP, similarity.
+# COSINE_BUCKET_CAP / DECON_EVAL_BUCKET_CAP) bound adversarial pair
+# explosions, but they TRUNCATE: past the cap the pair-shaped output is
+# no longer complete and the cluster-shaped family is the right tool. A
+# production run must be able to SEE that happen — a cap that fires
+# silently reads as "covered everything" when it didn't.
+
+# Test/ops hook: when set to a dict, observe_cap routes metrics through
+# pyspark.sql.Observation objects stored here (name -> Observation), so a
+# harness can read obs.get after an action. Default (None) uses named
+# observations, which surface through Spark's standard channels
+# (QueryExecutionListener / observedMetrics in the SQL UI) with no
+# driver-side coupling.
+CAP_METRIC_SINK: dict | None = None
+
+
+def observe_cap(df, name: str, rn_col: str, cap: int):
+    """Attach a CollectMetrics node counting occupancy-cap truncation on
+    the pre-filter frame: ``rows_past_cap`` (how many bucket rows the cap
+    will drop — 0 means the pair output is provably complete) and
+    ``max_occupancy`` (the hottest bucket seen). A pass-through node: no
+    action, no shuffle, oracles unaffected; the metric is computed as
+    rows stream through the existing scan."""
+    metrics = (
+        F.sum(F.when(F.col(rn_col) > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_past_cap"),
+        F.max(F.col(rn_col)).cast("bigint").alias("max_occupancy"),
+    )
+    if CAP_METRIC_SINK is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        CAP_METRIC_SINK[name] = obs
+        return df.observe(obs, *metrics)
+    return df.observe(name, *metrics)
+
+
 # --- DuckDB twins (string templates for oracle_sql) -----------------------
 
 

@@ -778,3 +778,206 @@ def vocab_growth_curve_oracle() -> str:
         WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY bucket
     """
+
+
+def restore_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wave-9 exactly-once restore as a scoreable contract: the
+    documents table through :func:`~etl_schema_spark.sources.catalog.
+    load_table_unique` — one row per primary key even when at-least-once
+    ingestion replayed a key (exact or CONFLICTING payload), the winner
+    picked deterministically (remaining columns asc NULLS LAST, an
+    engine-portable UTF-8 byte order).
+
+    This is the documented front door for restoring the PK-uniqueness
+    precondition every operator assumes; incremental_dedup consumes it
+    in-line as the ingest-boundary example. Cost, stated honestly: ONE
+    key-shuffle over the table (a row_number window per PK) — why the
+    restore stays opt-in rather than inside load_table. At 100 TB the
+    production form is the same window over bucketed-by-PK storage,
+    where the shuffle collapses to a local sort per bucket.
+
+    Output keeps text as md5 so the driver hashes a narrow frame; every
+    other column rides through for schema fidelity.
+    """
+    from ..sources.catalog import load_table_unique
+
+    d = load_table_unique(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+def restore_unique_docs_oracle() -> str:
+    from ..sources.catalog import unique_scan_sql
+
+    return f"""
+        SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        FROM {unique_scan_sql("documents")} documents
+        ORDER BY doc_id
+    """
+
+
+# --- cross-source duplicate leakage (mirror / syndication detection) -------
+
+
+def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate accounting, split into INTERNAL dups
+    (another copy within the same source) and EXTERNAL leakage (the same
+    normalized content also appears under a DIFFERENT source) — the
+    mirror/syndication detector a web-scale curation run uses to decide
+    which sources are re-hosting each other before setting mix weights
+    (complements cross_source_overlap, which measures shingle-level
+    affinity between source PAIRS; this is the per-source rollup of
+    verbatim copies).
+
+    Plan: one md5 per doc (scan-local), ONE groupBy(content hash)
+    producing per-hash (n_copies, n_sources) — partial-aggregated, the
+    only wide shuffle — then a broadcast-size join back is avoided
+    entirely by re-aggregating the per-(hash, source) frame: the second
+    groupBy(source) is over |sources| groups. No doc text ever shuffles
+    (hashes and counts only). NULL source (wave-6 contract): kept as its
+    own "unattributed" group via a sentinel so the rollup is total.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("source"), F.lit("__null__")).alias("source"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("h"),
+    )
+    per_hs = docs.groupBy("h", "source").agg(F.count(F.lit(1)).alias("n"))
+    w_h = Window.partitionBy("h")
+    enriched = per_hs.select(
+        "source",
+        "n",
+        F.count(F.lit(1)).over(w_h).alias("n_sources"),
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("n_dup_internal"),
+            F.sum(F.when(F.col("n_sources") >= 2, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+            F.floor(
+                F.sum(F.when(F.col("n_sources") >= 2, F.col("n")).otherwise(0))
+                / F.sum("n")
+                * 1e6
+            ).alias("leak_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def cross_source_dup_leakage_oracle() -> str:
+    return r"""
+        WITH docs AS (
+          SELECT COALESCE(source, '__null__') AS source,
+                 md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ),
+        per_hs AS (
+          SELECT h, source, COUNT(*) AS n FROM docs GROUP BY h, source
+        ),
+        enriched AS (
+          SELECT source, n,
+                 COUNT(*) OVER (PARTITION BY h) AS n_sources
+          FROM per_hs
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n - 1) AS BIGINT) AS n_dup_internal,
+               CAST(SUM(CASE WHEN n_sources >= 2 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_leaked,
+               CAST(FLOOR(SUM(CASE WHEN n_sources >= 2 THEN n ELSE 0 END) * 1.0
+                          / SUM(n) * 1e6) AS BIGINT) AS leak_ppm
+        FROM enriched
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+# --- weighted sampling without replacement (A-Res) --------------------------
+
+ARES_K = 5
+ARES_SALT = 16
+
+
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, per source: the
+    Efraimidis–Spirakis A-Res scheme — each doc draws u from its md5
+    (deterministic, engine-portable; never rand()) and ranks by
+    ln(u)/weight with weight = n_chars, so inclusion probability is
+    proportional to document length without replacement. The
+    length-weighted twin of ``reservoir_sample_per_key`` (uniform): the
+    sampler a token-budgeted inspection/eval draw actually wants.
+
+    Sampling domain: weight > 0 (a zero/NULL-length doc has no mass and
+    1/w is undefined) — excluded on both sides, the same
+    "leaves-the-measurable-domain" shape as the value contract.
+
+    Scale shape: the per-source top-K never sorts a whole source in one
+    task — stage 1 takes the top K within each of ARES_SALT deterministic
+    salt lanes (window over (source, salt): ≤ K·SALT survivors per
+    source), stage 2 ranks those ≤ 80 rows per source. The oracle states
+    the single-window definition; the two-stage plan is provably the
+    same set (the global top-K is contained in the union of per-lane
+    top-Ks).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ares:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    # u in (0, 1]: +1 keeps ln defined; key = ln(u)/w is the A-Res order
+    key = F.floor(F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars") * 1e9) / 1e9
+    base = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            key.alias("ares_key"),
+            (F.col("doc_id") % ARES_SALT).alias("_salt"),
+        )
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("ares_key"), F.asc("doc_id")
+    )
+    stage1 = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= ARES_K)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("ares_key"), F.asc("doc_id"))
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= ARES_K)
+        .select("source", "rank", "doc_id", "n_chars", "ares_key")
+        .orderBy("source", "rank")
+    )
+
+
+def weighted_sample_ares_oracle() -> str:
+    return f"""
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 FLOOR(ln((CAST(('0x' || substr(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 1) / 4294967296.0)
+                       / n_chars * 1e9) / 1e9 AS ares_key
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY ares_key DESC, doc_id ASC)
+                 AS BIGINT) AS rank,
+               doc_id, n_chars, ares_key
+        FROM keyed
+        QUALIFY rank <= {ARES_K}
+        ORDER BY source, rank
+    """

@@ -711,3 +711,254 @@ def cross_lang_contamination_oracle() -> str:
         HAVING COUNT(*) >= {XLANG_MIN_SHARED}
         ORDER BY doc_a, doc_b
     """
+
+
+# --- DSIR importance weights (data selection via importance resampling) ----
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-bigram features are under a TARGET
+    distribution (here: the DSIR_TARGET_SOURCES slice — the
+    "high-quality domain" stand-in) than under the raw-pool distribution
+    (every other source). weight(doc) = Σ_f ln(p_target(b(f)) /
+    p_raw(b(f))) over the doc's word-bigram features hashed into
+    DSIR_BUCKETS md5 buckets, Laplace add-1 smoothed — the standard
+    pretraining-mix reweighting signal (resample ∝ exp(weight)).
+
+    Determinism: each feature's log-ratio is floor-truncated to 6 dp and
+    summed as DECIMAL(18,6) — order-independent exact arithmetic (the
+    fleet _vdec discipline), so a 32-way shuffle and DuckDB's single
+    thread agree bit-for-bit; the ln argument is a ratio of exact
+    integer products. Docs with no bigram (0/1 tokens) stay in the
+    output with NULL weight — the wave-3 "empty aggregate leaves the
+    measurable domain" contract, not a silent drop.
+
+    Scale shape: one explode to (doc_id, bucket) feature rows (narrow:
+    two longs), ONE corpus aggregate over ≤ DSIR_BUCKETS groups, and the
+    1024-row ratio table BROADCASTS back onto the feature stream — the
+    per-doc sum is the only real shuffle, keyed on doc_id
+    (high-cardinality, naturally parallel). No vocabulary-sized state
+    anywhere: the hashing trick bounds model size at any corpus scale.
+    """
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # guard n < 2: slice() throws on negative length (an empty/1-token
+    # doc must yield zero features, not kill the scan — edge fuzz)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_target = F.coalesce(
+        F.col("source").isin(*DSIR_TARGET_SOURCES), F.lit(False)
+    ).alias("is_target")
+    base = docs.select("doc_id", is_target, bigrams.alias("bg"))
+    feats = base.select(
+        "doc_id",
+        "is_target",
+        F.explode("bg").alias("f"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    bcounts = feats.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cs"),
+    )
+    totals = feats.groupBy().agg(
+        F.sum(F.col("is_target").cast("long")).alias("tt"),
+        F.sum((~F.col("is_target")).cast("long")).alias("ts"),
+    )
+    b = F.lit(DSIR_BUCKETS).cast("long")
+    ratio = (
+        bcounts.crossJoin(F.broadcast(totals))  # 1-row totals
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.col("ct") + 1) * (F.col("ts") + b)).cast("double")
+                    / ((F.col("cs") + 1) * (F.col("tt") + b)).cast("double")
+                )
+                * 1e6
+            ).alias("r6"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum((F.col("r6") / 1e6).cast("decimal(18,6)")).alias("wdec"),
+        )
+    )
+    return (
+        base.select("doc_id", "is_target")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("is_target").cast("boolean").alias("is_target"),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            F.col("wdec").cast("double").alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_importance_weights_oracle() -> str:
+    targets = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    nb = DSIR_BUCKETS
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 COALESCE(source IN ({targets}), FALSE) AS is_target,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, is_target,
+                 CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {nb} AS bucket
+          FROM (
+            SELECT doc_id, is_target,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i + 1])) AS f
+            FROM base
+          )
+        ),
+        bcounts AS (
+          SELECT bucket,
+                 SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                 SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+          FROM feats GROUP BY bucket
+        ),
+        totals AS (
+          SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+                 SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS ts
+          FROM feats
+        ),
+        ratio AS (
+          SELECT bucket,
+                 FLOOR(ln(CAST((ct + 1) * (ts + {nb}) AS DOUBLE)
+                          / CAST((cs + 1) * (tt + {nb}) AS DOUBLE)) * 1e6) AS r6
+          FROM bcounts, totals
+        ),
+        per_doc AS (
+          SELECT f.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 SUM(CAST(r.r6 / 1e6 AS DECIMAL(18,6))) AS wdec
+          FROM feats f JOIN ratio r USING (bucket)
+          GROUP BY f.doc_id
+        )
+        SELECT b.doc_id,
+               b.is_target,
+               CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(p.wdec AS DOUBLE) AS weight
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY b.doc_id
+    """
+
+
+# --- length-filter retention sweep ------------------------------------------
+
+LENGTH_SWEEP_STEP = 64
+LENGTH_SWEEP_RUNGS = 9  # thresholds 0, 64, ..., 512
+
+
+def length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve for a minimum-length filter: for every threshold
+    in the 0..512-char ladder, how many documents and characters survive
+    `n_chars >= threshold`, absolutely and as a corpus fraction — the
+    sweep a curation run consults before committing to a length cutoff
+    (the data-diet twin of dedup_impact_curve's tau sweep).
+
+    Plan: NO per-threshold scan and no doc×threshold cross join — each
+    doc maps to its ladder bucket in-row, ONE partial-aggregated groupBy
+    over ≤ LENGTH_SWEEP_RUNGS buckets, and the ladder spine (a 9-row
+    range) non-equi-joins the bucket table broadcast-side to form the
+    descending cumulative — metadata-sized work after a single scan.
+    NULL n_chars degrades to bucket 0 (kept only by the no-op
+    threshold), mirrored by COALESCE in the oracle.
+    """
+    step, rungs = LENGTH_SWEEP_STEP, LENGTH_SWEEP_RUNGS
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("nc")
+    )
+    cap = step * (rungs - 1)
+    bucket = F.least(F.lit(cap), F.floor(F.col("nc") / step) * step).cast("long")
+    per_bucket = docs.groupBy(bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("nc").alias("chars")
+    )
+    spine = spark.range(0, rungs).select((F.col("id") * step).alias("min_chars"))
+    totals = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("td"), F.sum("nc").alias("tc")
+    )
+    joined = spine.join(
+        F.broadcast(per_bucket), F.col("b") >= F.col("min_chars"), "left"
+    )
+    return (
+        joined.groupBy("min_chars")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_docs_kept"),
+            F.coalesce(F.sum("chars"), F.lit(0)).cast("bigint").alias("n_chars_kept"),
+        )
+        .crossJoin(F.broadcast(totals))  # 1-row totals
+        .select(
+            "min_chars",
+            "n_docs_kept",
+            "n_chars_kept",
+            _trunc6(F.try_divide(F.col("n_docs_kept"), F.col("td"))).alias("frac_docs"),
+            _trunc6(F.try_divide(F.col("n_chars_kept"), F.col("tc"))).alias(
+                "frac_chars"
+            ),
+        )
+        .orderBy("min_chars")
+    )
+
+
+def length_filter_sweep_oracle() -> str:
+    step, rungs = LENGTH_SWEEP_STEP, LENGTH_SWEEP_RUNGS
+    cap = step * (rungs - 1)
+    return f"""
+        WITH docs AS (
+          SELECT COALESCE(n_chars, 0) AS nc FROM documents
+        ),
+        per_bucket AS (
+          SELECT LEAST({cap}, CAST(FLOOR(nc / {step}) * {step} AS BIGINT)) AS b,
+                 COUNT(*) AS cnt, SUM(nc) AS chars
+          FROM docs GROUP BY 1
+        ),
+        spine AS (
+          SELECT CAST(r * {step} AS BIGINT) AS min_chars
+          FROM (SELECT unnest(range(0, {rungs})) AS r)
+        ),
+        totals AS (
+          SELECT COUNT(*) AS td, SUM(nc) AS tc FROM docs
+        ),
+        kept AS (
+          SELECT s.min_chars,
+                 CAST(COALESCE(SUM(p.cnt), 0) AS BIGINT) AS n_docs_kept,
+                 CAST(COALESCE(SUM(p.chars), 0) AS BIGINT) AS n_chars_kept
+          FROM spine s LEFT JOIN per_bucket p ON p.b >= s.min_chars
+          GROUP BY s.min_chars
+        )
+        SELECT min_chars, n_docs_kept, n_chars_kept,
+               FLOOR(n_docs_kept * 1.0 / td * 1e6) / 1e6 AS frac_docs,
+               FLOOR(n_chars_kept * 1.0 / tc * 1e6) / 1e6 AS frac_chars
+        FROM kept, totals
+        ORDER BY min_chars
+    """

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import cpu_parallel, load_table
+from .contracts import observe_cap
 
 JACCARD_TAU = 0.5
 MINHASH_SEEDS = 8
@@ -41,7 +42,13 @@ LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
 # oracles. Past the cap the corpus is a near-identical mega-cluster where
 # pair-shaped output is the wrong shape anyway — the cluster-shaped
 # family (semdedup/dup_components/canonical_pick) is the documented
-# scale path (BENCH_NOTES, label-skew probe).
+# scale path (BENCH_NOTES, label-skew probe). The cap firing is
+# OBSERVABLE (ADVICE r7): contracts.observe_cap attaches metrics
+# "lsh_bucket_cap" / "minhash_band_cap" (rows_past_cap, max_occupancy)
+# at each capped site, so a production run — and downstream pair-frame
+# consumers like dup_components/dup_cluster_stats/dedup_impact_curve —
+# can detect under-merged clusters instead of reading truncated pairs
+# as complete.
 LSH_BUCKET_CAP = 1024
 
 
@@ -334,7 +341,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     )
     w_bucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
     pairs = (
-        banded.withColumn("_rn", F.row_number().over(w_bucket))
+        observe_cap(
+            banded.withColumn("_rn", F.row_number().over(w_bucket)),
+            "lsh_bucket_cap",
+            "_rn",
+            LSH_BUCKET_CAP,
+        )
         .filter(F.col("_rn") <= LSH_BUCKET_CAP)  # occupancy cap, see constant
         .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -412,7 +424,12 @@ def _minhash_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     pairs = (
-        banded.withColumn("_rn", F.row_number().over(w_bucket))
+        observe_cap(
+            banded.withColumn("_rn", F.row_number().over(w_bucket)),
+            "minhash_band_cap",
+            "_rn",
+            LSH_BUCKET_CAP,
+        )
         .filter(F.col("_rn") <= LSH_BUCKET_CAP)  # occupancy cap, see constant
         .groupBy("bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -697,8 +714,16 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle of either full side. Output: one row per new doc with
     its verdict and the doc it duplicates (min-id corpus holder, NULL if
     novel).
+
+    Ingest boundary = exactly-once front door (wave 9, wired r8): the
+    documents scan goes through catalog.load_table_unique, so a replayed
+    key — exact or CONFLICTING payload — contributes ONE deterministic
+    row before the batch/index split. Cost: one PK-shuffle of the scan
+    (the restore's documented price; see restore_unique_docs).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.catalog import load_table_unique
+
+    docs = load_table_unique(spark, sf_dir, "documents")
     hashed = docs.select("doc_id", F.md5(_normalized()).alias("content_md5"))
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
     batch = hashed.filter(is_new)
@@ -722,12 +747,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_dedup_oracle() -> str:
+    from ..sources.catalog import unique_scan_sql
+
     m = NEW_BATCH_MOD
     return rf"""
         WITH hashed AS (
           SELECT doc_id,
                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_md5
-          FROM documents
+          FROM {unique_scan_sql("documents")} documents
         ),
         idx AS (
           SELECT content_md5, MIN(doc_id) AS dup_of
@@ -1618,4 +1645,292 @@ def substring_repeat_ladder_oracle() -> str:
         FROM wins w JOIN hash_docs h USING (win_len, whash)
         GROUP BY w.win_len
         ORDER BY win_len
+    """
+
+
+# --- exact per-document repeat profile (suffix automaton) ------------------
+
+
+def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT within-document repeat statistics via a suffix automaton over
+    each document's token sequence — the sequential structure
+    ``substring_repeat_ladder`` documents itself as a sampled stand-in
+    for (VERDICT r7 item 5). The ladder answers the CROSS-doc question at
+    log cost; this answers the WITHIN-doc question exactly: per document,
+    the number of distinct token n-grams of every length (the automaton's
+    Σ len(v) − len(link(v)) identity), the longest n-gram occurring at
+    least twice, that gram (lexicographically smallest on ties, compared
+    as the space-joined string so both engines use plain UTF-8 byte
+    order), and its possibly-overlapping occurrence count. High
+    max_repeat_len / low distinct ratio = internally templated or
+    stuttering generation output — the canonical "repetition" signal a
+    training-data filter thresholds on.
+
+    Plan shape: one linear Arrow ``mapInPandas`` pass (the documented
+    "built-ins genuinely can't express it" case — an automaton is
+    inherently sequential per document, and CPython O(1) indexing beats
+    Spark's O(i) UTF-8 substring walk; same argument as the ladder's
+    window pass, BENCH_NOTES "Long-document availability"). Documents
+    never shuffle: text stays executor-local and only the six narrow
+    profile columns leave the worker. Construction is O(tokens) per doc;
+    a multi-MB document costs seconds, not the O(n²) a pure-expression
+    n-gram enumeration would.
+
+    Oracle: an algorithm-independent twin — DuckDB enumerates ALL
+    n-grams of all lengths (quadratic, fine at the oracle's sf) and
+    reproduces every statistic from first principles, so the automaton's
+    bookkeeping is checked against brute force, not against itself.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    schema = (
+        "doc_id long, n_tokens long, n_distinct_ngrams long, "
+        "max_repeat_len long, top_repeat_gram string, top_repeat_count long"
+    )
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        # \s in Java (Spark) and RE2 (DuckDB) is ASCII-only; Python's is
+        # Unicode-wide — pin the ASCII class so all three tokenize alike
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_tokens": [], "n_distinct_ngrams": [],
+                "max_repeat_len": [], "top_repeat_gram": [], "top_repeat_count": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                n = len(toks)
+                # suffix automaton over token symbols, with endpos counts
+                sa_len, sa_link, trans, cnt = [0], [-1], [{}], [0]
+                last = 0
+                for c in toks:
+                    cur = len(sa_len)
+                    sa_len.append(sa_len[last] + 1)
+                    sa_link.append(-1)
+                    trans.append({})
+                    cnt.append(1)
+                    p = last
+                    while p != -1 and c not in trans[p]:
+                        trans[p][c] = cur
+                        p = sa_link[p]
+                    if p == -1:
+                        sa_link[cur] = 0
+                    else:
+                        q = trans[p][c]
+                        if sa_len[p] + 1 == sa_len[q]:
+                            sa_link[cur] = q
+                        else:
+                            clone = len(sa_len)
+                            sa_len.append(sa_len[p] + 1)
+                            sa_link.append(sa_link[q])
+                            trans.append(dict(trans[q]))
+                            cnt.append(0)
+                            while p != -1 and trans[p].get(c) == q:
+                                trans[p][c] = clone
+                                p = sa_link[p]
+                            sa_link[q] = clone
+                            sa_link[cur] = clone
+                    last = cur
+                # propagate endpos counts up suffix links, longest first
+                order = sorted(range(1, len(sa_len)), key=lambda s: -sa_len[s])
+                for s in order:
+                    cnt[sa_link[s]] += cnt[s]
+                n_distinct = sum(
+                    sa_len[s] - sa_len[sa_link[s]] for s in range(1, len(sa_len))
+                )
+                max_rep = max(
+                    (sa_len[s] for s in range(1, len(sa_len)) if cnt[s] >= 2),
+                    default=0,
+                )
+                gram, gcount = None, None
+                if max_rep > 0:
+                    # one O(n) pass at the known maximal length recovers the
+                    # witness gram; ties break on the space-joined string
+                    # (UTF-8 byte order — matches DuckDB MIN(VARCHAR))
+                    seen: dict[str, int] = {}
+                    for i in range(n - max_rep + 1):
+                        g = " ".join(toks[i : i + max_rep])
+                        seen[g] = seen.get(g, 0) + 1
+                    gram = min(g for g, c in seen.items() if c >= 2)
+                    gcount = seen[gram]
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["n_distinct_ngrams"].append(n_distinct)
+                out["max_repeat_len"].append(max_rep)
+                out["top_repeat_gram"].append(gram)
+                out["top_repeat_count"].append(gcount)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(profile, schema).orderBy("doc_id")
+
+
+def repeat_profile_automaton_oracle() -> str:
+    return r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ),
+        sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
+        grams AS (
+          SELECT s.doc_id, u1.L,
+                 array_to_string(s.tk[u2.i : u2.i + u1.L - 1], ' ') AS gram
+          FROM sized s,
+               UNNEST(range(1, s.n + 1)) u1(L),
+               UNNEST(range(1, s.n + 1)) u2(i)
+          WHERE u2.i + u1.L - 1 <= s.n
+        ),
+        gcnt AS (
+          SELECT doc_id, L, gram, COUNT(*) AS c FROM grams GROUP BY ALL
+        ),
+        dn AS (
+          SELECT doc_id, COUNT(DISTINCT gram) AS nd FROM grams GROUP BY doc_id
+        ),
+        top AS (
+          SELECT doc_id, L, gram, c
+          FROM gcnt WHERE c >= 2
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY L DESC, gram ASC) = 1
+        )
+        SELECT s.doc_id,
+               CAST(s.n AS BIGINT) AS n_tokens,
+               CAST(COALESCE(dn.nd, 0) AS BIGINT) AS n_distinct_ngrams,
+               CAST(COALESCE(top.L, 0) AS BIGINT) AS max_repeat_len,
+               top.gram AS top_repeat_gram,
+               CAST(top.c AS BIGINT) AS top_repeat_count
+        FROM sized s
+        LEFT JOIN dn USING (doc_id)
+        LEFT JOIN top USING (doc_id)
+        ORDER BY s.doc_id
+    """
+
+
+# --- LSH banding calibration (S-curve tuning report) ------------------------
+
+LSH_TUNE_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))  # (bands, rows) with b*r = 8
+
+
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep: for every (bands, rows-per-band)
+    split of the MINHASH_SEEDS signature, the EXPECTED RECALL of the
+    banding over the corpus's actual verified near-dup pairs — mean over
+    true pairs of the S-curve collision probability
+    P(collide | s) = 1 − (1 − s^r)^b — plus the curve midpoint
+    s50 = (1/b)^(1/r). This is the report that justifies a banding
+    choice BEFORE a 100 TB run commits to it: recall is evaluated
+    against the measured pair-similarity distribution, not a guessed
+    one (the design audit behind dedup_minhash_lsh's n-adaptive bands).
+
+    Determinism: the powers are UNROLLED left-associated products
+    (never pow(x, k) — Math.pow and C pow need not equal repeated
+    multiplication in the last ulp), each pair's collision probability
+    is floor-truncated to 6 dp and summed as DECIMAL(18,6) — the fleet's
+    order-independent mean recipe.
+
+    Scale shape: configs attach by an in-row explode of a 4-element
+    literal array (no join), so the only heavy work is the pair source
+    itself (the AllPairs prefix-filter join, already bounded); the final
+    aggregate has 4 groups.
+    """
+    import functools
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("jaccard")
+    cfgs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+            )
+            for b, r in LSH_TUNE_CONFIGS
+        ]
+    )
+    ex = (
+        pairs.select("jaccard", F.explode(cfgs).alias("cfg"))
+        .select("jaccard", "cfg.bands", "cfg.rows_per_band")
+    )
+
+    def _unroll(col: Column, k: int) -> Column:
+        out = col
+        for _ in range(k - 1):
+            out = out * col
+        return out
+
+    collide = functools.reduce(
+        lambda acc, br: F.when(
+            (F.col("bands") == br[0]) & (F.col("rows_per_band") == br[1]),
+            F.lit(1.0) - _unroll(F.lit(1.0) - _unroll(F.col("jaccard"), br[1]), br[0]),
+        ).otherwise(acc),
+        LSH_TUNE_CONFIGS,
+        F.lit(None).cast("double"),
+    )
+    p6 = (F.floor(collide * 1e6) / 1e6).cast("decimal(18,6)")
+    return (
+        ex.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+            (F.floor(F.sum(p6).cast("double") / F.count(F.lit(1)) * 1e6) / 1e6).alias(
+                "expected_recall"
+            ),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_true_pairs",
+            "expected_recall",
+            (
+                F.floor(
+                    F.exp(F.log(F.lit(1.0) / F.col("bands")) / F.col("rows_per_band"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("s50"),
+        )
+        .orderBy("bands")
+    )
+
+
+def lsh_tuning_curve_oracle() -> str:
+    def unroll(expr: str, k: int) -> str:
+        return " * ".join([f"({expr})"] * k)
+
+    branches = "\n                 ".join(
+        f"WHEN c.bands = {b} AND c.rows_per_band = {r} THEN "
+        f"1.0 - {unroll('1.0 - ' + unroll('p.jaccard', r), b)}"
+        for b, r in LSH_TUNE_CONFIGS
+    )
+    values = ", ".join(f"({b}, {r})" for b, r in LSH_TUNE_CONFIGS)
+    return rf"""
+        WITH {SHINGLE_CTES_SQL},
+        pairs AS (
+          SELECT FLOOR(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                       / (len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles))) * 1e6) / 1e6
+                   AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_TAU}
+        ),
+        cfgs AS (SELECT * FROM (VALUES {values}) c(bands, rows_per_band)),
+        scored AS (
+          SELECT c.bands, c.rows_per_band,
+                 CAST(FLOOR((CASE {branches} END) * 1e6) / 1e6
+                      AS DECIMAL(18,6)) AS p6
+          FROM pairs p CROSS JOIN cfgs c
+        )
+        SELECT CAST(bands AS BIGINT) AS bands,
+               CAST(rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               FLOOR(CAST(SUM(p6) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                 AS expected_recall,
+               FLOOR(exp(ln(1.0 / bands) / rows_per_band) * 1e6) / 1e6 AS s50
+        FROM scored
+        GROUP BY bands, rows_per_band
+        ORDER BY bands
     """

@@ -194,8 +194,12 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     count by path, and a TakeOrdered top-K. Session arrays are bounded by
     the gap (no hot-group risk: a session is one user's burst, not a
     corpus-wide key).
+
+    Event-time admission (fuzz wave 13): a NULL ts would shift every
+    session boundary (Spark ASC sorts NULLs first, DuckDB last), so the
+    operator's time domain is contracts.plausible_ts on both sides.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     with_id = (
@@ -246,6 +250,7 @@ def session_top_paths_oracle() -> str:
                           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         numbered AS (
           SELECT *, SUM(new_session) OVER (
@@ -288,8 +293,12 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max of all previous ends; island id = running sum of opens;
     per-island min(start)/max(end) then per-user rollup. All integer
     microsecond arithmetic (unix_micros) — no float accumulation.
+
+    Event-time admission (fuzz wave 13): a NULL ts sorts first in Spark
+    and last in DuckDB, scrambling the sweep's island boundaries, so the
+    interval domain is contracts.plausible_ts on both sides.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts")).select(
         "user_id",
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts") + INTERVAL_WIDTH_US).alias("e"),
@@ -328,6 +337,7 @@ def interval_coverage_oracle() -> str:
                  epoch_us(ts) AS s,
                  epoch_us(ts) + {INTERVAL_WIDTH_US} AS e
           FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         marked AS (
           SELECT user_id, s, e,

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .contracts import observe_cap
 
 N_QUERIES = 5
 TOP_K = 10
@@ -43,7 +44,9 @@ COSINE_TAU = 0.4
 # mega-cluster where pair-shaped output is the wrong shape anyway — the
 # cluster-shaped family (semdedup_clusters / dup_components /
 # canonical_pick) is the documented scale path (BENCH_NOTES label-skew
-# probe).
+# probe). Cap firings are OBSERVABLE via contracts.observe_cap (metric
+# "cosine_bucket_cap": rows_past_cap / max_occupancy) so a run can tell
+# complete pair output from truncated output (ADVICE r7).
 COSINE_BUCKET_CAP = 1024
 
 
@@ -75,19 +78,32 @@ def _cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-# --- finite-vector domain guard (fuzz wave 4) -------------------------
+# --- finite-vector domain guard (fuzz waves 4 + 12) -------------------
 # At 100 TB a handful of corrupted feature rows WILL exist. They are not
 # survivable unguarded: an Inf component overflows the decimal-exact
 # centroid pooling (kmeans/semdedup/centroid_per_label crash with
 # NUMERIC_VALUE_OUT_OF_RANGE under ANSI mode), a NULL embedding kills
 # DuckDB's list_inner_product outright, and a NaN cosine ranks ABOVE
 # +Inf in both engines so an unguarded NaN vector satisfies every
-# >= tau filter and becomes duplicate-of-everything. The engine contract
-# is therefore: NULL / empty / non-finite embeddings are excluded from
-# the vector domain, enforced by the same predicate on both sides.
+# >= tau filter and becomes duplicate-of-everything. Wave 12 added the
+# uniform-dimension clause: a finite truncated (dim-8) or over-long
+# (dim-65) vector passes the finiteness guard, then DuckDB's
+# list_dot_product hard-ERRORS on the length mismatch (one corrupt row
+# kills the job) while Spark's zip_with silently NULL-pads so the dot
+# degrades to NULL and the row VANISHES from every tau filter — silent
+# data loss, e.g. a contaminated eval item slipping through
+# embedding_decontaminate with no trace. The engine contract is
+# therefore: NULL / empty / non-finite / ragged-dimension embeddings
+# are excluded from the vector domain, enforced by the same predicate
+# on both sides (tests/test_edge_docs.py wave-12 parity).
+
+# The corpus vector width. A real deployment reads this from the
+# dataset manifest; here it is pinned to the testdata generator's
+# embedding dimension and asserted by the wave-12 corpus pin.
+EMB_DIM = 64
 
 FINITE_EMB_PRED_SQL = (
-    "embedding IS NOT NULL AND len(embedding) > 0 AND "
+    f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM} AND "
     "list_bool_and(list_transform(embedding, x -> isfinite(CAST(x AS DOUBLE))))"
 )
 _EMB_SCAN_SQL = f"(SELECT * FROM embeddings WHERE {FINITE_EMB_PRED_SQL})"
@@ -104,11 +120,13 @@ def finite_scan(sql: str) -> str:
 
 
 def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Drop NULL / empty / non-finite embeddings — scan-level filter, no
-    shuffle; the predicate stays inside whole-stage codegen."""
+    """Drop NULL / non-finite / ragged-dimension embeddings — scan-level
+    filter, no shuffle; the predicate stays inside whole-stage codegen.
+    The size clause (wave 12) subsumes the empty check and is what keeps
+    zip_with from NULL-padding a truncated vector into silent row loss."""
     c = F.col(col)
     nonfinite = F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
-    return df.filter(c.isNotNull() & (F.size(c) > 0) & ~nonfinite)
+    return df.filter(c.isNotNull() & (F.size(c) == EMB_DIM) & ~nonfinite)
 
 
 def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,8 +232,13 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     w_bucket = Window.partitionBy("band", "key").orderBy("vec_id")
     ids = (
-        keyed.select("vec_id", F.posexplode(bands).alias("band", "key"))
-        .withColumn("_rn", F.row_number().over(w_bucket))
+        observe_cap(
+            keyed.select("vec_id", F.posexplode(bands).alias("band", "key"))
+            .withColumn("_rn", F.row_number().over(w_bucket)),
+            "cosine_bucket_cap",
+            "_rn",
+            COSINE_BUCKET_CAP,
+        )
         .filter(F.col("_rn") <= COSINE_BUCKET_CAP)  # occupancy cap, see constant
         .drop("_rn")
     )
@@ -873,16 +896,25 @@ DECON_TAU = COSINE_TAU
 # train item (trunc6 cosine desc, eval_id asc — deterministic both
 # engines), bounding output at |train| * W: linear in the corpus.
 DECON_WITNESS_CAP = 8
-# Candidate-side bound: cap EVAL occupancy per (band, key) bucket. A
-# train item in bucket B collides with every eval in B, so keeping any
-# nonempty eval subset of B preserves collision-EXISTENCE for every
-# colliding train item — contaminated train items are never missed, only
-# which witnesses surface changes (deterministically: smallest eval_ids,
-# QUALIFY-mirrored). Without this the exact-cosine verify count is
-# |train ∩ cluster| * |eval ∩ cluster| (quadratic in a templated
-# cluster); with it, <= |train| * CAP * bands (linear). Train occupancy
-# is NOT capped — dropping train candidates would false-negative the
-# drop list.
+# Candidate-side bound: cap EVAL occupancy per (band, key) bucket. This
+# is a BOUNDED-RECALL trade-off (ADVICE r7), stated precisely: bucket
+# co-residence means LSH-key agreement, NOT >= tau similarity, and
+# flagging a train item requires a KEPT witness that verifies >= tau. So
+# recall is exact whenever every bucket holds <= CAP evals; in a bucket
+# past the cap, a train item whose only >= tau partners all sort past
+# the cap (smallest-eval_id order, QUALIFY-mirrored) drops out of the
+# decon list. Verifying cosine BEFORE capping would restore exact recall
+# but costs the very |train ∩ bucket| * |eval ∩ bucket| quadratic the
+# cap exists to avoid. Two mitigations: (1) buckets past the cap are
+# near-identical mega-clusters in practice, where any kept eval is a
+# >= tau witness for the colliding cluster; (2) the cap firing is
+# OBSERVABLE (contracts.observe_cap metric "decon_eval_bucket_cap") —
+# rows_past_cap == 0 certifies exact recall for the run, and a nonzero
+# signal says to escalate to the cluster-shaped decontamination
+# (semdedup_clusters ∪ eval split). Without the cap the exact-cosine
+# verify count is quadratic in a templated cluster; with it,
+# <= |train| * CAP * bands (linear). Train occupancy is NOT capped —
+# dropping train candidates would unconditionally false-negative.
 DECON_EVAL_BUCKET_CAP = 64
 
 
@@ -909,6 +941,11 @@ def embedding_decontaminate(
     eval witnesses per train item (QUALIFY-mirrored in the oracle) so a
     templated cluster spanning both splits cannot make the pair matrix
     quadratic — see the constant's comment for the probe receipts.
+
+    Recall contract: exact while eval-bucket occupancy stays within
+    DECON_EVAL_BUCKET_CAP; past it, bounded recall with an observable
+    signal (metric "decon_eval_bucket_cap" — rows_past_cap == 0
+    certifies the run missed nothing). See the cap constant's comment.
     """
     emb = load_vectors(spark, sf_dir)
     # Same fixed-width-is-quadratic hazard as embedding_cosine_dup: with
@@ -931,10 +968,17 @@ def embedding_decontaminate(
     ids = keyed.select("vec_id", "is_eval", F.posexplode(bands).alias("band", "key"))
     w_ebucket = Window.partitionBy("band", "key").orderBy("eval_id")
     eval_ids = (
-        ids.filter(F.col("is_eval") == 1)
-        .select(F.col("vec_id").alias("eval_id"), "band", "key")
-        .withColumn("_rn", F.row_number().over(w_ebucket))
-        .filter(F.col("_rn") <= DECON_EVAL_BUCKET_CAP)  # eval occupancy cap
+        observe_cap(
+            ids.filter(F.col("is_eval") == 1)
+            .select(F.col("vec_id").alias("eval_id"), "band", "key")
+            .withColumn("_rn", F.row_number().over(w_ebucket)),
+            "decon_eval_bucket_cap",
+            "_rn",
+            DECON_EVAL_BUCKET_CAP,
+        )
+        # eval occupancy cap — bounded recall, see the constant's comment;
+        # rows_past_cap == 0 in the observed metric certifies exact recall
+        .filter(F.col("_rn") <= DECON_EVAL_BUCKET_CAP)
         .drop("_rn")
     )
     cands = (

@@ -1236,3 +1236,96 @@ def hashing_trick_features_oracle() -> str:
         GROUP BY doc_id, bucket
         ORDER BY doc_id, bucket
     """
+
+
+# --- unigram-LM tokenizer piece scoring (the SentencePiece-unigram twin) ---
+
+UNIGRAM_PIECE_MIN = 2
+UNIGRAM_PIECE_MAX = 6
+UNIGRAM_TOP_PIECES = 50
+
+
+def unigram_lm_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer seeding round — the SentencePiece-unigram twin
+    of ``bpe_merge_candidates`` (VERDICT r7 item 5): corpus-wide
+    word-internal character substrings of length UNIGRAM_PIECE_MIN..MAX,
+    scored by occurrence_count × piece_length (the likelihood-gain proxy
+    the unigram seeder ranks its initial vocabulary by — frequent AND
+    long pieces explain the most corpus characters), top-K with a
+    deterministic tie-break. Full unigram training iterates
+    EM-prune over exactly this candidate table the way full BPE iterates
+    re-segment/re-count over bpe_merge_candidates' pair table.
+
+    Plan: lower + whitespace split (the fleet tokenizer), explode to
+    words, explode candidate lengths (sequence guarded ascending — the
+    data-dependent descending-sequence trap), explode start offsets, one
+    partial-aggregated count over (piece), then TakeOrdered top-K before
+    the K-row rank window — the piece table shuffles once on a short
+    string key and no wide rows move. All enumeration is JVM-side
+    built-ins (substr is character-based in both engines).
+    """
+    docs = cpu_parallel(load_table(spark, sf_dir, "documents"))
+    word = F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    plen = F.explode(
+        F.sequence(
+            F.lit(UNIGRAM_PIECE_MIN),
+            F.least(F.lit(UNIGRAM_PIECE_MAX), F.length("word")),
+        )
+    ).alias("plen")
+    piece = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - F.col("plen") + 1),
+            lambda i: F.col("word").substr(i, F.col("plen")),
+        )
+    ).alias("piece")
+    counts = (
+        docs.select(word)
+        .filter(F.length("word") >= UNIGRAM_PIECE_MIN)
+        .select("word", plen)
+        .select(piece)
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") * F.length("piece")).cast("bigint").alias("score"),
+        )
+    )
+    top = counts.orderBy(F.desc("score"), F.asc("piece")).limit(UNIGRAM_TOP_PIECES)
+    w = Window.orderBy(F.desc("score"), F.asc("piece"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).orderBy(
+        "rank"
+    )
+
+
+def unigram_lm_pieces_oracle() -> str:
+    lo, hi, k = UNIGRAM_PIECE_MIN, UNIGRAM_PIECE_MAX, UNIGRAM_TOP_PIECES
+    return rf"""
+        WITH words AS (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents
+        ),
+        lens AS (
+          SELECT word, unnest(range({lo}, least({hi}, length(word)) + 1)) AS plen
+          FROM words WHERE length(word) >= {lo}
+        ),
+        pieces AS (
+          SELECT unnest(list_transform(range(1, length(word) - plen + 2),
+                                       i -> substr(word, i, plen))) AS piece
+          FROM lens
+        ),
+        counts AS (
+          SELECT piece,
+                 CAST(length(piece) AS BIGINT) AS piece_len,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(*) * length(piece) AS BIGINT) AS score
+          FROM pieces GROUP BY piece
+        )
+        SELECT piece, piece_len, n, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, piece ASC) AS BIGINT)
+                 AS rank
+        FROM counts
+        QUALIFY rank <= {k}
+        ORDER BY rank
+    """

@@ -166,6 +166,26 @@ def load_table_unique(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def unique_scan_sql(name: str) -> str:
+    """DuckDB twin of :func:`load_table_unique`: the table restricted to
+    one row per primary key, winner = first row under the remaining
+    columns' ascending NULLS-LAST order (explicit NULLS LAST matches
+    Spark's asc_nulls_last; both engines compare strings as UTF-8 bytes,
+    so the pick is engine-portable). Splice into an oracle wherever the
+    Spark side consumes the exactly-once restore."""
+    from ..schemas.registry import table_schema
+
+    pk = PRIMARY_KEYS[name]
+    cols = [f.name for f in table_schema(name).fields]
+    rest = [c for c in cols if c not in pk]
+    order = ", ".join(f"{c} ASC NULLS LAST" for c in rest) or "1"
+    part = ", ".join(pk)
+    return (
+        f"(SELECT * FROM {name} QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY {part} ORDER BY {order}) = 1)"
+    )
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every table as a temp view so operators can be written in SQL.
 

@@ -43,9 +43,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nanos(raw, "events")
 
 
+# Event-time admission for the window streams (fuzz wave 13): a single
+# year-9999 row entering window()/session_window() CRASHES the stream —
+# Spark computes window-end past the datetime range and throws "year
+# 10000 is out of range", killing a 24/7 job on one corrupt row — and a
+# NULL ts breaks state ordering. Admission (contracts.plausible_ts) is
+# applied at the stream builder, before any stateful operator, so the
+# state store never sees an inadmissible event time. Proven first on
+# streaming_ewma_flags (stateful.py); the oracles carry the same WHERE.
+
+
+def _admit(ev: DataFrame) -> DataFrame:
+    from ..operators.contracts import plausible_ts
+
+    return ev.filter(plausible_ts("ts"))
+
+
 def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hourly counts per event_type."""
-    ev = events_stream(spark, sf_dir)
+    ev = _admit(events_stream(spark, sf_dir))
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -59,7 +75,7 @@ def hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of rollups.sliding_window_stats. Each event lands in
     3 window instances; the watermark bounds state to ~3 open windows per
     type plus the lateness horizon."""
-    ev = events_stream(spark, sf_dir)
+    ev = _admit(events_stream(spark, sf_dir))
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "3 hours", "1 hour").alias("w"), "event_type")
@@ -71,7 +87,7 @@ def hopping_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows: 30-minute gap per user (streaming twin of
     sessions.sessionized_events)."""
-    ev = events_stream(spark, sf_dir)
+    ev = _admit(events_stream(spark, sf_dir))
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -105,10 +121,13 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_hourly_counts_oracle() -> str:
-    return """
+    from ..operators.contracts import PLAUSIBLE_TS_SQL
+
+    return f"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        FROM events WHERE {PLAUSIBLE_TS_SQL}
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 
@@ -128,6 +147,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_session_windows_oracle() -> str:
+    from ..operators.contracts import PLAUSIBLE_TS_SQL
+
     gap_sec = 30 * 60
     return f"""
         WITH flagged AS (
@@ -138,6 +159,7 @@ def streaming_session_windows_oracle() -> str:
                           PARTITION BY user_id ORDER BY ts) IS NULL
                       THEN 1 ELSE 0 END AS brk
           FROM events
+          WHERE {PLAUSIBLE_TS_SQL}
         ),
         numbered AS (
           SELECT *, SUM(brk) OVER (
@@ -345,11 +367,14 @@ def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_hopping_counts_oracle() -> str:
-    return """
+    from ..operators.contracts import PLAUSIBLE_TS_SQL
+
+    return f"""
         WITH expanded AS (
           SELECT event_type,
                  date_trunc('hour', ts) + k * INTERVAL 1 HOUR AS window_end
           FROM events, (SELECT unnest([1, 2, 3]) AS k)
+          WHERE {PLAUSIBLE_TS_SQL}
         )
         SELECT window_end, event_type, CAST(COUNT(*) AS BIGINT) AS n_3h
         FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
@@ -464,8 +489,10 @@ def hourly_user_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the leaderboard key domain — and Spark's asc rank puts NULL
     first where SQL puts it last, so a NULL key would also scramble the
     tie-break. Filtered before the stateful aggregate so the state store
-    never keys on NULL."""
-    ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    never keys on NULL. Event-time admission (wave 13) for the same
+    reason as the other window streams: a NULL/far-future ts must not
+    reach the stateful window operator."""
+    ev = _admit(events_stream(spark, sf_dir)).filter(F.col("user_id").isNotNull())
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -500,10 +527,13 @@ def streaming_topk_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_topk_keys_oracle() -> str:
+    from ..operators.contracts import PLAUSIBLE_TS_SQL
+
     return f"""
         WITH counts AS (
           SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n
-          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+          FROM events WHERE user_id IS NOT NULL AND {PLAUSIBLE_TS_SQL}
+          GROUP BY 1, 2
         ),
         ranked AS (
           SELECT hour, user_id, CAST(n AS BIGINT) AS n,

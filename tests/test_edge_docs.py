@@ -560,19 +560,16 @@ def test_wave11_corpus_is_single_row(tmp_path):
 
 
 def test_wave12_rows_stay_gated(tmp_path):
-    """Wave-12 ragged-dimension embeddings (a finite dim-8 truncated
-    vector + a finite dim-65 over-long one) are a ONE-CORRUPT-ROW JOB
-    KILLER on the oracle side — DuckDB's list_dot_product hard-errors on
-    unequal lengths — while Spark's zip_with silently NULL-pads (the row
-    vanishes from tau filters with no trace). 11 entries fail
-    (ann_bruteforce/ivf/lsh/pq_topk, embedding_decontaminate,
-    embedding_outliers, jl_projection, kmeans_clusters, knn_classify,
-    ndcg_eval, semdedup_clusters) until the uniform-dimension clause of
-    the vector-domain contract lands — r8 scope, because the shared
-    load_vectors/FINITE_EMB_PRED_SQL change flags every embedding
-    consumer helper-stale and must ride a rotation window (SURVEY §7).
-    Until then the always-on corpora must stay dimension-uniform and
-    --wave12 must plant exactly the two ragged rows."""
+    """Corpus-composition pin: --wave12 plants exactly the two ragged
+    rows (a finite dim-8 truncated vector + a finite dim-65 over-long
+    one) and the always-on corpus plants none. Before the r8
+    uniform-dimension clause these were a one-corrupt-row job killer on
+    the oracle side (DuckDB list_dot_product hard-errors on unequal
+    lengths) and SILENT row loss on the Spark side (zip_with NULL-pads,
+    the row vanishes from tau filters); the contract
+    (similarity.EMB_DIM in load_vectors / FINITE_EMB_PRED_SQL) now
+    excludes them on both sides — parity pinned by
+    test_wave12_corpus_oracle_parity below."""
     import duckdb as _duck
 
     fuzz = _load_fuzz()
@@ -588,6 +585,56 @@ def test_wave12_rows_stay_gated(tmp_path):
     assert con.sql(q.format(b)).fetchone()[0] == 2
 
 
+# wave 12 (ragged embedding dimensions) — FIXED in r8 by the
+# uniform-dimension clause of the shared vector-domain contract
+# (similarity.EMB_DIM = 64 in load_vectors / finite_vectors /
+# FINITE_EMB_PRED_SQL, mirrored through finite_scan into every oracle).
+# These are the 11 entries the r7 enumeration verified failing: DuckDB
+# list_dot_product hard-errored on the dim-8/dim-65 rows where Spark's
+# zip_with NULL-padded them into silent tau-filter loss.
+WAVE12_FIXED = [
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "embedding_decontaminate",
+    "embedding_outliers",
+    "jl_projection",
+    "kmeans_clusters",
+    "knn_classify",
+    "ndcg_eval",
+    "semdedup_clusters",
+]
+
+
+@pytest.fixture(scope="module")
+def wave12_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave12_corpus"))
+    _load_fuzz().build_corpus(out, wave12=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave12_duck(wave12_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{wave12_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", WAVE12_FIXED)
+def test_wave12_corpus_oracle_parity(name, spark, wave12_dir, wave12_duck):
+    import __spark_entry__ as e
+
+    assert_matches_oracle(
+        e.queries()[name](spark, wave12_dir), wave12_duck, e.oracle_sql()[name]
+    )
+
+
 # wave 13 (timestamp-domain faults: NULL ts, epoch-0, year-9999): the
 # event-TIME twin of wave 5's value contract. First run found 11
 # divergences in 3 classes — NULL-ts position in time orderings (Spark
@@ -595,16 +642,29 @@ def test_wave12_rows_stay_gated(tmp_path):
 # transitions shift), NULL-ts bucket retention (one engine keeps a NULL
 # time-bucket group), and a Spark-side HARD CRASH ("year 10000 is out
 # of range") when a far-future row enters a hopping/session window —
-# one corrupt row kills the streaming job. The three in-window entries
-# are fixed via the central plausible-ts admission contract
-# (contracts.plausible_ts / PLAUSIBLE_TS_SQL, the gapfill bound) and
-# pinned here; the remaining 8 (streaming hopping/hourly/session,
-# session_top_paths, user_transition_matrix, interval_coverage,
-# new_vs_returning, scd2_history) are enumerated r8 scope (SURVEY §7).
+# one corrupt row kills the streaming job. All 11 entries are fixed via
+# the central plausible-ts admission contract (contracts.plausible_ts /
+# PLAUSIBLE_TS_SQL): the three proven in-window during r7, plus the r8
+# rollout — the three streaming window jobs (admission at the stream
+# builder, before any stateful operator, so the state store never sees
+# an inadmissible event time) and the five batch event-time operators.
 WAVE13_FIXED = [
     "running_totals",
     "sessionized_events",
     "streaming_ewma_flags",
+    # r8 rollout — streaming window jobs (year-9999 row crashed the job)
+    "streaming_hourly_counts",
+    "streaming_hopping_counts",
+    "streaming_session_windows",
+    # r8 straggler the full-wave replay caught: NULL-ts hour bucket
+    # off-by-one in the leaderboard stream's drained counts
+    "streaming_topk_keys",
+    # r8 rollout — batch event-time operators (NULL-ts ordering shifts)
+    "session_top_paths",
+    "user_transition_matrix",
+    "interval_coverage",
+    "new_vs_returning",
+    "scd2_history",
 ]
 
 

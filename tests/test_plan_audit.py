@@ -56,6 +56,12 @@ ALLPAIRS_OK = {
     "rfm_features",
     # assembles three 1-row pipeline counts (the kmv_set_ops pattern)
     "minhash_pr_eval",
+    # broadcast 1-row feature-total normalizer (the domain_mix_weights
+    # pattern) onto the ≤1024-row bucket table
+    "dsir_importance_weights",
+    # 9-row threshold spine non-equi-joins the ≤9-row bucket aggregate +
+    # a 1-row totals normalizer — metadata-sized BNLJ by construction
+    "length_filter_sweep",
 }
 
 QUERIES = entry.queries()
@@ -212,51 +218,13 @@ def test_stale_entries_sort_into_scored_window():
     names, _ = _registry_order_and_cap()
     scored = set(names[:50])
     fresh = vf.freshness()
-    # r7 one-round defer (expires r8): the wave-5/6/7 contract rollout +
-    # the scale-killer rewrites + the wave-10 observed-rows contract put
-    # 43 own-changed entries in the window,
-    # leaving 7 slots for 19 helper-changed entries. Every entry the r6
-    # allowlist deferred that is still helper-stale sits IN-window this
-    # round (the allowlist retires scored, not exempted) except fn_pdf/
-    # fn_geomean and streaming hourly/session, each of whose change class
-    # gains a NEWLY-SCORED in-window owner below. An entry whose OWN
-    # function changed may never be deferred.
-    DEFERRED_HELPER_ONLY = {
-        # thin parameterizations of log_pdf_cdf / geomean_by_type — the
-        # shared metric machinery is scored in-window through the twins
-        "fn_geomean_download_complete",
-        "fn_pdf_upload_2021",
-        # r5 run_available_now drain helper (reps in-window this round:
-        # streaming_distinct_keys, streaming_hopping_counts — same class,
-        # newly scored; plus own-changed ewma_flags/topk_keys)
-        "streaming_hourly_counts",
-        "streaming_session_windows",
-        # dup-graph family consumes dedup pair frames whose producers
-        # (dedup_ngram_jaccard, minhash_jaccard_estimate,
-        # substring_dup_spans, minhash_pr_eval) are in-window own-changed
-        # — the helper change is the cachereg pin lifecycle + LSH
-        # occupancy cap, result-neutral below CAP occupancy
-        "dedup_impact_curve",
-        "dup_cluster_stats",
-        "dup_components",
-        "dup_pagerank",
-        # shares the _vdec finite-value contract with 17 in-window
-        # own-changed wave-5 owners (sliding_window_stats, zscore, ...)
-        "time_weighted_value",
-        # displaced by embedding_cosine_dup (own-changed: bucket occupancy
-        # cap), then the wave-10 observed-rows oracle contract
-        # (rollup_revenue + multigrain_stats own-changed) displaced two
-        # more of the same class — the views_layer.extended_view /
-        # _EXTENDED_SQL helper class keeps 3 in-window owners:
-        # daily_deciles, geomean_by_type, log_pdf_cdf
-        "hourly_rollup",
-        "dedup_best_per_user",
-        "unified_view_events",
-        # displaced by embedding_decontaminate (own-changed: witness +
-        # eval-bucket caps) — its helper class (_kval_sql) keeps
-        # tiered_views in-window
-        "autojoin_tiered_counts",
-    }
+    # r8: the deferral allowlist retires EMPTY (VERDICT r7 item 3). The
+    # window holds exactly 50 = 9 new + 17 own-changed + 24
+    # helper-changed — every r7 deferral sits IN-window and gets a fresh
+    # driver verdict this round. Re-populate this set ONLY as a
+    # one-round defer when a rotation genuinely overflows the window,
+    # with the same in-window-owner-per-change-class argument r7 used.
+    DEFERRED_HELPER_ONLY: set[str] = set()
     for k in DEFERRED_HELPER_ONLY:
         assert fresh[k].get("reason") == "helper changed", (
             f"{k} is deferred but its OWN function changed — not deferrable"

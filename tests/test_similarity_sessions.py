@@ -526,8 +526,18 @@ def test_cosine_dup_bucket_cap(spark, tmp_path, monkeypatch):
     d = tmp_path / "embcap"
     df.write.parquet(str(d / "embeddings.parquet"))
 
+    from etl_schema_spark.operators import contracts
+
+    sink = {}
+    monkeypatch.setattr(contracts, "CAP_METRIC_SINK", sink)
     out = similarity.embedding_cosine_dup(spark, str(d))
     got = out.collect()
+    # the cap firing is OBSERVABLE (ADVICE r7): the 10-replica cluster
+    # exceeds the patched cap of 4 in every shared bucket
+    # >= 10: a background vector may share the cluster's coarse band key
+    m = sink["cosine_bucket_cap"].get
+    assert m["rows_past_cap"] > 0 and m["max_occupancy"] >= 10, m
+    monkeypatch.setattr(contracts, "CAP_METRIC_SINK", None)
     cluster_pairs = [r for r in got if r.vec_a < 10 and r.vec_b < 10]
     # every band keeps the same 4 smallest ids -> exactly C(4,2) pairs
     assert len(cluster_pairs) == 6, cluster_pairs

@@ -565,10 +565,22 @@ def test_lsh_bucket_occupancy_cap(spark, tmp_path, monkeypatch):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
     )
+    from etl_schema_spark.operators import contracts
+
+    sink = {}
+    monkeypatch.setattr(contracts, "CAP_METRIC_SINK", sink)
     out = dedup.dedup_minhash_portable(spark, d)
     rows = out.collect()
     assert len(rows) == 3, rows
     assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 1), (0, 2), (1, 2)}
+    # the cap firing is OBSERVABLE (ADVICE r7): 6 identical docs in each
+    # of 4 band buckets, cap 3 -> 3 truncated rows per bucket
+    m = sink["minhash_band_cap"].get
+    assert m["rows_past_cap"] == 12 and m["max_occupancy"] == 6, m
+    monkeypatch.setattr(contracts, "CAP_METRIC_SINK", None)
     assert_matches_oracle(out, con, dedup.dedup_minhash_portable_oracle())
-    # the production xxhash64 path applies the same cap
+    # the production xxhash64 path applies the same cap, same signal
+    monkeypatch.setattr(contracts, "CAP_METRIC_SINK", sink)
     assert dedup.dedup_minhash_lsh(spark, d).count() == 3
+    m = sink["lsh_bucket_cap"].get
+    assert m["rows_past_cap"] == 12 and m["max_occupancy"] == 6, m

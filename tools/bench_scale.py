@@ -54,6 +54,16 @@ SCALE_QUERIES = [
     # round-6 operators
     "substring_repeat_ladder",
     "ann_pq_topk",
+    # round-8 operators
+    "restore_unique_docs",
+    "repeat_profile_automaton",
+    "unigram_lm_pieces",
+    "dsir_importance_weights",
+    "cross_source_dup_leakage",
+    "length_filter_sweep",
+    "trimmed_mean_value",
+    "weighted_sample_ares",
+    "lsh_tuning_curve",
 ]
 
 

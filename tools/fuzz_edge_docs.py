@@ -79,29 +79,32 @@ single-event user) cannot reach: sample-variance denominators (n-1 = 0:
 Spark stddev_samp/variance return NaN where DuckDB returns NULL),
 single-point correlation/slope, and 1-row quantile/rank domains.
 
---wave12 (gated, enumeration-first — r8 scope) plants RAGGED embedding
-rows: a finite dim-8 truncated vector and a finite dim-65 over-long
-vector. Both pass the wave-4 finite-vector guard (NULL/empty/non-finite
-only), but the dimension mismatch is a one-corrupt-row job killer on
-the oracle side — DuckDB's list_dot_product/list_cosine_similarity
-hard-ERROR on unequal lengths — while Spark's zip_with silently
-NULL-pads, so the dot degrades to NULL and the row vanishes from tau
-filters without a trace. The fix is the same shape as wave 4: extend
-the shared vector-domain contract (load_vectors / FINITE_EMB_PRED_SQL)
-with a uniform-dimension clause on BOTH sides. It flags every embedding
-consumer helper-stale, so it must ride the r8 rotation window exactly
-as the _vdec contract rode r7's; this flag exists so r8 starts from a
-pinned failing-entry list.
+--wave12 plants RAGGED embedding rows: a finite dim-8 truncated vector
+and a finite dim-65 over-long vector. Both pass the wave-4
+finite-vector guard (NULL/empty/non-finite only), but the dimension
+mismatch was a one-corrupt-row job killer on the oracle side — DuckDB's
+list_dot_product/list_cosine_similarity hard-ERROR on unequal lengths —
+while Spark's zip_with silently NULL-pads, so the dot degrades to NULL
+and the row vanishes from tau filters without a trace (silent data
+loss). FIXED in r8: the uniform-dimension clause of the shared
+vector-domain contract (similarity.EMB_DIM = 64 in load_vectors /
+finite_vectors / FINITE_EMB_PRED_SQL) excludes ragged vectors on both
+sides; the wave runs 174/174 and test_wave12_corpus_oracle_parity pins
+the formerly-failing 11-entry cohort always-on.
 
---wave13 (gated, enumeration-first) plants TIMESTAMP-domain faults in
-events: a NULL ts, an epoch-0 row (1970-01-01), and a far-future row
-(9999-12-31). The divergence classes: NULL-ts rows in time-bucketed
-aggregation (Spark's window()/date_trunc grouping vs DuckDB
-time_bucket/date_trunc NULL-group retention), NULL position in ts
-orderings (Spark ASC sorts NULLs FIRST, DuckDB LAST), and min/max-
-bounded spines inflated by outlier timestamps (the gapfill family
-already rides the [2000, 2100) plausible-ts admission contract; this
-wave measures who else needs it).
+--wave13 plants TIMESTAMP-domain faults in events: a NULL ts, an
+epoch-0 row (1970-01-01), and a far-future row (9999-12-31). The
+divergence classes: NULL-ts rows in time-bucketed aggregation, NULL
+position in ts orderings (Spark ASC sorts NULLs FIRST, DuckDB LAST),
+a Spark HARD CRASH when a far-future row enters a hopping/session
+window ("year 10000 is out of range"), and min/max-bounded spines
+inflated by outlier timestamps. FIXED in r8: the plausible-ts
+admission contract (contracts.plausible_ts / PLAUSIBLE_TS_SQL) now
+covers every event-time operator — the three streaming window jobs
+admit at the stream builder (jobs._admit) so the state store never
+sees an inadmissible event time; the wave replay also caught one
+straggler the r7 enumeration missed (streaming_topk_keys NULL-ts hour
+bucket). The wave runs clean; WAVE13_FIXED pins 11 entries always-on.
 """
 
 from __future__ import annotations
