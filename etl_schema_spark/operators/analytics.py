@@ -1891,10 +1891,13 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .distributed import grouped_running_sum
 
+    # NULL event_type is outside the keyed domain (wave-6 contract:
+    # unattributed events don't get a robust-location row) — explicit on
+    # both sides rather than relying on equi-join NULL semantics
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
-        .filter(finite_value("value"))
+        .filter(finite_value("value") & F.col("event_type").isNotNull())
     )
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ranked = grouped_running_sum(
@@ -1922,7 +1925,8 @@ def trimmed_mean_value_oracle() -> str:
     return f"""
         WITH base AS (
           SELECT event_type, event_id, value
-          FROM events WHERE {FINITE_VALUE_SQL}
+          FROM events
+          WHERE {FINITE_VALUE_SQL} AND event_type IS NOT NULL
         ),
         ranked AS (
           SELECT *,

@@ -842,7 +842,9 @@ def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hashes and counts only). NULL source (wave-6 contract): kept as its
     own "unattributed" group via a sentinel so the rollup is total.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    ).select(
         F.coalesce(F.col("source"), F.lit("__null__")).alias("source"),
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("h"),
     )

@@ -1659,10 +1659,14 @@ def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     log cost; this answers the WITHIN-doc question exactly: per document,
     the number of distinct token n-grams of every length (the automaton's
     Σ len(v) − len(link(v)) identity), the longest n-gram occurring at
-    least twice, that gram (lexicographically smallest on ties, compared
-    as the space-joined string so both engines use plain UTF-8 byte
-    order), and its possibly-overlapping occurrence count. High
-    max_repeat_len / low distinct ratio = internally templated or
+    least twice, that gram (the EARLIEST-first-occurrence witness — the
+    repeated maximal gram starting leftmost; unique because one position
+    defines one gram, and recoverable from the automaton in O(1) via the
+    per-state min end-position, where a lexicographic-min tie-break
+    would cost an O(n·L) gram-materialization pass: quadratic on an
+    X+X half-repeated document, the 9b probe class), and its
+    possibly-overlapping occurrence count (the state's endpos size).
+    High max_repeat_len / low distinct ratio = internally templated or
     stuttering generation output — the canonical "repetition" signal a
     training-data filter thresholds on.
 
@@ -1706,14 +1710,18 @@ def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
                 toks = [t for t in ws.split((text or "").lower()) if t]
                 n = len(toks)
                 # suffix automaton over token symbols, with endpos counts
-                sa_len, sa_link, trans, cnt = [0], [-1], [{}], [0]
+                # and per-state MIN end position (1-based) for witness
+                # recovery without materializing grams
+                INF = n + 1
+                sa_len, sa_link, trans, cnt, minend = [0], [-1], [{}], [0], [INF]
                 last = 0
-                for c in toks:
+                for j, c in enumerate(toks, start=1):
                     cur = len(sa_len)
                     sa_len.append(sa_len[last] + 1)
                     sa_link.append(-1)
                     trans.append({})
                     cnt.append(1)
+                    minend.append(j)
                     p = last
                     while p != -1 and c not in trans[p]:
                         trans[p][c] = cur
@@ -1730,16 +1738,19 @@ def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
                             sa_link.append(sa_link[q])
                             trans.append(dict(trans[q]))
                             cnt.append(0)
+                            minend.append(INF)
                             while p != -1 and trans[p].get(c) == q:
                                 trans[p][c] = clone
                                 p = sa_link[p]
                             sa_link[q] = clone
                             sa_link[cur] = clone
                     last = cur
-                # propagate endpos counts up suffix links, longest first
+                # propagate endpos counts + min end up links, longest first
                 order = sorted(range(1, len(sa_len)), key=lambda s: -sa_len[s])
                 for s in order:
                     cnt[sa_link[s]] += cnt[s]
+                    if minend[s] < minend[sa_link[s]]:
+                        minend[sa_link[s]] = minend[s]
                 n_distinct = sum(
                     sa_len[s] - sa_len[sa_link[s]] for s in range(1, len(sa_len))
                 )
@@ -1749,15 +1760,20 @@ def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 gram, gcount = None, None
                 if max_rep > 0:
-                    # one O(n) pass at the known maximal length recovers the
-                    # witness gram; ties break on the space-joined string
-                    # (UTF-8 byte order — matches DuckDB MIN(VARCHAR))
-                    seen: dict[str, int] = {}
-                    for i in range(n - max_rep + 1):
-                        g = " ".join(toks[i : i + max_rep])
-                        seen[g] = seen.get(g, 0) + 1
-                    gram = min(g for g, c in seen.items() if c >= 2)
-                    gcount = seen[gram]
+                    # repeated maximal grams live exactly in states with
+                    # len == max_rep and endpos count >= 2; the earliest
+                    # first occurrence picks the witness in O(states)
+                    best = min(
+                        (
+                            s
+                            for s in range(1, len(sa_len))
+                            if cnt[s] >= 2 and sa_len[s] == max_rep
+                        ),
+                        key=lambda s: minend[s],
+                    )
+                    start = minend[best] - max_rep  # 0-based slice start
+                    gram = " ".join(toks[start : start + max_rep])
+                    gcount = cnt[best]
                 out["doc_id"].append(doc_id)
                 out["n_tokens"].append(n)
                 out["n_distinct_ngrams"].append(n_distinct)
@@ -1773,13 +1789,15 @@ def repeat_profile_automaton_oracle() -> str:
     return r"""
         WITH base AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\s+'),
+                 -- COALESCE mirrors the Arrow pass's (text or ""): a
+                 -- NULL-payload doc profiles as zero tokens, not NULL
+                 list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
                              t -> t <> '') AS tk
           FROM documents
         ),
         sized AS (SELECT doc_id, tk, len(tk) AS n FROM base),
         grams AS (
-          SELECT s.doc_id, u1.L,
+          SELECT s.doc_id, u1.L, u2.i,
                  array_to_string(s.tk[u2.i : u2.i + u1.L - 1], ' ') AS gram
           FROM sized s,
                UNNEST(range(1, s.n + 1)) u1(L),
@@ -1787,16 +1805,21 @@ def repeat_profile_automaton_oracle() -> str:
           WHERE u2.i + u1.L - 1 <= s.n
         ),
         gcnt AS (
-          SELECT doc_id, L, gram, COUNT(*) AS c FROM grams GROUP BY ALL
+          SELECT doc_id, L, gram, COUNT(*) AS c, MIN(i) AS first_i
+          FROM grams GROUP BY doc_id, L, gram
         ),
         dn AS (
           SELECT doc_id, COUNT(DISTINCT gram) AS nd FROM grams GROUP BY doc_id
         ),
         top AS (
+          -- witness = earliest-first-occurrence repeated maximal gram
+          -- (one position defines one gram, so first_i is unique per
+          -- gram and the pick is total — mirrors the automaton's
+          -- min-endpos recovery)
           SELECT doc_id, L, gram, c
           FROM gcnt WHERE c >= 2
           QUALIFY ROW_NUMBER() OVER (
-              PARTITION BY doc_id ORDER BY L DESC, gram ASC) = 1
+              PARTITION BY doc_id ORDER BY L DESC, first_i ASC) = 1
         )
         SELECT s.doc_id,
                CAST(s.n AS BIGINT) AS n_tokens,

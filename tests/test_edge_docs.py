@@ -314,11 +314,17 @@ def test_wave8_rows_stay_gated(tmp_path):
 
 
 def test_wave9_rows_stay_gated(tmp_path):
-    """Wave-9 duplicate-key replays expose 12 entries whose per-key
-    constructs assume primary-key uniqueness — a documented ingest
-    precondition (SURVEY §7), not a fixed class. The always-on corpus
-    must keep unique keys; --wave9 plants exactly 2 duplicate doc_ids,
-    2 duplicate event_ids, and 1 duplicate vec_id."""
+    """Wave-9 duplicate-key replays: primary-key uniqueness is a
+    documented ingest precondition (SURVEY §7), restorable opt-in via
+    catalog.load_table_unique — wired in r8 into incremental_dedup
+    (replay-clean) and scored as restore_unique_docs. r8 full-replay
+    state: 181/183, the two remaining being curation_pipeline and
+    source_token_budget (budget cumsums order ties by doc_id alone, so
+    a CONFLICTING replay is key-tie-nondeterministic; their restore
+    rollout rides the r9 window — both sit outside the full r8
+    scored-50). The always-on corpus must keep unique keys; --wave9
+    plants exactly 2 duplicate doc_ids, 2 duplicate event_ids, and 1
+    duplicate vec_id."""
     import duckdb as _duck
 
     fuzz = _load_fuzz()

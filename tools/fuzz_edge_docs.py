@@ -59,7 +59,16 @@ one exact duplicate row each in documents/events/embeddings, plus a
 CONFLICTING replay (same doc_id/event_id, different payload/value).
 Both engines see the same duplicated data, so a deterministic query
 still hash-matches; failures expose tie-breaks or uniqueness
-assumptions that turn nondeterministic under duplicate keys.
+assumptions that turn nondeterministic under duplicate keys. PK
+uniqueness is a documented ingest PRECONDITION (SURVEY §7), restored
+opt-in by catalog.load_table_unique — wired in r8 into
+incremental_dedup (now replay-clean) and scored directly as
+restore_unique_docs. r8 full-replay state: 181/183 — curation_pipeline
+and source_token_budget still order ties by doc_id alone, so a
+CONFLICTING replay (same key, different n_chars) makes their budget
+cumsums key-tie-nondeterministic; the fix is consuming the restore at
+their scan (one clause each), queued for the r9 rotation window (both
+sit outside the full r8 scored-50).
 
 --wave10 is EXCLUSIVE of the append waves: it builds an EMPTY corpus —
 every table keeps its schema but holds ZERO rows (the production shape

