@@ -126,7 +126,13 @@ PRIMARY_KEYS = {
     "supplier": ("s_suppkey",),
     "part": ("p_partkey",),
     "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey", "l_linenumber"),
+    # TPC-H proper declares (l_orderkey, l_linenumber), but THIS corpus's
+    # generator draws l_linenumber randomly: 1401 duplicate pairs at
+    # sf0.001 and no column combination is unique (found by the quality
+    # suite's PK contract, r8). lineitem is therefore a fact table
+    # WITHOUT row identity here — no PK entry, and load_table_unique
+    # refuses it rather than deduping on a fictitious key.
+    "lineitem": None,
     "events": ("event_id",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
@@ -154,6 +160,12 @@ def load_table_unique(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    if PRIMARY_KEYS.get(name) is None:
+        raise ValueError(
+            f"{name} has no primary key in this corpus — an exactly-once "
+            "restore needs a row identity; dedupe such facts by full-row "
+            "content (dropDuplicates()) as an explicit policy instead"
+        )
     df = load_table(spark, sf_dir, name)
     pk = list(PRIMARY_KEYS[name])
     rest = [c for c in df.columns if c not in pk]
@@ -175,6 +187,8 @@ def unique_scan_sql(name: str) -> str:
     Spark side consumes the exactly-once restore."""
     from ..schemas.registry import table_schema
 
+    if PRIMARY_KEYS.get(name) is None:
+        raise ValueError(f"{name} has no primary key in this corpus")
     pk = PRIMARY_KEYS[name]
     cols = [f.name for f in table_schema(name).fields]
     rest = [c for c in cols if c not in pk]
