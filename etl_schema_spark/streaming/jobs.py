@@ -545,3 +545,68 @@ def streaming_topk_keys_oracle() -> str:
         FROM ranked WHERE rank <= {TOPK_PER_HOUR}
         ORDER BY hour, rank
     """
+
+
+def quality_gated_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    target: str,
+    build_check,
+) -> dict:
+    """Exactly-once streaming publish behind a data-quality gate: each
+    micro-batch runs the declarative expectation suite
+    (etl_schema_spark.quality.Check) BEFORE the merge-upsert; a batch
+    that fails any expectation is QUARANTINED (written whole to
+    ``target/_quarantine/batch=<id>`` with its violation report) and
+    never touches the published table — the "don't publish bad data,
+    don't lose it either" contract a scheduled ingest runs 24/7.
+
+    ``build_check(batch_df) -> Check`` supplies the suite (caller
+    declares the contract; the sink owns routing). Composes the two r8
+    pieces: quality.Check (one aggregate pass per batch — the gate costs
+    one scan) and merge_upsert_batch (idempotent key-merge, batch-id
+    ledger, so replays of either path converge).
+
+    Returns {"published": n_batches, "quarantined": n_batches,
+    "reports": [...]} for the drain (ops harness); in production the
+    reports flow to the metrics sink instead.
+    """
+    import json
+    import os
+
+    agg = hourly_counts_stream(spark, sf_dir).withColumn("date", F.to_date("hour"))
+    ledger = os.path.join(target, "_batches")
+    os.makedirs(ledger, exist_ok=True)
+    stats = {"published": 0, "quarantined": 0, "reports": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        report = build_check(batch_df).run(batch_df)
+        stats["reports"].append(report)
+        if report.passed:
+            merge_upsert_batch(batch_df, target, ["hour", "event_type"], "date")
+            stats["published"] += 1
+            outcome = {"outcome": "published"}
+        else:
+            qdir = os.path.join(target, "_quarantine", f"batch={batch_id}")
+            batch_df.write.mode("overwrite").parquet(qdir)
+            with open(os.path.join(qdir, "_report.json"), "w") as f:
+                json.dump(report.as_rows(), f)
+            stats["quarantined"] += 1
+            outcome = {"outcome": "quarantined"}
+        # ledger written LAST: a crash before this line redelivers the
+        # batch, and both paths are idempotent under redelivery
+        with open(marker, "w") as f:
+            json.dump(outcome, f)
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(target, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

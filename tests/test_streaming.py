@@ -238,3 +238,68 @@ def test_streaming_topk_ranks_dense(spark, sf_dir):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         ns = [x[1] for x in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_quality_gated_sink_publishes_clean_batches(spark, sf_dir, tmp_path):
+    """A batch satisfying its expectation suite publishes through the
+    exactly-once merge; the drained table equals the batch rollup and a
+    full replay is a no-op (checkpoint + ledger + idempotent merge)."""
+    from etl_schema_spark.quality import Check
+
+    target = str(tmp_path / "gated_ok")
+
+    def contract(batch_df):
+        return (
+            Check("hourly")
+            .not_null("hour", "event_type", "n")
+            .satisfies("n_positive", F.col("n") >= 1)
+        )
+
+    stats = streaming.quality_gated_sink(spark, sf_dir, target, contract)
+    assert stats["published"] >= 1 and stats["quarantined"] == 0
+    got = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.hour, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= "2000-01-01") & (F.col("ts") < "2100-01-01")
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    again = streaming.quality_gated_sink(spark, sf_dir, target, contract)
+    assert again["published"] == 0 and again["quarantined"] == 0
+
+
+def test_quality_gated_sink_quarantines_bad_batches(spark, sf_dir, tmp_path):
+    """A batch violating its suite must be quarantined whole (with its
+    violation report) and must NOT appear in the published table."""
+    import glob
+    import json
+    import os
+
+    from etl_schema_spark.quality import Check
+
+    target = str(tmp_path / "gated_bad")
+    # impossible expectation -> every batch quarantines
+    def contract(batch_df):
+        return Check("hourly").satisfies("never", F.lit(False))
+
+    stats = streaming.quality_gated_sink(spark, sf_dir, target, contract)
+    # the data batch quarantines; a trailing empty watermark-flush batch
+    # may "publish" vacuously (zero rows pass any suite) — what matters
+    # is that NO DATA reaches the published table
+    assert stats["quarantined"] >= 1
+    assert not glob.glob(os.path.join(target, "date=*")), "bad batch published"
+    qdirs = glob.glob(os.path.join(target, "_quarantine", "batch=*"))
+    assert qdirs, "no quarantine written"
+    report = json.load(open(os.path.join(qdirs[0], "_report.json")))
+    assert any(not r["passed"] for r in report)
+    # quarantined rows are intact (re-processable)
+    n_q = spark.read.parquet(qdirs[0]).count()
+    assert n_q > 0
