@@ -365,9 +365,16 @@ def source_token_budget(
     """
     # NULL-key contract (edge fuzz wave 6): a NULL source is outside the
     # per-source quota domain — there is no budget bucket for "no
-    # source"; exclusion is mirrored in the oracle and pushes to the scan
+    # source"; exclusion is mirrored in the oracle and pushes to the scan.
+    # Ingest boundary = exactly-once front door (wave 9, rolled out r9):
+    # the budget cumsum tie-breaks on md5(doc_id), which a CONFLICTING
+    # replay makes non-unique — the restore guarantees one deterministic
+    # row per key before any quota math (the incremental_dedup pattern,
+    # dedup.py:726). Cost: one PK shuffle of the scan.
+    from ..sources.catalog import load_table_unique
+
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_table_unique(spark, sf_dir, "documents")
         .filter(F.col("source").isNotNull())
         .select("doc_id", "source", "n_chars")
     )
@@ -386,6 +393,8 @@ def source_token_budget(
 
 
 def source_token_budget_oracle(budget_chars: int = SOURCE_BUDGET_CHARS) -> str:
+    from ..sources.catalog import unique_scan_sql
+
     return f"""
         WITH c AS (
           SELECT source, doc_id, n_chars,
@@ -393,7 +402,8 @@ def source_token_budget_oracle(budget_chars: int = SOURCE_BUDGET_CHARS) -> str:
                                     ORDER BY md5(CAST(doc_id AS VARCHAR))
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cum_chars
-          FROM documents WHERE source IS NOT NULL
+          FROM {unique_scan_sql("documents")} documents
+          WHERE source IS NOT NULL
         )
         SELECT source, doc_id,
                CAST(n_chars AS BIGINT) AS n_chars,

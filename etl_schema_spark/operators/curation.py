@@ -285,24 +285,51 @@ CURATION_BUDGET_CHARS = 5_000
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation capstone: quality rules → PII scrub → exact
-    dedup on the *scrubbed* text → per-source token budget, composed from
-    the library operators in one declarative plan (no intermediate
-    materialization — Catalyst sees the whole chain and prunes columns
-    through every stage).
+    """End-to-end curation capstone: declarative quality gate → PII scrub
+    → exact dedup on the *scrubbed* text → per-source token budget,
+    composed from the library operators in one declarative plan (no
+    intermediate materialization — Catalyst sees the whole chain and
+    prunes columns through every stage).
 
     The stage order is the production one: cheap scan-speed filters first
     (quality, masking), the dedup shuffle only over survivors, the budget
     window only over dedup winners. Output is the final kept set with its
     lineage columns (pii count, content hash, running budget).
+
+    The pre-filter stage is the quality suite consumed declaratively
+    (r9): the four Gopher rules are registered on a ``quality.Check`` and
+    applied via its ``keep_predicate()`` row-filter form — the SAME suite
+    object a scheduled publish gates on (quality.expectation_report), so
+    the pipeline's admission rules and the reported expectations cannot
+    drift apart. One conjunction, pushed to the scan; no join, no second
+    documents pass (the pre-r9 shape joined a separately-scanned flags
+    frame).
+
+    Ingest boundary = exactly-once front door (wave 9, rolled out r9):
+    the documents scan goes through catalog.load_table_unique, so a
+    replayed key — exact or CONFLICTING payload — contributes ONE
+    deterministic row before the dedup tie-break (ORDER BY doc_id) and
+    the budget cumsum (ORDER BY md5(doc_id)), both of which assume key
+    uniqueness. Cost: one PK shuffle (the restore's documented price;
+    see restore_unique_docs / incremental_dedup, dedup.py:726).
     """
     from pyspark.sql import Window
 
     from .text import scrub_pii
-    from ..sources.catalog import load_table as _load
+    from ..quality import Check
+    from ..sources.catalog import load_table_unique
 
-    flags = gopher_quality_flags(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    docs = _load(spark, sf_dir, "documents").join(flags, "doc_id")
+    c = _gopher_flag_cols()
+    gate = (
+        Check("curation_prefilter")
+        .satisfies("ok_word_count", c["ok_word_count"])
+        .satisfies("ok_word_len", c["ok_word_len"])
+        .satisfies("ok_symbols", c["ok_symbols"])
+        .satisfies("ok_stopwords", c["ok_stopwords"])
+    )
+    docs = load_table_unique(spark, sf_dir, "documents").filter(
+        gate.keep_predicate()
+    )
     cols = scrub_pii(F.col("text"))
     scrubbed = docs.select(
         "doc_id",
@@ -358,9 +385,13 @@ def curation_pipeline_oracle() -> str:
         f" AND ({stop_hits}) >= {STOP_MIN}"
     )
     email_pat, ipv4_pat, phone_pat = (p for _, p, _ in PII_PATTERNS)
+    from ..sources.catalog import unique_scan_sql
+
     return f"""
         WITH kept AS (
-          SELECT doc_id, source, n_chars, text FROM documents WHERE {keep}
+          SELECT doc_id, source, n_chars, text
+          FROM {unique_scan_sql("documents")} documents
+          WHERE {keep}
         ),
         m AS (
           SELECT doc_id, source, n_chars,
@@ -961,4 +992,265 @@ def length_filter_sweep_oracle() -> str:
                FLOOR(n_chars_kept * 1.0 / tc * 1e6) / 1e6 AS frac_chars
         FROM kept, totals
         ORDER BY min_chars
+    """
+
+
+# --- hashed-bigram LM cross-entropy vs a target domain ----------------------
+
+
+def lm_domain_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under TWO hashed-bigram language models
+    — one trained on the TARGET domain (DSIR_TARGET_SOURCES), one on the
+    raw pool — plus their gap: the "does this doc read like the domain I
+    want more of" scorer (the CCNet/DSIR perplexity-filter shape, scored
+    against an in-engine LM instead of an external KenLM binary). A
+    negative domain_gap means the doc is cheaper to encode under the
+    target LM than the raw LM — the resample-me signal; the gap times
+    -n_feats is exactly dsir_importance_weights' log-ratio weight, so the
+    two entries cross-check each other.
+
+    Model = add-1-smoothed MLE over DSIR_BUCKETS hashed bigram buckets
+    (the hashing trick bounds model size at any corpus scale; no
+    vocabulary state). Determinism: each bucket's ln p is floor-truncated
+    to 6 dp once, per-doc sums ride DECIMAL(18,6) exact arithmetic, and
+    the final mean divides as a double (exactly-representable 6 dp sum /
+    int) then truncates — order-independent bit-identical both engines.
+
+    Scale shape: one explode to narrow (doc_id, bucket) rows, ONE
+    aggregate over <= DSIR_BUCKETS groups, the 1024-row model BROADCASTS
+    back onto the feature stream, and the per-doc sum is the only real
+    shuffle (keyed on doc_id). Docs with no bigram keep NULL scores (the
+    empty-aggregate contract), never a silent drop.
+    """
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_target = F.coalesce(
+        F.col("source").isin(*DSIR_TARGET_SOURCES), F.lit(False)
+    ).alias("is_target")
+    base = docs.select("doc_id", is_target, bigrams.alias("bg"))
+    feats = base.select(
+        "doc_id",
+        "is_target",
+        F.explode("bg").alias("f"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    bcounts = feats.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cs"),
+    )
+    totals = feats.groupBy().agg(
+        F.sum(F.col("is_target").cast("long")).alias("tt"),
+        F.sum((~F.col("is_target")).cast("long")).alias("ts"),
+    )
+    b = F.lit(DSIR_BUCKETS).cast("long")
+    model = bcounts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + b).cast("double"))
+            * 1e6
+        ).alias("lpt6"),
+        F.floor(
+            F.log((F.col("cs") + 1).cast("double") / (F.col("ts") + b).cast("double"))
+            * 1e6
+        ).alias("lpr6"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum((F.col("lpt6") / 1e6).cast("decimal(18,6)")).alias("st"),
+            F.sum((F.col("lpr6") / 1e6).cast("decimal(18,6)")).alias("sr"),
+        )
+    )
+    xent_t = F.floor(-F.col("st").cast("double") / F.col("n_feats") * 1e6) / 1e6
+    xent_r = F.floor(-F.col("sr").cast("double") / F.col("n_feats") * 1e6) / 1e6
+    return (
+        base.select("doc_id", "is_target")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("is_target").cast("boolean").alias("is_target"),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            xent_t.alias("xent_target"),
+            xent_r.alias("xent_raw"),
+            (xent_t - xent_r).alias("domain_gap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_domain_perplexity_oracle() -> str:
+    targets = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    nb = DSIR_BUCKETS
+    return rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 COALESCE(source IN ({targets}), FALSE) AS is_target,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, is_target,
+                 CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {nb} AS bucket
+          FROM (
+            SELECT doc_id, is_target,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i + 1])) AS f
+            FROM base
+          )
+        ),
+        bcounts AS (
+          SELECT bucket,
+                 SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                 SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+          FROM feats GROUP BY bucket
+        ),
+        totals AS (
+          SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+                 SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS ts
+          FROM feats
+        ),
+        model AS (
+          SELECT bucket,
+                 FLOOR(LN((ct + 1) * 1.0 / (tt + {nb})) * 1e6) AS lpt6,
+                 FLOOR(LN((cs + 1) * 1.0 / (ts + {nb})) * 1e6) AS lpr6
+          FROM bcounts CROSS JOIN totals
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 SUM(CAST(lpt6 / 1e6 AS DECIMAL(18,6))) AS st,
+                 SUM(CAST(lpr6 / 1e6 AS DECIMAL(18,6))) AS sr
+          FROM feats JOIN model USING (bucket)
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.is_target,
+               CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+               FLOOR(-CAST(p.st AS DOUBLE) / p.n_feats * 1e6) / 1e6
+                 AS xent_target,
+               FLOOR(-CAST(p.sr AS DOUBLE) / p.n_feats * 1e6) / 1e6
+                 AS xent_raw,
+               FLOOR(-CAST(p.st AS DOUBLE) / p.n_feats * 1e6) / 1e6
+                 - FLOOR(-CAST(p.sr AS DOUBLE) / p.n_feats * 1e6) / 1e6
+                 AS domain_gap
+        FROM base b LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY b.doc_id
+    """
+
+
+# --- CCNet-style per-source perplexity split ---------------------------------
+
+
+def ccnet_source_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining move, per SOURCE: rank every document by its
+    unigram-LM score and split each source into head / middle / tail
+    TERTILES (lowest surprisal = head). perplexity_buckets buckets the
+    corpus GLOBALLY; the per-domain normalization here is CCNet's actual
+    design point — a clean domain's middle and a noisy domain's middle
+    are different absolute scores, and mixing decisions are made per
+    domain (keep heads+middles, drop tails, whatever the recipe says).
+
+    The LM is the corpus unigram MLE over sourced documents (scoring
+    corpus == counting corpus, every token has count >= 1 — the
+    bigram_surprisal contract). NULL-source docs have no domain to split
+    within and are excluded (wave-6 NULL-key contract, both sides).
+
+    Scale shape: the per-source rank comes from the distributed
+    two-phase pattern (grouped_running_sum: range-partition by (source,
+    score), broadcast prefix offsets) — never Window.partitionBy(source),
+    which would sort a whole domain in one task; source sizes are a
+    broadcast dim. Tertile boundaries are exact rank arithmetic (3*rk vs
+    n), so ties resolve deterministically by (logprob, doc_id).
+    """
+    from .distributed import grouped_running_sum
+
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("_T"))
+    scored = (
+        toks.join(counts, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            _trunc6(F.avg(-F.log(F.col("c") / F.col("_T")))).alias("logprob"),
+        )
+    )
+    ranked = grouped_running_sum(
+        scored, "source", F.struct("logprob", "doc_id"), F.lit(1), "rk"
+    )
+    sizes = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    split = (
+        F.when(3 * F.col("rk") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("rk") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "source")
+        .select("doc_id", "source", "n_toks", "logprob", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+def ccnet_source_split_oracle() -> str:
+    return r"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(
+            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+          ) AS tok
+          FROM documents WHERE source IS NOT NULL
+        ),
+        counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        total AS (SELECT SUM(c) AS t FROM counts),
+        scored AS (
+          SELECT doc_id, source,
+                 CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 FLOOR(AVG(-LN(c * 1.0 / (SELECT t FROM total))) * 1e6) / 1e6
+                   AS logprob
+          FROM toks JOIN counts USING (tok)
+          GROUP BY doc_id, source
+        ),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source ORDER BY logprob, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM scored
+        )
+        SELECT doc_id, source, n_toks, logprob,
+               CASE WHEN 3 * rk <= n THEN 'head'
+                    WHEN 3 * rk <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS split
+        FROM ranked
+        ORDER BY doc_id
     """

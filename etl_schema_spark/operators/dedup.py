@@ -1698,8 +1698,13 @@ def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
-        # \s in Java (Spark) and RE2 (DuckDB) is ASCII-only; Python's is
-        # Unicode-wide — pin the ASCII class so all three tokenize alike
+        # Pin the exact whitespace class, spelled out on BOTH sides: this
+        # pass splits on [ \t\n\x0b\f\r] and the oracle's regex names the
+        # same class explicitly — RE2's \s is [ \t\n\f\r] (NO vertical
+        # tab) while Java's and Python's ASCII \s include \x0b, so a bare
+        # \s+ in the oracle silently diverges on any document containing
+        # a vertical tab (ADVICE r8; pinned by
+        # test_repeat_profile_vertical_tab_parity).
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in batches:
             out = {
@@ -1790,8 +1795,11 @@ def repeat_profile_automaton_oracle() -> str:
         WITH base AS (
           SELECT doc_id,
                  -- COALESCE mirrors the Arrow pass's (text or ""): a
-                 -- NULL-payload doc profiles as zero tokens, not NULL
-                 list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
+                 -- NULL-payload doc profiles as zero tokens, not NULL.
+                 -- Explicit whitespace class incl. \x0b: RE2's \s has no
+                 -- vertical tab, the Python pass's class does (ADVICE r8)
+                 list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                '[ \t\n\x0b\f\r]+'),
                              t -> t <> '') AS tk
           FROM documents
         ),

@@ -21,6 +21,8 @@ bit-for-bit; see _COS_SQL for the DuckDB twin.
 
 from __future__ import annotations
 
+import itertools as _itertools
+import os as _os
 import re as _re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -97,10 +99,20 @@ def _cosine(a: Column, b: Column) -> Column:
 # are excluded from the vector domain, enforced by the same predicate
 # on both sides (tests/test_edge_docs.py wave-12 parity).
 
-# The corpus vector width. A real deployment reads this from the
-# dataset manifest; here it is pinned to the testdata generator's
-# embedding dimension and asserted by the wave-12 corpus pin.
-EMB_DIM = 64
+# The corpus vector width — a MANIFEST value, not a discovery: the
+# uniform-dimension contract needs the declared width, and deriving it
+# from the data (mode of len(embedding)) would cost a full pass over the
+# widest column before every query. Configurable per corpus via
+# ETL_SCHEMA_SPARK_EMB_DIM (read once at import so the Spark predicate
+# and the oracle twin FINITE_EMB_PRED_SQL can never disagree); defaults
+# to the testdata generator's 64, asserted by the wave-12 corpus pin.
+# A MISCONFIGURED width would silently empty every vector operator
+# (ADVICE r8) — two guards make that loud: embedding_domain_profile is
+# a driver-scored report whose dim_contract_ok column compares the
+# declared width against the corpus's dominant width, and load_vectors
+# emits drop-accounting metrics through contracts.CAP_METRIC_SINK for
+# harnesses that want per-run receipts.
+EMB_DIM = int(_os.environ.get("ETL_SCHEMA_SPARK_EMB_DIM", "64"))
 
 FINITE_EMB_PRED_SQL = (
     f"embedding IS NOT NULL AND len(embedding) = {EMB_DIM} AND "
@@ -129,10 +141,47 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.filter(c.isNotNull() & (F.size(c) == EMB_DIM) & ~nonfinite)
 
 
+_EMB_OBS_SEQ = _itertools.count()
+
+
 def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings source as every vector operator consumes it: the
-    raw table restricted to the finite-vector domain."""
-    return finite_vectors(load_table(spark, sf_dir, "embeddings"))
+    raw table restricted to the finite-vector domain.
+
+    Drop accounting (ADVICE r8): when a harness sets
+    contracts.CAP_METRIC_SINK, a CollectMetrics node on the PRE-filter
+    scan counts rows_in / rows_dim_mismatch / rows_kept, so a
+    misdeclared EMB_DIM (which would otherwise silently empty every
+    vector operator) is measurable per run. Sink-gated rather than
+    always-on: the metric node must sit BELOW the domain filter to see
+    dropped rows, which pins the filter above the scan — production
+    plans keep the pushed scan and get their standing accounting from
+    the driver-scored embedding_domain_profile report instead."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    from . import contracts
+
+    if contracts.CAP_METRIC_SINK is not None:
+        from pyspark.sql import Observation
+
+        c = F.col("embedding")
+        nonfinite = F.exists(
+            c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+        kept = c.isNotNull() & (F.size(c) == EMB_DIM) & ~nonfinite
+        obs = Observation()
+        name = f"emb_domain_{next(_EMB_OBS_SEQ)}"
+        contracts.CAP_METRIC_SINK[name] = obs
+        raw = raw.observe(
+            obs,
+            F.count(F.lit(1)).cast("bigint").alias("rows_in"),
+            F.sum(
+                F.when(c.isNotNull() & (F.size(c) != EMB_DIM), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_dim_mismatch"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("rows_kept"),
+        )
+    return finite_vectors(raw)
 
 
 def _trunc6(c: Column) -> Column:
@@ -391,7 +440,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_BITS = 16
 LSH_BANDS = 4  # 4 bits per band
-LSH_DIM = 64  # testdata embedding dimensionality (planes are fixed-width)
+# Hyperplanes span the declared corpus width: a plane family narrower or
+# wider than the vectors would zip_with-truncate/NULL-pad every signature
+# bit. EMB_DIM is the manifest knob (see its comment), so the planes
+# follow it.
+LSH_DIM = EMB_DIM
 
 # Adaptive banding (round 5): with FIXED band width, expected bucket
 # occupancy is n / 2^bits, so candidate pairs grow ~n² / 2^bits — the 10x
@@ -919,7 +972,10 @@ DECON_EVAL_BUCKET_CAP = 64
 
 
 def embedding_decontaminate(
-    spark: SparkSession, sf_dir: str, tau: float = DECON_TAU
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = DECON_TAU,
+    strict: bool | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: training vectors whose
     cosine to any held-out eval vector is >= tau — the semantic twin of
@@ -946,7 +1002,20 @@ def embedding_decontaminate(
     DECON_EVAL_BUCKET_CAP; past it, bounded recall with an observable
     signal (metric "decon_eval_bucket_cap" — rows_past_cap == 0
     certifies the run missed nothing). See the cap constant's comment.
+
+    STRICT mode (``strict=True`` or env ETL_SCHEMA_SPARK_DECON_STRICT=1,
+    VERDICT r8 item 7): the eval-bucket cap is dropped entirely — every
+    band collision is cosine-verified and only the WITNESS cap (which
+    never false-negatives a train item: a capped item still has >= 1
+    kept witness) bounds the output. Recall is exact by construction,
+    i.e. zero decontamination false negatives, at the documented price:
+    a templated mega-cluster spanning both splits makes the verify stage
+    |train ∩ bucket| x |eval ∩ bucket| — quadratic in the cluster. Use
+    strict for benchmark-hygiene sign-off runs; default for recurring
+    corpus sweeps where the cap metric certifies most runs exact anyway.
     """
+    if strict is None:
+        strict = _os.environ.get("ETL_SCHEMA_SPARK_DECON_STRICT", "") == "1"
     emb = load_vectors(spark, sf_dir)
     # Same fixed-width-is-quadratic hazard as embedding_cosine_dup: with
     # 2^bits buckets, (train, eval) collisions are ~ |train|*|eval|/2^bits
@@ -966,21 +1035,27 @@ def embedding_decontaminate(
     )
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     ids = keyed.select("vec_id", "is_eval", F.posexplode(bands).alias("band", "key"))
-    w_ebucket = Window.partitionBy("band", "key").orderBy("eval_id")
-    eval_ids = (
-        observe_cap(
-            ids.filter(F.col("is_eval") == 1)
-            .select(F.col("vec_id").alias("eval_id"), "band", "key")
-            .withColumn("_rn", F.row_number().over(w_ebucket)),
-            "decon_eval_bucket_cap",
-            "_rn",
-            DECON_EVAL_BUCKET_CAP,
-        )
-        # eval occupancy cap — bounded recall, see the constant's comment;
-        # rows_past_cap == 0 in the observed metric certifies exact recall
-        .filter(F.col("_rn") <= DECON_EVAL_BUCKET_CAP)
-        .drop("_rn")
+    eval_exploded = ids.filter(F.col("is_eval") == 1).select(
+        F.col("vec_id").alias("eval_id"), "band", "key"
     )
+    if strict:
+        # strict mode: no eval-bucket cap — every collision verifies
+        eval_ids = eval_exploded
+    else:
+        w_ebucket = Window.partitionBy("band", "key").orderBy("eval_id")
+        eval_ids = (
+            observe_cap(
+                eval_exploded.withColumn("_rn", F.row_number().over(w_ebucket)),
+                "decon_eval_bucket_cap",
+                "_rn",
+                DECON_EVAL_BUCKET_CAP,
+            )
+            # eval occupancy cap — bounded recall, see the constant's
+            # comment; rows_past_cap == 0 in the observed metric
+            # certifies exact recall
+            .filter(F.col("_rn") <= DECON_EVAL_BUCKET_CAP)
+            .drop("_rn")
+        )
     cands = (
         ids.filter(F.col("is_eval") == 0)
         .select(F.col("vec_id").alias("train_id"), "band", "key")
@@ -1305,10 +1380,17 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distributed import grouped_running_sum
 
     emb = load_vectors(spark, sf_dir)
+    # ids-only ring construction (r9, VERDICT item 4): the ranked frame,
+    # the ring join, and the explode x TRIPLET_POS_SAMPLE all carry two
+    # longs + a hash — never the dim-wide vector. Vectors re-attach by
+    # vec_id equi-join only for the cosine verify (the exact shape the
+    # negative path and embedding_cosine_dup already use). Before this
+    # the anchor explode shipped a_emb x P and members shipped p_emb
+    # through the (label, _cand_pos) shuffle — the dominant share of the
+    # operator's 71 GB mem-spill at the 100x sweep.
     hashed = emb.select(
         "vec_id",
         "label",
-        "embedding",
         F.md5(F.concat(F.lit("tm:"), F.col("vec_id").cast("string"))).alias("_h"),
     )
     ranked = grouped_running_sum(hashed, "label", F.col("_h"), F.lit(1), "_rk")
@@ -1317,7 +1399,6 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (F.col("_rk") - 1).alias("_cand_pos"),
         F.col("vec_id").alias("pos_id"),
-        F.col("embedding").alias("p_emb"),
     )
     anchors = (
         ranked.join(sizes, "label")
@@ -1331,7 +1412,6 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("anchor_id"),
             F.col("label").alias("anchor_label"),
-            F.col("embedding").alias("a_emb"),
             (F.col("_rk") - 1).alias("_pos"),
             "_size",
             F.explode(
@@ -1340,11 +1420,25 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_cand_pos", (F.col("_pos") + F.col("_delta")) % F.col("_size"))
     )
-    pos_scored = anchors.join(
+    pos_pairs = anchors.join(
         members,
         (anchors.anchor_label == members.label)
         & (anchors._cand_pos == members._cand_pos),
-    ).withColumn("pos_cosine", _trunc6(_cosine(F.col("a_emb"), F.col("p_emb"))))
+    ).select("anchor_id", "anchor_label", "pos_id")
+    pav = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
+    ppv = emb.select(F.col("vec_id").alias("pos_id"), F.col("embedding").alias("p_emb"))
+    pos_scored = (
+        pos_pairs.join(pav, "anchor_id")
+        .join(ppv, "pos_id")
+        # explicit narrow projection BEFORE the per-anchor window: only
+        # ids + the truncated cosine ride the rank shuffle
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "pos_id",
+            _trunc6(_cosine(F.col("a_emb"), F.col("p_emb"))).alias("pos_cosine"),
+        )
+    )
     wp = Window.partitionBy("anchor_id").orderBy(
         # asc_NULLS_LAST: DuckDB sorts nulls last in ASC too; Spark's bare
         # asc puts a zero-norm member's NULL cosine FIRST (= "hardest
@@ -1854,3 +1948,227 @@ def ann_pq_topk_oracle() -> str:
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """)
+
+
+# --- vector-domain accounting (ADVICE r8: make EMB_DIM misdeclaration loud) --
+
+
+def embedding_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row accounting of the finite-vector domain contract: how many
+    embedding rows the fleet's shared scan (load_vectors) admits and why
+    the rest fall out — NULL, ragged width, non-finite — plus the
+    corpus's DOMINANT width vs the DECLARED width (EMB_DIM) and their
+    agreement flag. This is the ingest-time report that turns the
+    "misdeclared width silently empties every vector operator" failure
+    mode into a red row (dim_contract_ok = false) a scheduler can alert
+    on; the same role quality.expectation_report plays for the scalar
+    tables.
+
+    Plan shape: ONE aggregate pass over the embeddings scan for the
+    counters (partial-aggregated; only five longs cross the shuffle) plus
+    one groupBy over len(embedding) — at most a handful of distinct
+    widths, reduced map-side — whose 1-row mode cross-joins back. No
+    collect, no window over the raw table.
+
+    rows_nonfinite is DERIVED (total - null - mismatch - kept) on both
+    sides rather than counted, so Spark's three-valued `exists` over a
+    NULL element and DuckDB's NULL-skipping list_bool_and can never
+    disagree about which bucket an undecidable row lands in — the kept
+    predicate (the contract itself) is the only probe.
+    """
+    raw = load_table(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    nonfinite = F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    kept = c.isNotNull() & (F.size(c) == EMB_DIM) & ~nonfinite
+    stats = raw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("rows_null"),
+        F.sum(F.when(c.isNotNull() & (F.size(c) != EMB_DIM), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_dim_mismatch"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("rows_kept"),
+    )
+    dims = (
+        raw.filter(c.isNotNull())
+        .groupBy(F.size(c).alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # mode with (count desc, dim asc) tie-break as a 1-row aggregate —
+    # min over struct(-n, dim); NULL (not zero rows) on an all-NULL column
+    dom = dims.agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("dim").alias("dim"))).alias(
+            "m"
+        )
+    ).select(F.col("m.dim").cast("bigint").alias("dominant_dim"))
+    return stats.crossJoin(F.broadcast(dom)).select(
+        "rows_total",
+        "rows_null",
+        "rows_dim_mismatch",
+        (
+            F.col("rows_total")
+            - F.col("rows_null")
+            - F.col("rows_dim_mismatch")
+            - F.col("rows_kept")
+        )
+        .cast("bigint")
+        .alias("rows_nonfinite"),
+        "rows_kept",
+        "dominant_dim",
+        F.lit(EMB_DIM).cast("bigint").alias("declared_dim"),
+        F.coalesce(F.col("dominant_dim") == EMB_DIM, F.lit(False)).alias(
+            "dim_contract_ok"
+        ),
+    )
+
+
+def embedding_domain_profile_oracle() -> str:
+    return f"""
+        WITH stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+                 CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS rows_null,
+                 CAST(SUM(CASE WHEN embedding IS NOT NULL
+                                AND len(embedding) <> {EMB_DIM}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rows_dim_mismatch,
+                 CAST(SUM(CASE WHEN {FINITE_EMB_PRED_SQL} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS rows_kept
+          FROM embeddings
+        ),
+        dom AS (
+          SELECT CAST((
+            SELECT dim FROM (
+              SELECT len(embedding) AS dim, COUNT(*) AS n
+              FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1
+            ) ORDER BY n DESC, dim ASC LIMIT 1
+          ) AS BIGINT) AS dominant_dim
+        )
+        SELECT rows_total, rows_null, rows_dim_mismatch,
+               CAST(rows_total - rows_null - rows_dim_mismatch - rows_kept
+                    AS BIGINT) AS rows_nonfinite,
+               rows_kept, dominant_dim,
+               CAST({EMB_DIM} AS BIGINT) AS declared_dim,
+               COALESCE(dominant_dim = {EMB_DIM}, FALSE) AS dim_contract_ok
+        FROM stats CROSS JOIN dom
+    """
+
+
+# --- class-balance resampling ------------------------------------------------
+
+
+def label_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing for a labeled embedding set:
+    downsample every label class to the SMALLEST class's size (the
+    classic balanced-training-set prep before knn_classify /
+    kmeans-style consumers), keeping each class's first `target` members
+    in md5(vec_id) order — a uniform-random but reproducible pick, the
+    same device source_token_budget uses for its quota sample.
+
+    Scale shape: the per-class rank comes from the distributed two-phase
+    pattern (grouped_running_sum: range-partition by (label, md5),
+    broadcast prefix offsets) — never Window.partitionBy(label), which
+    would sort a whole class in one task on a skewed corpus. The target
+    is a 1-row broadcast aggregate of per-class counts. NULL labels are
+    outside the class domain (no class to balance into) — excluded on
+    both sides, the wave-6 NULL-key contract.
+    """
+    from .distributed import grouped_running_sum
+
+    emb = (
+        load_vectors(spark, sf_dir)
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label")
+    )
+    hashed = emb.withColumn(
+        "_h", F.md5(F.concat(F.lit("lb:"), F.col("vec_id").cast("string")))
+    )
+    ranked = grouped_running_sum(hashed, "label", F.col("_h"), F.lit(1), "rk")
+    target = (
+        ranked.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("_target"))
+    )
+    return (
+        ranked.join(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("_target"))
+        .select("vec_id", "label", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("label", "rk")
+    )
+
+
+def label_balance_sample_oracle() -> str:
+    return finite_scan("""
+        WITH e AS (
+          SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL
+        ),
+        r AS (
+          SELECT vec_id, label,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY label
+                     ORDER BY md5('lb:' || CAST(vec_id AS VARCHAR))) AS rk
+          FROM e
+        ),
+        t AS (
+          SELECT MIN(n) AS target
+          FROM (SELECT COUNT(*) AS n FROM e GROUP BY label)
+        )
+        SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= (SELECT target FROM t)
+        ORDER BY label, rk
+    """)
+
+
+# --- index-quality evaluation ------------------------------------------------
+
+
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force baseline,
+    per query — the index-quality eval a deployment runs before trusting
+    the approximate path (the ANN twin of minhash_pr_eval: measure the
+    approximation against ground truth INSIDE the engine, same data,
+    same determinism discipline).
+
+    recall = |ivf_topk ∩ exact_topk| / |exact_topk| per query; the join
+    is on (query_id, neighbor_id) id pairs — both sides are top-k-bounded
+    (N_QUERIES x TOP_K rows), so the eval costs two index probes plus a
+    metadata-sized join no matter the collection size.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_truth"))
+    hits = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k_truth").cast("bigint").alias("k_truth"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            _trunc6(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("k_truth")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ivf_recall_eval_oracle() -> str:
+    return f"""
+        WITH bf AS ({ann_bruteforce_topk_oracle()}),
+        ivf AS ({ann_ivf_topk_oracle()}),
+        truth AS (SELECT query_id, COUNT(*) AS k_truth FROM bf GROUP BY 1),
+        hits AS (
+          SELECT bf.query_id, COUNT(*) AS n_hits
+          FROM bf JOIN ivf USING (query_id, neighbor_id)
+          GROUP BY 1
+        )
+        SELECT t.query_id,
+               CAST(t.k_truth AS BIGINT) AS k_truth,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               FLOOR(COALESCE(h.n_hits, 0) * 1.0 / t.k_truth * 1e6) / 1e6
+                 AS recall
+        FROM truth t LEFT JOIN hits h USING (query_id)
+        ORDER BY t.query_id
+    """

@@ -168,7 +168,12 @@ def load_table_unique(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     df = load_table(spark, sf_dir, name)
     pk = list(PRIMARY_KEYS[name])
-    rest = [c for c in df.columns if c not in pk]
+    # Tie-break order comes from the SCHEMA REGISTRY, not df.columns: the
+    # oracle twin (unique_scan_sql) orders by registry field order, and if
+    # the parquet physical order ever drifts from it (schema evolution,
+    # rewritten files) the two sides would pick different conflicting-
+    # replay winners (ADVICE r8). One source of truth for both.
+    rest = _unique_tiebreak_cols(name, df.columns)
     order = [F.col(c).asc_nulls_last() for c in rest] or [F.lit(1)]
     w = Window.partitionBy(*pk).orderBy(*order)
     return (
@@ -178,6 +183,24 @@ def load_table_unique(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def _unique_tiebreak_cols(name: str, present: list[str] | None = None) -> list[str]:
+    """The non-PK columns of ``name`` in SCHEMA-REGISTRY field order — the
+    single source of truth for the exactly-once restore's deterministic
+    tie-break, shared by load_table_unique and unique_scan_sql so a
+    physical-column-order drift can never make the two sides pick
+    different conflicting-replay winners (ADVICE r8). ``present`` (the
+    scan's actual columns) drops registry fields a given file vintage
+    does not carry."""
+    from ..schemas.registry import table_schema
+
+    pk = set(PRIMARY_KEYS[name] or ())
+    cols = [f.name for f in table_schema(name).fields if f.name not in pk]
+    if present is not None:
+        have = set(present)
+        cols = [c for c in cols if c in have]
+    return cols
+
+
 def unique_scan_sql(name: str) -> str:
     """DuckDB twin of :func:`load_table_unique`: the table restricted to
     one row per primary key, winner = first row under the remaining
@@ -185,13 +208,10 @@ def unique_scan_sql(name: str) -> str:
     Spark's asc_nulls_last; both engines compare strings as UTF-8 bytes,
     so the pick is engine-portable). Splice into an oracle wherever the
     Spark side consumes the exactly-once restore."""
-    from ..schemas.registry import table_schema
-
     if PRIMARY_KEYS.get(name) is None:
         raise ValueError(f"{name} has no primary key in this corpus")
     pk = PRIMARY_KEYS[name]
-    cols = [f.name for f in table_schema(name).fields]
-    rest = [c for c in cols if c not in pk]
+    rest = _unique_tiebreak_cols(name)
     order = ", ".join(f"{c} ASC NULLS LAST" for c in rest) or "1"
     part = ", ".join(pk)
     return (

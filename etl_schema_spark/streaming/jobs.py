@@ -610,3 +610,85 @@ def quality_gated_sink(
     )
     q.awaitTermination()
     return stats
+
+
+def streaming_quality_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the quality-gated exactly-once publish
+    (quality_gated_sink) drained end-to-end with Trigger.AvailableNow and
+    the PUBLISHED table returned — the scored surface of the r8 sink
+    (which until r9 was pytest-only, VERDICT r8 gap 3).
+
+    The gate is a standing quality.Check suite over each micro-batch of
+    the hourly rollup: non-NULL keys and counts, non-negative counts,
+    event_type inside the declared enumeration (the same
+    STANDARD_EVENT_TYPES manifest quality.expectation_report gates on). A
+    failing batch quarantines whole and never reaches the published
+    table.
+
+    Oracle contract: over a bounded file source the whole input arrives
+    in ONE micro-batch (the streaming_hourly_counts argument), so the
+    per-batch gate verdict IS the whole-corpus verdict and the published
+    table is ANSI-expressible: the batch GROUP BY when the suite passes,
+    EMPTY when it fails — the oracle states exactly that with a guarded
+    WHERE over the violation count, so the quarantine path is
+    oracle-checked too (a corpus with, e.g., an undeclared event_type
+    publishes nothing on both sides). In production the same plan runs
+    unbounded and the verdict is per batch.
+    """
+    import tempfile
+
+    from ..quality import STANDARD_EVENT_TYPES, Check
+
+    target = tempfile.mkdtemp(prefix="sq_gated_pub_")
+
+    def build_check(batch_df: DataFrame) -> Check:
+        return (
+            Check("hourly_counts")
+            .not_null("hour", "event_type", "n")
+            .non_negative("n", allow_null=False)
+            .accepted_values("event_type", list(STANDARD_EVENT_TYPES))
+        )
+
+    quality_gated_sink(spark, sf_dir, target, build_check)
+    empty_schema = "hour timestamp, event_type string, n bigint, date date"
+    from pyspark.errors import AnalysisException
+
+    try:
+        pub = spark.read.parquet(target)
+    except AnalysisException:
+        # every batch quarantined: nothing published (underscore dirs —
+        # _quarantine/_batches/_chk — are invisible to the reader)
+        return spark.createDataFrame([], empty_schema)
+    return (
+        pub.select(
+            "hour",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("date").cast("date").alias("date"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def streaming_quality_gated_publish_oracle() -> str:
+    from ..operators.contracts import PLAUSIBLE_TS_SQL
+    from ..quality import STANDARD_EVENT_TYPES
+
+    etypes = ", ".join(f"'{v}'" for v in STANDARD_EVENT_TYPES)
+    return f"""
+        WITH counts AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events WHERE {PLAUSIBLE_TS_SQL}
+          GROUP BY 1, 2
+        ),
+        viol AS (
+          SELECT COUNT(*) AS v FROM counts
+          WHERE hour IS NULL OR event_type IS NULL OR n IS NULL OR n < 0
+             OR (event_type IS NOT NULL AND event_type NOT IN ({etypes}))
+        )
+        SELECT hour, event_type, n, CAST(hour AS DATE) AS date
+        FROM counts
+        WHERE (SELECT v FROM viol) = 0
+        ORDER BY hour, event_type
+    """

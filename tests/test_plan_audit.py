@@ -62,6 +62,22 @@ ALLPAIRS_OK = {
     # 9-row threshold spine non-equi-joins the ≤9-row bucket aggregate +
     # a 1-row totals normalizer — metadata-sized BNLJ by construction
     "length_filter_sweep",
+    # each unique/foreign-key counter (a 1-row aggregate) cross-joins the
+    # 1-row table total so `checked` stays consistent — every BNLJ input
+    # is one row by construction (the report is metadata-sized)
+    "quality_expectation_report",
+    # broadcast 1-row totals normalizer onto the ≤1024-row bucket model
+    # (the dsir_importance_weights pattern, twice)
+    "lm_domain_perplexity",
+    # broadcast 1-row corpus token total (the perplexity_buckets pattern)
+    "ccnet_source_split",
+    # broadcast 1-row smallest-class target onto the ranked frame
+    "label_balance_sample",
+    # 1-row counter stats cross-join the 1-row dominant-width mode
+    "embedding_domain_profile",
+    # evaluates the allowlisted brute-force baseline — inherits its BNLJ
+    # (the ndcg_eval precedent)
+    "ivf_recall_eval",
 }
 
 QUERIES = entry.queries()
