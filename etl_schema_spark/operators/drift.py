@@ -1,0 +1,234 @@
+"""Distribution-drift operators: is the data a pipeline ingests TODAY
+still shaped like the data it was tuned on?
+
+Two standing monitors a production feed runs next to the quality suite
+(quality.expectation_report gates per-row contracts; these gate the
+DISTRIBUTION, which can rot while every row stays individually valid):
+
+  psi_value_drift    population-stability index of the value distribution
+                     per event_type, first half of the time range vs the
+                     second (the score-drift monitor from credit-risk
+                     practice; PSI > 0.2 is the canonical "investigate"
+                     line)
+  topk_drift_weekly  week-over-week movement of the top-K leaderboard
+                     (rank deltas + new entrants) — the trending/churn
+                     view of the same question, on ranks instead of
+                     histograms
+
+Scale: both are one scan + partial-aggregated groupBys on low-cardinality
+keys; nothing wider than counters crosses a shuffle. Determinism: PSI
+terms are floor-truncated to integer ppm per bucket and summed as longs
+(order-independent), rank ties break on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .contracts import (
+    FINITE_VALUE_SQL,
+    PLAUSIBLE_TS_SQL,
+    finite_value,
+    plausible_ts,
+)
+
+PSI_DRIFT_LINE = 0.2  # the standard "significant shift" threshold
+TOPK_DRIFT_K = 10
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of `value` per event_type: the time
+    range splits at its midpoint into a reference half and a current
+    half; values bucket on a signed log10 grid; PSI = Σ (q−p)·ln(q/p)
+    over buckets with add-1 smoothing (p = reference share, q = current
+    share, denominator padded by the type's bucket universe so empty
+    cells stay finite).
+
+    Rows outside the measurable domain (non-finite value — the contracts
+    bound) or the plausible-ts window are outside the monitored
+    distribution on both sides; a NULL event_type is monitored as its
+    own stream (counts only, no key assumption).
+
+    Determinism: the split point is integer-microsecond arithmetic on
+    the 1-row broadcast bounds; each bucket's PSI term floor-truncates
+    to integer ppm and the per-type sum is a long — order-independent,
+    bit-identical across engines and partitionings.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        plausible_ts("ts") & finite_value("value")
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("_lo"),
+        F.max(F.unix_micros("ts")).alias("_hi"),
+    )
+    v = F.col("value")
+    bucket = (
+        F.when(v >= 0, F.floor(F.log10(v + 1.0) * 4))
+        .otherwise(-1 - F.floor(F.log10(-v + 1.0) * 4))
+        .cast("bigint")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        bucket.alias("bucket"),
+        (
+            F.unix_micros("ts")
+            >= (F.col("_lo") + F.floor((F.col("_hi") - F.col("_lo")) / 2))
+        )
+        .cast("int")
+        .alias("is_cur"),
+    )
+    cells = tagged.groupBy("event_type", "bucket").agg(
+        F.sum(1 - F.col("is_cur")).alias("cr"),
+        F.sum("is_cur").alias("cc"),
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("cr").alias("nr"),
+        F.sum("cc").alias("nc"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("nb")).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("nb")).cast("double")
+    term6 = F.floor((q - p) * F.log(q / p) * 1e6).cast("bigint")
+    psi = F.col("_psi6") / 1e6
+    return (
+        cells.join(per_type, "event_type")
+        .groupBy("event_type", "nr", "nc", "nb")
+        .agg(F.sum(term6).alias("_psi6"))
+        .select(
+            "event_type",
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.col("nc").cast("bigint").alias("n_cur"),
+            F.col("nb").cast("bigint").alias("n_buckets"),
+            psi.alias("psi"),
+            (psi > PSI_DRIFT_LINE).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def psi_value_drift_oracle() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT event_type, ts, value FROM events
+          WHERE {PLAUSIBLE_TS_SQL} AND {FINITE_VALUE_SQL}
+        ),
+        bounds AS (
+          SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM ev
+        ),
+        tagged AS (
+          SELECT event_type,
+                 CAST(CASE WHEN value >= 0
+                      THEN FLOOR(LOG10(value + 1.0) * 4)
+                      ELSE -1 - FLOOR(LOG10(-value + 1.0) * 4) END
+                      AS BIGINT) AS bucket,
+                 CAST(epoch_us(ts) >= lo + FLOOR((hi - lo) / 2) AS INT) AS is_cur
+          FROM ev CROSS JOIN bounds
+        ),
+        cells AS (
+          SELECT event_type, bucket,
+                 SUM(1 - is_cur) AS cr, SUM(is_cur) AS cc
+          FROM tagged GROUP BY 1, 2
+        ),
+        per_type AS (
+          SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc, COUNT(*) AS nb
+          FROM cells GROUP BY 1
+        ),
+        terms AS (
+          SELECT c.event_type, p.nr, p.nc, p.nb,
+                 CAST(FLOOR(
+                   ((c.cc + 1) * 1.0 / (p.nc + p.nb)
+                    - (c.cr + 1) * 1.0 / (p.nr + p.nb))
+                   * LN(((c.cc + 1) * 1.0 / (p.nc + p.nb))
+                        / ((c.cr + 1) * 1.0 / (p.nr + p.nb)))
+                   * 1e6) AS BIGINT) AS term6
+          FROM cells c JOIN per_type p USING (event_type)
+        )
+        SELECT event_type,
+               CAST(nr AS BIGINT) AS n_ref,
+               CAST(nc AS BIGINT) AS n_cur,
+               CAST(nb AS BIGINT) AS n_buckets,
+               SUM(term6) / 1e6 AS psi,
+               SUM(term6) / 1e6 > {PSI_DRIFT_LINE} AS drifted
+        FROM terms
+        GROUP BY event_type, nr, nc, nb
+        ORDER BY event_type
+    """
+
+
+def topk_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week leaderboard drift: the top-K users by event count
+    per ISO week, each joined to their rank on the PREVIOUS week's board
+    (NULL = new entrant) with the rank delta — the trending/churn monitor
+    over ranks that psi_value_drift gives over histograms.
+
+    One scan, one (week, user) partial-aggregated count, one per-week
+    rank window (weeks are few; each week's candidate set is the
+    already-reduced user aggregate, the top_clients_per_type precedent),
+    and a board-to-board self-join on (prev week, user) — top-K-bounded
+    rows on both sides, metadata-sized at any corpus scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
+    counts = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # asc_NULLS_LAST: a NULL-user stream ranks behind every identified
+    # user at equal counts in BOTH engines (DuckDB's bare ASC is already
+    # nulls-last; Spark's is nulls-first — the wave-6 class)
+    w = Window.partitionBy("week").orderBy(
+        F.desc("n_events"), F.asc_nulls_last("user_id")
+    )
+    board = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_DRIFT_K)
+        .select("week", "user_id", "n_events", "rank")
+    )
+    prev = board.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        "user_id",
+        F.col("rank").alias("prev_rank"),
+    )
+    return (
+        board.join(prev, ["week", "user_id"], "left")
+        .select(
+            "week",
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("prev_rank").cast("bigint").alias("prev_rank"),
+            (F.col("prev_rank") - F.col("rank")).cast("bigint").alias("rank_delta"),
+            F.col("prev_rank").isNull().alias("new_entrant"),
+        )
+        .orderBy("week", "rank")
+    )
+
+
+def topk_drift_weekly_oracle() -> str:
+    return f"""
+        WITH counts AS (
+          SELECT CAST(date_trunc('week', ts) AS DATE) AS week, user_id,
+                 COUNT(*) AS n_events
+          FROM events WHERE {PLAUSIBLE_TS_SQL}
+          GROUP BY 1, 2
+        ),
+        board AS (
+          SELECT week, user_id, n_events,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY week ORDER BY n_events DESC, user_id ASC)
+                   AS rank
+          FROM counts
+          QUALIFY rank <= {TOPK_DRIFT_K}
+        )
+        SELECT b.week, b.user_id,
+               CAST(b.n_events AS BIGINT) AS n_events,
+               CAST(b.rank AS BIGINT) AS rank,
+               CAST(p.rank AS BIGINT) AS prev_rank,
+               CAST(p.rank - b.rank AS BIGINT) AS rank_delta,
+               p.rank IS NULL AS new_entrant
+        FROM board b
+        LEFT JOIN board p
+          ON p.week = b.week - INTERVAL 7 DAY AND p.user_id = b.user_id
+        ORDER BY b.week, b.rank
+    """

@@ -78,6 +78,8 @@ ALLPAIRS_OK = {
     # evaluates the allowlisted brute-force baseline — inherits its BNLJ
     # (the ndcg_eval precedent)
     "ivf_recall_eval",
+    # broadcast 1-row time-range bounds (the gapfill_locf pattern)
+    "psi_value_drift",
 }
 
 QUERIES = entry.queries()

@@ -64,6 +64,16 @@ SCALE_QUERIES = [
     "trimmed_mean_value",
     "weighted_sample_ares",
     "lsh_tuning_curve",
+    # round-9 operators
+    "quality_expectation_report",
+    "embedding_domain_profile",
+    "ccnet_source_split",
+    "lm_domain_perplexity",
+    "ivf_recall_eval",
+    "label_balance_sample",
+    "streaming_quality_gated_publish",
+    "psi_value_drift",
+    "topk_drift_weekly",
 ]
 
 

@@ -411,17 +411,47 @@ def build_corpus(
     )
 
 
+def restore_corpus(out: str) -> None:
+    """Apply the ingest-boundary exactly-once restore to a built corpus:
+    each keyed table dedupes to one deterministic row per primary key via
+    the SAME window unique_scan_sql / load_table_unique define (registry
+    field order). This is what a production pipeline's ingest does BEFORE
+    any operator runs — --wave9-restored replays the whole battery on the
+    restored corpus, demonstrating the r8 architecture decision end to
+    end: the restore is the front door, not a per-query shuffle."""
+    import duckdb
+
+    from etl_schema_spark.sources.catalog import PRIMARY_KEYS, unique_scan_sql
+
+    con = duckdb.connect()
+    for t, pk in PRIMARY_KEYS.items():
+        if pk is None:
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{out}/{t}.parquet')"
+        )
+        con.execute(
+            f"COPY (SELECT * FROM {unique_scan_sql(t)} q) TO "
+            f"'{out}/{t}.parquet.restored' (FORMAT PARQUET)"
+        )
+        con.execute(f"DROP VIEW {t}")
+        os.replace(f"{out}/{t}.parquet.restored", f"{out}/{t}.parquet")
+
+
 def main() -> None:
     flags = (
         "--wave5", "--wave6", "--wave7", "--wave8", "--wave9",
         "--wave10", "--wave11", "--wave12", "--wave13",
+        "--wave9-restored",
     )
     argv = [a for a in sys.argv[1:] if a not in flags]
     wave5 = "--wave5" in sys.argv[1:]
     wave6 = "--wave6" in sys.argv[1:]
     wave7 = "--wave7" in sys.argv[1:]
     wave8 = "--wave8" in sys.argv[1:]
-    wave9 = "--wave9" in sys.argv[1:]
+    restored = "--wave9-restored" in sys.argv[1:]
+    wave9 = "--wave9" in sys.argv[1:] or restored
     wave10 = "--wave10" in sys.argv[1:]
     wave11 = "--wave11" in sys.argv[1:]
     wave12 = "--wave12" in sys.argv[1:]
@@ -434,6 +464,8 @@ def main() -> None:
         wave9=wave9, wave10=wave10, wave11=wave11, wave12=wave12,
         wave13=wave13,
     )
+    if restored:
+        restore_corpus(out)
     # reuse the driver-compare replica wholesale
     import subprocess
 
