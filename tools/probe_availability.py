@@ -68,6 +68,8 @@ DOC_ENTRIES = [
     "dsir_importance_weights", "cross_source_dup_leakage",
     "length_filter_sweep", "weighted_sample_ares", "restore_unique_docs",
     "lsh_tuning_curve",
+    # round-9 additions (doc-bound)
+    "ccnet_source_split", "lm_domain_perplexity",
 ]
 EMB_ENTRIES = [
     "embedding_cosine_dup", "semdedup_clusters", "embedding_outliers",
@@ -75,6 +77,8 @@ EMB_ENTRIES = [
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     "jl_projection", "embedding_quantize", "centroid_per_label",
     "triplet_mining",
+    # round-9 additions (embedding-bound)
+    "embedding_domain_profile", "ivf_recall_eval", "label_balance_sample",
 ]
 EVENT_ENTRIES = [
     "bloom_membership", "gapfill_locf", "gapfill_interp",
@@ -92,6 +96,9 @@ EVENT_ENTRIES = [
     "retention_cohorts", "user_activity_gini", "tail_latency_percentiles",
     # round-8 addition (events-bound)
     "trimmed_mean_value",
+    # round-9 additions (events-bound)
+    "quality_expectation_report", "streaming_quality_gated_publish",
+    "psi_value_drift", "topk_drift_weekly",
 ]
 
 
