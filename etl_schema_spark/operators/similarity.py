@@ -1350,17 +1350,23 @@ def embedding_outliers_oracle() -> str:
 
 
 TRIPLET_POS_SAMPLE = 8  # positive candidates per anchor (ring width)
-TRIPLET_NEG_CAND_CAP = 64  # negative candidates per anchor surviving the sketch pre-cut
+# negative ring width per (band, key) bucket: candidates per anchor are
+# bounded at RING x bands by construction (r9 — replaced the
+# all-collisions match-count pre-cut whose volume drove the 71 GB 100x
+# spill; see the candidate-stage comment in triplet_mining)
+TRIPLET_NEG_RING = 8
 
 
 def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-example triplet mining for embedding training: for every
     anchor vector, the hardest positive (same label, LOWEST cosine among
     a deterministic TRIPLET_POS_SAMPLE-member candidate ring) and the
-    hardest negative (different label, HIGHEST cosine among LSH
-    band-collision candidates), with the triplet margin. Rows with NULL
-    negatives are anchors whose band signature collides with no other
-    class — the easy cases a hard-mining batch sampler skips.
+    hardest negative (different label, HIGHEST cosine among a
+    deterministic TRIPLET_NEG_RING-member ring of its LSH band-bucket
+    co-residents — both candidate sets are rings now, r9), with the
+    triplet margin. Rows with NULL negatives are anchors whose ring
+    neighbors are all same-class — the easy cases a hard-mining batch
+    sampler skips.
 
     Positive candidates are a RING SAMPLE, not the full class block: class
     members take positions in md5-hash order (two-phase distributed rank —
@@ -1370,12 +1376,14 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     class block join is n x class_size and measured 100x cost growth for
     10x data before this change. When a class has <= P+1 members the ring
     IS the whole class and the pick is exact; bigger classes get the
-    standard batch-sampled semi-hard semantics. Negatives reuse the
-    adaptive md5-derived hyperplane band family: ids-only band self-join,
-    pair dedupe, THEN vectors re-attach by vec_id equi-join (the
+    standard batch-sampled semi-hard semantics. Negatives apply the SAME
+    ring device per LSH band bucket of the adaptive md5-derived
+    hyperplane family (see the candidate-stage comment): ids-only ring
+    join, pair dedupe, THEN vectors re-attach by vec_id equi-join (the
     embedding_cosine_dup shape — wide vectors never ride the candidate
-    shuffle). Every pick is deterministic (md5 ring order, trunc6 cosine,
-    id tie-breaks), so the whole miner is oracle-checkable bit-for-bit.
+    shuffle). Every pick is deterministic (md5/vec_id ring orders, trunc6
+    cosine, id tie-breaks), so the whole miner is oracle-checkable
+    bit-for-bit.
     """
     from .distributed import grouped_running_sum
 
@@ -1462,32 +1470,61 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     coll = keyed.select("vec_id", "label", F.posexplode(bands).alias("band", "key"))
-    # Signature-similarity pre-cut: per anchor keep only the
-    # TRIPLET_NEG_CAND_CAP candidates with the MOST matching bands (the
-    # best sketch-level proxy for cosine) before any exact cosine runs.
-    # Without the cut every band collision pays a dim-wide cosine — 837k
-    # of them at sf0.1 (measured), 4.2 of the operator's 6 s. With it the
-    # exact work is n x CAP while the id-only collision rows stay cheap.
-    cand = (
-        coll.alias("x")
-        .join(coll.alias("y"), ["band", "key"])
-        .filter(
-            (F.col("x.vec_id") != F.col("y.vec_id"))
-            & (F.col("x.label") != F.col("y.label"))
+    # Negative candidates = per-BUCKET deterministic ring (r9, the same
+    # device the positive path uses): within every (band, key) bucket,
+    # members take vec_id order and each pairs with the next
+    # TRIPLET_NEG_RING positions mod bucket size. Volume is
+    # n x bands x RING — LINEAR in the collection — where the previous
+    # all-collisions form emitted ~occupancy²/2 x buckets x bands id
+    # pairs (~150M rows at the 100x corpus) and then paid a (anchor,neg)
+    # match-count groupBy AND a per-anchor rank window over that volume:
+    # the two stages the 100x sweep localized the operator's 71 GB
+    # memory spill to (BENCH_NOTES r9). The ring also hard-bounds the
+    # templated-cluster shape — N identical vectors share every bucket,
+    # and the ring emits N x RING pairs where the collision join emitted
+    # C(N, 2) x bands. Trade (stated): candidates are a deterministic
+    # bucket-local sample of the band collisions rather than the
+    # match-count-ranked full set, so the miner is semi-hard batch-sampled
+    # (the standard triplet regime) — candidates still come only from
+    # sketch-similar vectors, and every pick stays bit-deterministic
+    # (vec_id ring order, trunc6 cosine, id tie-breaks).
+    wb = Window.partitionBy("band", "key").orderBy("vec_id")
+    ranked_b = coll.withColumn("rn", F.row_number().over(wb) - 1)
+    sizes_b = coll.groupBy("band", "key").agg(F.count(F.lit(1)).alias("m"))
+    ringed = (
+        ranked_b.join(sizes_b, ["band", "key"])
+        # singleton buckets pair with nobody; the m > 1 guard keeps
+        # sequence() ascending (the descending-sequence trap)
+        .filter(F.col("m") > 1)
+        .select(
+            "band",
+            "key",
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            "rn",
+            "m",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(TRIPLET_NEG_RING), F.col("m") - 1)
+                )
+            ).alias("_delta"),
         )
-        .groupBy(
-            F.col("x.vec_id").alias("anchor_id"),
-            F.col("y.vec_id").alias("neg_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
-    )
-    wc = Window.partitionBy("anchor_id").orderBy(
-        F.desc("n_bands_matched"), F.asc("neg_id")
+        .withColumn("cand_rn", (F.col("rn") + F.col("_delta")) % F.col("m"))
     )
     cand_top = (
-        cand.withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= TRIPLET_NEG_CAND_CAP)
+        ringed.join(
+            ranked_b.select(
+                "band",
+                "key",
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("n_label"),
+                F.col("rn").alias("cand_rn"),
+            ),
+            ["band", "key", "cand_rn"],
+        )
+        .filter(F.col("a_label") != F.col("n_label"))
         .select("anchor_id", "neg_id")
+        .dropDuplicates(["anchor_id", "neg_id"])
     )
     av = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
     nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("n_emb"))
@@ -1520,9 +1557,9 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triplet_mining_oracle() -> str:
     bit_exprs = _lsh_bit_exprs_sql()
     key_exprs = _lsh_key_exprs_sql()
-    band_match = " OR ".join(f"x.k{b} = y.k{b}" for b in range(LSH_BANDS))
-    band_count = " + ".join(
-        f"(CASE WHEN x.k{b} = y.k{b} THEN 1 ELSE 0 END)" for b in range(LSH_BANDS)
+    exploded = "\n          UNION ALL ".join(
+        f"SELECT vec_id, label, {b} AS band, k{b} AS key FROM keys"
+        for b in range(LSH_BANDS)
     )
     cos_ap = (
         "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
@@ -1581,18 +1618,32 @@ def triplet_mining_oracle() -> str:
         keys AS (
           SELECT vec_id, label, {key_exprs} FROM sig
         ),
-        candc AS (
-          SELECT x.vec_id AS anchor_id, y.vec_id AS neg_id,
-                 ({band_count}) AS n_bands_matched
-          FROM keys x JOIN keys y
-            ON y.vec_id <> x.vec_id AND y.label <> x.label AND ({band_match})
+        exploded AS (
+          {exploded}
+        ),
+        rankedb AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY band, key
+                                    ORDER BY vec_id) - 1 AS rn,
+                 COUNT(*) OVER (PARTITION BY band, key) AS m
+          FROM exploded
+        ),
+        ringed AS (
+          -- per-bucket deterministic ring, r9: each member pairs with
+          -- the next TRIPLET_NEG_RING positions mod bucket size (the
+          -- Spark side's exact construction)
+          SELECT r.band, r.key, r.vec_id AS anchor_id, r.label AS a_label,
+                 (r.rn + d.delta) % r.m AS cand_rn
+          FROM rankedb r
+          JOIN (SELECT unnest(range(1, {TRIPLET_NEG_RING} + 1)) AS delta) d
+            ON d.delta <= r.m - 1
         ),
         cand AS (
-          SELECT anchor_id, neg_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
-                       ORDER BY n_bands_matched DESC, neg_id ASC) AS crn
-            FROM candc
-          ) WHERE crn <= {TRIPLET_NEG_CAND_CAP}
+          SELECT DISTINCT g.anchor_id, y.vec_id AS neg_id
+          FROM ringed g
+          JOIN rankedb y
+            ON y.band = g.band AND y.key = g.key AND y.rn = g.cand_rn
+          WHERE g.a_label <> y.label
         ),
         neg_scored AS (
           SELECT c.anchor_id, c.neg_id,
