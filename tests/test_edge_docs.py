@@ -315,16 +315,16 @@ def test_wave8_rows_stay_gated(tmp_path):
 
 def test_wave9_rows_stay_gated(tmp_path):
     """Wave-9 duplicate-key replays: primary-key uniqueness is a
-    documented ingest precondition (SURVEY §7), restorable opt-in via
-    catalog.load_table_unique — wired in r8 into incremental_dedup
-    (replay-clean) and scored as restore_unique_docs. r8 full-replay
-    state: 181/183, the two remaining being curation_pipeline and
-    source_token_budget (budget cumsums order ties by doc_id alone, so
-    a CONFLICTING replay is key-tie-nondeterministic; their restore
-    rollout rides the r9 window — both sit outside the full r8
-    scored-50). The always-on corpus must keep unique keys; --wave9
-    plants exactly 2 duplicate doc_ids, 2 duplicate event_ids, and 1
-    duplicate vec_id."""
+    documented ingest precondition (SURVEY §7 items 21/23), restorable
+    at the ingest boundary via catalog.load_table_unique — wired into
+    incremental_dedup/restore_unique_docs (r8) and the two curation
+    front doors (r9). r9 full-replay state: default --wave9 184/192
+    (the enumerated 8-entry rank/tie-break cohort, SURVEY §7 item 23);
+    --wave9-restored (the ingest restore materialized first) 192/192,
+    pinned for the cohort by test_wave9_restored_cohort_parity below.
+    The always-on corpus must keep unique keys; --wave9 plants exactly
+    2 duplicate doc_ids, 2 duplicate event_ids, and 1 duplicate
+    vec_id."""
     import duckdb as _duck
 
     fuzz = _load_fuzz()
@@ -343,6 +343,72 @@ def test_wave9_rows_stay_gated(tmp_path):
     ):
         assert con.sql(q.format(d=a, t=t, key=key)).fetchone()[0] == 0
         assert con.sql(q.format(d=b, t=t, key=key)).fetchone()[0] == extra
+
+
+# The wave-9 replay-sensitivity cohort (SURVEY §7 item 23): every entry
+# whose rank/tie-break or join fan-out assumes key uniqueness and
+# therefore diverges on a replayed key — and must be EXACTLY green again
+# once the ingest-boundary restore runs.
+WAVE9_COHORT = [
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ndcg_eval",
+    "minhash_pr_eval",
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
+    "range_interval_join",
+    "annotate_renest",
+    "curation_pipeline",
+    "source_token_budget",
+]
+
+
+@pytest.fixture(scope="module")
+def wave9_restored_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wave9_restored"))
+    fuzz = _load_fuzz()
+    fuzz.build_corpus(out, wave9=True)
+    fuzz.restore_corpus(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wave9_restored_duck(wave9_restored_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{wave9_restored_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_wave9_restore_makes_keys_unique(wave9_restored_dir):
+    """The restored corpus has one row per primary key again — the
+    precondition every rank/tie-break entry states."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    for t, key in (("documents", "doc_id"), ("events", "event_id"),
+                   ("embeddings", "vec_id")):
+        dup = con.sql(
+            f"SELECT count(*) - count(DISTINCT {key}) FROM "
+            f"read_parquet('{wave9_restored_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        assert dup == 0, (t, dup)
+
+
+@pytest.mark.parametrize("name", WAVE9_COHORT)
+def test_wave9_restored_cohort_parity(name, spark, wave9_restored_dir, wave9_restored_duck):
+    """After the ingest restore, every replay-sensitive entry is
+    oracle-green again (the --wave9-restored 192/192 claim, pinned for
+    the enumerated cohort in the permanent suite)."""
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, wave9_restored_dir)
+    assert_matches_oracle(sdf, wave9_restored_duck, entry.oracle_sql()[name])
 
 
 def test_wave6_rows_stay_gated(tmp_path):
