@@ -2186,13 +2186,15 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
     truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_truth"))
+    # both sides are top-k-bounded (N_QUERIES x TOP_K rows); broadcast
+    # hints spare the post-aggregation stats guess from planning an SMJ
     hits = (
-        bf.join(ivf, ["query_id", "neighbor_id"])
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        truth.join(hits, "query_id", "left")
+        truth.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.col("k_truth").cast("bigint").alias("k_truth"),
