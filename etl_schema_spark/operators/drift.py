@@ -38,6 +38,88 @@ PSI_DRIFT_LINE = 0.2  # the standard "significant shift" threshold
 TOPK_DRIFT_K = 10
 
 
+def log_bucket(col: str | F.Column = "value") -> F.Column:
+    """The signed log10 grid the PSI monitors bucket on: quarter-decade
+    cells, mirrored for negatives. One deterministic expression, no
+    data-dependent boundaries — the same value lands in the same cell on
+    any engine, any run, any corpus."""
+    v = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(v >= 0, F.floor(F.log10(v + 1.0) * 4))
+        .otherwise(-1 - F.floor(F.log10(-v + 1.0) * 4))
+        .cast("bigint")
+    )
+
+
+def psi_between(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str = "value",
+    by: str | None = None,
+) -> DataFrame:
+    """Two-frame population-stability index — the reusable publish-gate
+    form: PSI of ``value_col``'s distribution in ``current`` against
+    ``reference``, per ``by`` group (or one global row when ``by`` is
+    None). This is what a scheduled load calls with (last week's
+    published partition, today's batch) next to quality.Check; the
+    scored entry psi_value_drift is this function applied to the event
+    stream's own half-range split.
+
+    Columns out: [by,] n_ref, n_cur, n_buckets, psi, drifted. Both
+    inputs are expected pre-filtered to the measurable domain (the
+    caller owns admission — see psi_value_drift for the contracts
+    composition). Plan: one union + two partial-aggregated groupBys on
+    (group, bucket) / (group); nothing wider than counters shuffles.
+    Determinism: per-bucket PSI terms floor-truncate to integer ppm and
+    sum as longs — order-independent at any partitioning.
+    """
+    gcols = [by] if by else []
+    ref = reference.select(
+        *gcols, log_bucket(value_col).alias("bucket"), F.lit(0).alias("is_cur")
+    )
+    cur = current.select(
+        *gcols, log_bucket(value_col).alias("bucket"), F.lit(1).alias("is_cur")
+    )
+    return _psi_report(ref.unionByName(cur), gcols)
+
+
+def _psi_report(tagged: DataFrame, gcols: list[str]) -> DataFrame:
+    """Shared PSI tail over a (group..., bucket, is_cur) frame: cell
+    counts → group totals → ppm terms → per-group PSI. Both the
+    two-frame API and the scored single-scan entry end here, so the two
+    forms cannot drift apart."""
+    out_group = list(gcols)
+    if not gcols:
+        gcols = ["_all"]
+        tagged = tagged.withColumn("_all", F.lit(1))
+    cells = tagged.groupBy(*gcols, "bucket").agg(
+        F.sum(1 - F.col("is_cur")).alias("cr"),
+        F.sum("is_cur").alias("cc"),
+    )
+    per_group = cells.groupBy(*gcols).agg(
+        F.sum("cr").alias("nr"),
+        F.sum("cc").alias("nc"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("nb")).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("nb")).cast("double")
+    term6 = F.floor((q - p) * F.log(q / p) * 1e6).cast("bigint")
+    psi = F.col("_psi6") / 1e6
+    return (
+        cells.join(per_group, gcols)
+        .groupBy(*gcols, "nr", "nc", "nb")
+        .agg(F.sum(term6).alias("_psi6"))
+        .select(
+            *out_group,
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.col("nc").cast("bigint").alias("n_cur"),
+            F.col("nb").cast("bigint").alias("n_buckets"),
+            psi.alias("psi"),
+            (psi > PSI_DRIFT_LINE).alias("drifted"),
+        )
+    )
+
+
 def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability index of `value` per event_type: the time
     range splits at its midpoint into a reference half and a current
@@ -63,15 +145,12 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("_lo"),
         F.max(F.unix_micros("ts")).alias("_hi"),
     )
-    v = F.col("value")
-    bucket = (
-        F.when(v >= 0, F.floor(F.log10(v + 1.0) * 4))
-        .otherwise(-1 - F.floor(F.log10(-v + 1.0) * 4))
-        .cast("bigint")
-    )
+    # single-scan tagging (NOT psi_between's two-frame union — that would
+    # read the fact twice; here reference and current are halves of the
+    # same scan), then the shared PSI tail
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
-        bucket.alias("bucket"),
+        log_bucket("value").alias("bucket"),
         (
             F.unix_micros("ts")
             >= (F.col("_lo") + F.floor((F.col("_hi") - F.col("_lo")) / 2))
@@ -79,33 +158,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_cur"),
     )
-    cells = tagged.groupBy("event_type", "bucket").agg(
-        F.sum(1 - F.col("is_cur")).alias("cr"),
-        F.sum("is_cur").alias("cc"),
-    )
-    per_type = cells.groupBy("event_type").agg(
-        F.sum("cr").alias("nr"),
-        F.sum("cc").alias("nc"),
-        F.count(F.lit(1)).alias("nb"),
-    )
-    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("nb")).cast("double")
-    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("nb")).cast("double")
-    term6 = F.floor((q - p) * F.log(q / p) * 1e6).cast("bigint")
-    psi = F.col("_psi6") / 1e6
-    return (
-        cells.join(per_type, "event_type")
-        .groupBy("event_type", "nr", "nc", "nb")
-        .agg(F.sum(term6).alias("_psi6"))
-        .select(
-            "event_type",
-            F.col("nr").cast("bigint").alias("n_ref"),
-            F.col("nc").cast("bigint").alias("n_cur"),
-            F.col("nb").cast("bigint").alias("n_buckets"),
-            psi.alias("psi"),
-            (psi > PSI_DRIFT_LINE).alias("drifted"),
-        )
-        .orderBy("event_type")
-    )
+    return _psi_report(tagged, ["event_type"]).orderBy("event_type")
 
 
 def psi_value_drift_oracle() -> str:

@@ -216,3 +216,49 @@ def test_curation_pipeline_consumes_unique_scan_and_check(spark):
         .collect()
     }
     assert kept <= flags
+
+
+def test_psi_between_two_frame_api(spark):
+    """drift.psi_between — the reusable publish-gate form: identical
+    distributions score ~0 PSI; a shifted current frame drifts."""
+    from etl_schema_spark.operators import drift
+
+    ref = spark.range(0, 2000).select((F.col("id") % 100 + 1.0).alias("value"))
+    same = spark.range(0, 2000).select((F.col("id") % 100 + 1.0).alias("value"))
+    shifted = spark.range(0, 2000).select(
+        ((F.col("id") % 100) * 50 + 5000.0).alias("value")
+    )
+    ok = drift.psi_between(ref, same).collect()[0]
+    assert ok.n_ref == 2000 and ok.n_cur == 2000
+    assert abs(ok.psi) < 0.01 and ok.drifted is False
+    bad = drift.psi_between(ref, shifted).collect()[0]
+    assert bad.psi > drift.PSI_DRIFT_LINE and bad.drifted is True
+
+
+def test_psi_between_grouped_matches_entry_tail(spark):
+    """The scored entry and the two-frame API share one PSI tail: feeding
+    psi_between the entry's own half-split must reproduce the entry's
+    rows exactly."""
+    from etl_schema_spark.operators import drift
+    from etl_schema_spark.operators.contracts import finite_value, plausible_ts
+    from etl_schema_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").filter(
+        plausible_ts("ts") & finite_value("value")
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    mid = lo + (hi - lo) // 2
+    ref = ev.filter(F.unix_micros("ts") < mid).select("event_type", "value")
+    cur = ev.filter(F.unix_micros("ts") >= mid).select("event_type", "value")
+    via_api = {
+        r.event_type: (r.n_ref, r.n_cur, r.n_buckets, r.psi, r.drifted)
+        for r in drift.psi_between(ref, cur, by="event_type").collect()
+    }
+    via_entry = {
+        r.event_type: (r.n_ref, r.n_cur, r.n_buckets, r.psi, r.drifted)
+        for r in drift.psi_value_drift(spark, sf).collect()
+    }
+    assert via_api == via_entry
