@@ -23,7 +23,7 @@ terms are floor-truncated to integer ppm per bucket and summed as longs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -38,7 +38,7 @@ PSI_DRIFT_LINE = 0.2  # the standard "significant shift" threshold
 TOPK_DRIFT_K = 10
 
 
-def log_bucket(col: str | F.Column = "value") -> F.Column:
+def log_bucket(col: str | Column = "value") -> Column:
     """The signed log10 grid the PSI monitors bucket on: quarter-decade
     cells, mirrored for negatives. One deterministic expression, no
     data-dependent boundaries — the same value lands in the same cell on
