@@ -1965,3 +1965,29 @@ def lsh_tuning_curve_oracle() -> str:
         GROUP BY bands, rows_per_band
         ORDER BY bands
     """
+
+
+def verified_pairs_pinned(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """STAGED FOR R10 — deliberately UNREFERENCED this round: wiring it
+    into the dup-graph family flags all five consumers helper-stale,
+    which must ride a rotation window (the load_table_unique r7→r8
+    staging precedent; see SURVEY §7 item 26(a)).
+
+    The verified ngram-Jaccard pair table as a session-pinned frame.
+    dup_components / dup_pagerank / dup_cluster_stats /
+    template_communities all consume the SAME pair set, and a production
+    pipeline materializes pairs ONCE before closure/ranking — this
+    helper is that materialization for a long-lived session (~60% of
+    dup_pagerank's warm cost is re-deriving pairs, VERDICT r8 item 6).
+    swap_pin releases the previous pin on refresh (repeat calls — or a
+    different sf_dir/tau — accumulate nothing) and release_pins() at
+    harness exit keeps the ADVICE-r5 leak class closed.
+    """
+    from .cachereg import swap_pin
+
+    return swap_pin(
+        "dedup_ngram_jaccard.pairs",
+        dedup_ngram_jaccard(spark, sf_dir, tau).select("doc_a", "doc_b"),
+    )

@@ -262,3 +262,23 @@ def test_psi_between_grouped_matches_entry_tail(spark):
         for r in drift.psi_value_drift(spark, sf).collect()
     }
     assert via_api == via_entry
+
+
+def test_verified_pairs_pinned_staged_helper(spark):
+    """The r10-staged pair materialization: same pairs as the operator,
+    pinned once per session, refresh releases the previous pin."""
+    from etl_schema_spark.operators import cachereg, dedup
+
+    sf = "/root/testdata/sf0.001"
+    pinned = dedup.verified_pairs_pinned(spark, sf)
+    direct = dedup.dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert "dedup_ngram_jaccard.pairs" in cachereg._PINS
+    again = dedup.verified_pairs_pinned(spark, sf)
+    assert again.count() == pinned.count()
+    # exactly one pin survives the refresh
+    assert list(cachereg._PINS).count("dedup_ngram_jaccard.pairs") == 1
+    cachereg.release_pins("dedup_ngram_jaccard.pairs")
+    assert "dedup_ngram_jaccard.pairs" not in cachereg._PINS
