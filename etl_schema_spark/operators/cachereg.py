@@ -28,6 +28,36 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _PINS: dict[str, DataFrame] = {}
+# memo_pin bookkeeping: the (params) a pinned frame was built with, so a
+# repeat call can RETURN the already-materialized frame instead of
+# re-persisting a fresh (empty-cache) plan — swap_pin alone can't reuse.
+_PIN_PARAMS: dict[str, tuple] = {}
+
+
+def memo_pin(key: str, spark, params: tuple, builder, level=None) -> DataFrame:
+    """Cross-invocation pin: return the frame already pinned under ``key``
+    if it was built with the same ``params`` on the same live session;
+    otherwise build (via the zero-arg ``builder``), swap-pin, and record.
+
+    This is the sharing device swap_pin alone cannot provide: swap_pin
+    RELEASES the previous frame on every call, so two operators calling
+    it back-to-back would each pay the full recompute. memo_pin keeps
+    steady state at one pinned frame per key (params change → the old pin
+    is released by swap_pin underneath) while letting every consumer of
+    the same (key, params) hit the materialized cache. The session check
+    guards notebook/pytest patterns where a torn-down session's frame
+    would otherwise be handed to a new one.
+    """
+    cur = _PINS.get(key)
+    if cur is not None and _PIN_PARAMS.get(key) == params:
+        try:
+            if cur.sparkSession is spark:
+                return cur
+        except Exception:
+            pass  # torn-down session: fall through and rebuild
+    out = swap_pin(key, builder(), level or StorageLevel.MEMORY_AND_DISK)
+    _PIN_PARAMS[key] = params
+    return out
 
 
 def swap_pin(
@@ -37,6 +67,7 @@ def swap_pin(
 ) -> DataFrame:
     """Persist ``df`` under ``key``, releasing whatever was pinned there
     by a previous invocation. Returns the persisted frame."""
+    _PIN_PARAMS.pop(key, None)  # a direct swap invalidates any memo record
     prev = _PINS.pop(key, None)
     if prev is not None:
         try:
@@ -55,6 +86,7 @@ def release_pins(*keys: str) -> int:
     n = 0
     for k in names:
         df = _PINS.pop(k, None)
+        _PIN_PARAMS.pop(k, None)
         if df is not None:
             try:
                 df.unpersist(blocking=False)

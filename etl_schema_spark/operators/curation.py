@@ -1025,7 +1025,14 @@ def lm_domain_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cpu_parallel(
         load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+    # Explicit whitespace class on BOTH sides (ADVICE r9): Java's ASCII \s
+    # IS [ \t\n\x0b\f\r] so the Spark side is unchanged behaviorally, but
+    # RE2's \s lacks \x0b — the oracle needs the class spelled out or a
+    # vertical-tab document tokenizes differently across engines (the
+    # repeat_profile_automaton precedent, dedup.py).
+    toks = F.filter(
+        F.split(F.lower("text"), r"[ \t\n\x0b\f\r]+"), lambda t: t != F.lit("")
+    )
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -1104,7 +1111,10 @@ def lm_domain_perplexity_oracle() -> str:
         WITH base AS (
           SELECT doc_id,
                  COALESCE(source IN ({targets}), FALSE) AS is_target,
-                 list_filter(string_split_regex(lower(text), '\s+'),
+                 -- explicit whitespace class incl. \x0b (ADVICE r9):
+                 -- RE2's \s has no vertical tab, Java's ASCII \s does
+                 list_filter(string_split_regex(lower(text),
+                                                '[ \t\n\x0b\f\r]+'),
                              t -> t <> '') AS tk
           FROM documents
         ),
@@ -1188,11 +1198,16 @@ def ccnet_source_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source").isNotNull())
         .select("doc_id", "source", "text")
     )
+    # explicit whitespace class incl. \x0b on both sides (ADVICE r9) —
+    # behaviorally identical to Java's ASCII \s; pins the oracle's RE2
     toks = docs.select(
         "doc_id",
         "source",
         F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+            F.filter(
+                F.split(F.lower("text"), r"[ \t\n\x0b\f\r]+"),
+                lambda t: t != F.lit(""),
+            )
         ).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -1225,8 +1240,11 @@ def ccnet_source_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_source_split_oracle() -> str:
     return r"""
         WITH toks AS (
+          -- explicit whitespace class incl. \x0b (ADVICE r9): RE2's \s
+          -- has no vertical tab, Java's ASCII \s does
           SELECT doc_id, source, unnest(
-            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+            list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+                        t -> t <> '')
           ) AS tok
           FROM documents WHERE source IS NOT NULL
         ),

@@ -1403,8 +1403,10 @@ def minhash_pr_eval(
     reduced to three 1-row counts; the final assembly cross-joins 1-row
     frames (allowlisted, the kmv_set_ops pattern).
     """
+    # ground truth reads the session-pinned verified pair table (VERDICT
+    # r9 item 1) — the same materialization the dup-graph family shares
     exact_n = (
-        dedup_ngram_jaccard(spark, sf_dir, tau)
+        verified_pairs_pinned(spark, sf_dir, tau)
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     cands = _minhash_banded_candidates(spark, sf_dir)
@@ -1970,24 +1972,28 @@ def lsh_tuning_curve_oracle() -> str:
 def verified_pairs_pinned(
     spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
 ) -> DataFrame:
-    """STAGED FOR R10 — deliberately UNREFERENCED this round: wiring it
-    into the dup-graph family flags all five consumers helper-stale,
-    which must ride a rotation window (the load_table_unique r7→r8
-    staging precedent; see SURVEY §7 item 26(a)).
+    """The verified ngram-Jaccard pair table as a session-pinned frame —
+    the shared pair materialization of the dup-graph family (WIRED in
+    r10 per VERDICT r9 item 1; staged+tested in r9).
 
-    The verified ngram-Jaccard pair table as a session-pinned frame.
-    dup_components / dup_pagerank / dup_cluster_stats /
-    template_communities all consume the SAME pair set, and a production
-    pipeline materializes pairs ONCE before closure/ranking — this
+    dup_components / dup_cluster_stats / dup_pagerank / minhash_pr_eval
+    all consume the SAME verified pair set, and a production pipeline
+    materializes pairs ONCE before closure/ranking/calibration — this
     helper is that materialization for a long-lived session (~60% of
-    dup_pagerank's warm cost is re-deriving pairs, VERDICT r8 item 6).
-    swap_pin releases the previous pin on refresh (repeat calls — or a
-    different sf_dir/tau — accumulate nothing) and release_pins() at
-    harness exit keeps the ADVICE-r5 leak class closed.
+    dup_pagerank's warm cost was re-deriving pairs, VERDICT r8 item 6).
+    memo_pin returns the already-materialized frame on a repeat call
+    with the same (sf_dir, tau) and live session; a changed sf_dir/tau
+    swaps the pin (steady state: ONE pinned pair frame), and
+    release_pins() at harness exit keeps the ADVICE-r5 leak class
+    closed. At cluster scale the equivalent is writing the verified
+    pair table once to durable storage and reading it from all four
+    consumers — the plan shape this pin models locally.
     """
-    from .cachereg import swap_pin
+    from .cachereg import memo_pin
 
-    return swap_pin(
+    return memo_pin(
         "dedup_ngram_jaccard.pairs",
-        dedup_ngram_jaccard(spark, sf_dir, tau).select("doc_a", "doc_b"),
+        spark,
+        (sf_dir, tau),
+        lambda: dedup_ngram_jaccard(spark, sf_dir, tau).select("doc_a", "doc_b"),
     )

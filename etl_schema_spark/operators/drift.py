@@ -96,18 +96,26 @@ def _psi_report(tagged: DataFrame, gcols: list[str]) -> DataFrame:
         F.sum(1 - F.col("is_cur")).alias("cr"),
         F.sum("is_cur").alias("cc"),
     )
-    per_group = cells.groupBy(*gcols).agg(
-        F.sum("cr").alias("nr"),
-        F.sum("cc").alias("nc"),
-        F.count(F.lit(1)).alias("nb"),
+    # Group totals ride a window over the metadata-sized cells frame, NOT
+    # an equi-join back onto it (ADVICE r9): an equi-join on the group key
+    # drops NULL-keyed groups, so a NULL event_type stream would silently
+    # vanish; a window partition treats NULL as its own group on both
+    # engines — and one join disappears from the plan.
+    wg = Window.partitionBy(*gcols)
+    enriched = cells.select(
+        *gcols,
+        "cr",
+        "cc",
+        F.sum("cr").over(wg).alias("nr"),
+        F.sum("cc").over(wg).alias("nc"),
+        F.count(F.lit(1)).over(wg).alias("nb"),
     )
     p = (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("nb")).cast("double")
     q = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("nb")).cast("double")
     term6 = F.floor((q - p) * F.log(q / p) * 1e6).cast("bigint")
     psi = F.col("_psi6") / 1e6
     return (
-        cells.join(per_group, gcols)
-        .groupBy(*gcols, "nr", "nc", "nb")
+        enriched.groupBy(*gcols, "nr", "nc", "nb")
         .agg(F.sum(term6).alias("_psi6"))
         .select(
             *out_group,
@@ -184,19 +192,24 @@ def psi_value_drift_oracle() -> str:
                  SUM(1 - is_cur) AS cr, SUM(is_cur) AS cc
           FROM tagged GROUP BY 1, 2
         ),
-        per_type AS (
-          SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc, COUNT(*) AS nb
-          FROM cells GROUP BY 1
+        enriched AS (
+          -- window partials, not a JOIN USING (ADVICE r9): a NULL
+          -- event_type is its own window partition on both engines
+          SELECT event_type, cr, cc,
+                 SUM(cr) OVER (PARTITION BY event_type) AS nr,
+                 SUM(cc) OVER (PARTITION BY event_type) AS nc,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nb
+          FROM cells
         ),
         terms AS (
-          SELECT c.event_type, p.nr, p.nc, p.nb,
+          SELECT event_type, nr, nc, nb,
                  CAST(FLOOR(
-                   ((c.cc + 1) * 1.0 / (p.nc + p.nb)
-                    - (c.cr + 1) * 1.0 / (p.nr + p.nb))
-                   * LN(((c.cc + 1) * 1.0 / (p.nc + p.nb))
-                        / ((c.cr + 1) * 1.0 / (p.nr + p.nb)))
+                   ((cc + 1) * 1.0 / (nc + nb)
+                    - (cr + 1) * 1.0 / (nr + nb))
+                   * LN(((cc + 1) * 1.0 / (nc + nb))
+                        / ((cr + 1) * 1.0 / (nr + nb)))
                    * 1e6) AS BIGINT) AS term6
-          FROM cells c JOIN per_type p USING (event_type)
+          FROM enriched
         )
         SELECT event_type,
                CAST(nr AS BIGINT) AS n_ref,

@@ -1089,7 +1089,16 @@ def embedding_decontaminate(
     )
 
 
-def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
+def embedding_decontaminate_oracle(
+    tau: float = DECON_TAU, strict: bool | None = None
+) -> str:
+    # strict resolves from the SAME env knob as the Spark side (ADVICE r9
+    # medium): oracle_sql() is generated in the same process as queries()
+    # runs, so reading ETL_SCHEMA_SPARK_DECON_STRICT here keeps both
+    # engines on the same branch — strict drops the eval-bucket cap CTE
+    # exactly where the Spark plan drops the row_number filter.
+    if strict is None:
+        strict = _os.environ.get("ETL_SCHEMA_SPARK_DECON_STRICT", "") == "1"
     cos_sql = _COS_SQL.replace("a.embedding", "t.embedding").replace(
         "b.embedding", "e.embedding"
     )
@@ -1100,6 +1109,12 @@ def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
     t_exploded = "\n          UNION ALL ".join(
         f"SELECT vec_id AS train_id, {b} AS band, k{b} AS key FROM keys WHERE is_eval = 0"
         for b in range(LSH_BANDS)
+    )
+    cap_clause = (
+        ""
+        if strict
+        else "QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY eval_id)"
+        f"\n                  <= {DECON_EVAL_BUCKET_CAP}"
     )
     return finite_scan(f"""
         WITH sig AS (
@@ -1117,8 +1132,7 @@ def embedding_decontaminate_oracle(tau: float = DECON_TAU) -> str:
         ),
         e_capped AS (
           SELECT * FROM e_exploded
-          QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY eval_id)
-                  <= {DECON_EVAL_BUCKET_CAP}
+          {cap_clause}
         ),
         t_exploded AS (
           {t_exploded}
@@ -1809,8 +1823,23 @@ def jl_projection_oracle() -> str:
 
 # --- product-quantization ANN ----------------------------------------------
 
-PQ_M = 8  # subspaces (64-dim embedding -> 8 dims per subspace)
+PQ_M = 8  # subspaces (EMB_DIM-dim embedding -> EMB_DIM/PQ_M dims each)
 PQ_K = 16  # codes per subspace codebook
+
+
+def _pq_sub_d() -> int:
+    """Subvector width for the PQ index, derived from the declared
+    EMB_DIM (ADVICE r9: a hardcoded 64 silently truncated every
+    subvector to empty under a non-default ETL_SCHEMA_SPARK_EMB_DIM).
+    PQ requires the dimension to split evenly across subspaces — a
+    misconfigured pair fails loudly at plan time, on both engines."""
+    if EMB_DIM % PQ_M != 0:
+        raise ValueError(
+            f"EMB_DIM={EMB_DIM} is not divisible by PQ_M={PQ_M}; "
+            "product quantization needs equal-width subspaces "
+            "(set ETL_SCHEMA_SPARK_EMB_DIM to a multiple of 8)"
+        )
+    return EMB_DIM // PQ_M
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1844,6 +1873,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match end-to-end.
     """
     emb = load_vectors(spark, sf_dir)
+    sub_d = _pq_sub_d()
     # deterministic codebook sample: PQ_K vectors by md5 order (TakeOrdered)
     sample = (
         emb.select(
@@ -1855,7 +1885,6 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_K)
     )
     wc = Window.orderBy("_h")  # PQ_K rows — single-task by construction
-    sub_d = 64 // PQ_M
     codebook = (
         sample.withColumn("c", F.row_number().over(wc) - 1)
         .select(
@@ -1931,7 +1960,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_pq_topk_oracle() -> str:
-    sub_d = 64 // PQ_M
+    sub_d = _pq_sub_d()
     sub = (
         f"[CAST(x AS DOUBLE) for x in embedding[(m * {sub_d} + 1):"
         f"(m * {sub_d} + {sub_d})]]"

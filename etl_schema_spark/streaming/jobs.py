@@ -20,6 +20,7 @@ the source is declarative.
 from __future__ import annotations
 
 import itertools
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -649,25 +650,37 @@ def streaming_quality_gated_publish(spark: SparkSession, sf_dir: str) -> DataFra
             .accepted_values("event_type", list(STANDARD_EVENT_TYPES))
         )
 
-    quality_gated_sink(spark, sf_dir, target, build_check)
     empty_schema = "hour timestamp, event_type string, n bigint, date date"
     from pyspark.errors import AnalysisException
 
+    # Drain, materialize the published table, then REMOVE the scratch dir
+    # (ADVICE r9: every scoring/bench call was leaking a mkdtemp with the
+    # full published+quarantined output). The collect is metadata-sized —
+    # hourly counts, |hours| x |event types| rows — the same bound every
+    # other driver-side materialization in the fleet rides.
     try:
-        pub = spark.read.parquet(target)
-    except AnalysisException:
-        # every batch quarantined: nothing published (underscore dirs —
-        # _quarantine/_batches/_chk — are invisible to the reader)
+        quality_gated_sink(spark, sf_dir, target, build_check)
+        try:
+            rows = (
+                spark.read.parquet(target)
+                .select(
+                    "hour",
+                    "event_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.col("date").cast("date").alias("date"),
+                )
+                .orderBy("hour", "event_type")
+                .collect()
+            )
+        except AnalysisException:
+            # every batch quarantined: nothing published (underscore dirs
+            # — _quarantine/_batches/_chk — are invisible to the reader)
+            rows = []
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    if not rows:
         return spark.createDataFrame([], empty_schema)
-    return (
-        pub.select(
-            "hour",
-            "event_type",
-            F.col("n").cast("bigint").alias("n"),
-            F.col("date").cast("date").alias("date"),
-        )
-        .orderBy("hour", "event_type")
-    )
+    return spark.createDataFrame(rows, empty_schema).orderBy("hour", "event_type")
 
 
 def streaming_quality_gated_publish_oracle() -> str:

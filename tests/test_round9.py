@@ -265,8 +265,10 @@ def test_psi_between_grouped_matches_entry_tail(spark):
 
 
 def test_verified_pairs_pinned_staged_helper(spark):
-    """The r10-staged pair materialization: same pairs as the operator,
-    pinned once per session, refresh releases the previous pin."""
+    """The shared pair materialization (wired in r10): same pairs as the
+    operator, pinned once per session — a repeat call with the same
+    (sf_dir, tau) returns the SAME materialized frame (memo_pin), and a
+    changed param swaps the pin instead of accumulating."""
     from etl_schema_spark.operators import cachereg, dedup
 
     sf = "/root/testdata/sf0.001"
@@ -277,8 +279,12 @@ def test_verified_pairs_pinned_staged_helper(spark):
     )
     assert "dedup_ngram_jaccard.pairs" in cachereg._PINS
     again = dedup.verified_pairs_pinned(spark, sf)
-    assert again.count() == pinned.count()
-    # exactly one pin survives the refresh
+    # memo hit: the consumer reuses the materialized frame, not a rebuild
+    assert again is pinned
+    # a changed tau swaps the pin — exactly one pinned pair frame survives
+    swapped = dedup.verified_pairs_pinned(spark, sf, tau=0.9)
+    assert swapped is not pinned
     assert list(cachereg._PINS).count("dedup_ngram_jaccard.pairs") == 1
     cachereg.release_pins("dedup_ngram_jaccard.pairs")
     assert "dedup_ngram_jaccard.pairs" not in cachereg._PINS
+    assert "dedup_ngram_jaccard.pairs" not in cachereg._PIN_PARAMS
