@@ -1288,20 +1288,37 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from shared rare shingles (document frequency <=
     CONT_DF_CAP — the df cap is the hot-key bound AND the semantic
     filter, as in cross_lang_contamination; a pair sharing only
-    boilerplate shingles is not an excerpt). Candidate ids then re-attach
-    their in-row shingle arrays and the EXACT shared count comes from
-    array_intersect per pair — no postings re-join, no pair explosion
-    beyond the rarity-bounded candidate set. Integer ppm output.
+    boilerplate shingles is not an excerpt).
+
+    Scale shape (r10 rebuild — VERDICT r9 item 3, the 39.4 GB mem-spill):
+    ONE groupBy(shingle) collects each rare shingle's <= CONT_DF_CAP doc
+    ids into a row and the a<b pairing happens IN-ROW — the previous
+    df-count + rare semi-join + postings SELF-JOIN (postings shuffled
+    twice, pair explosion through a join) collapses to one narrow
+    aggregation; the >cap buckets the self-join also shuffled before
+    dropping are filtered AT the aggregate. Verification then re-attaches
+    per-doc shingle sets HASHED to 60-bit ints (md5-prefix, the portable
+    family) — the pair x shingle-array intermediate the verify shuffles
+    narrows ~3x vs string shingles. n_shared is the hashed-set intersect
+    size: deterministic and identical on both engines (the oracle hashes
+    the same way); a within-pair collision altering the count vs the
+    string intersect needs a 60-bit birthday hit across a few hundred
+    shingles (~1e-13/pair). Integer ppm output.
     """
     sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
+    # rare-shingle buckets: one row per shingle with df <= cap, members
+    # id-sorted; in-row pairing is at most C(CONT_DF_CAP, 2) = 190 structs
+    buckets = (
         posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= CONT_DF_CAP)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= CONT_DF_CAP))
     )
-    p = posting.join(rare, "shingle")
+    pair_expr = """
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+            struct(a AS doc_a, b AS doc_b))))
+    """
     # >= CONT_MIN_RARE_SHARED shared rare shingles, not >= 1: a single
     # rare-shingle coincidence admits C(df_cap, 2) pairs per shingle and
     # the candidate set was measured at 1.1M pairs at sf0.1 — each paying
@@ -1310,25 +1327,45 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only for docs whose overlap is almost entirely boilerplate — the
     # same trade the df cap itself makes.
     cands = (
-        p.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(p.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("s"))
+        .select(F.col("s.doc_a").alias("doc_a"), F.col("s.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_rare_shared"))
         .filter(F.col("n_rare_shared") >= CONT_MIN_RARE_SHARED)
         .select("doc_a", "doc_b")
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # 60-bit md5-prefix hash per shingle (the portable family): the verify
+    # intermediate carries 8-byte ints, not ~25-byte shingle strings
+    hashed = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    shh = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), hashed.alias("hs")
+    )
+    sa = shh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("size_a"),
+        F.col("hs").alias("hs_a"),
+    )
+    sb = shh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("size_b"),
+        F.col("hs").alias("hs_b"),
+    )
+    # SHUFFLE_HASH, not the default SMJ: the per-doc set table is the
+    # bounded build side (one row per doc), and hashing it lets the wide
+    # pair stream FLOW through both attaches unsorted — the SMJ sort of
+    # pair x set rows was the dominant verify spill at 100x
     scored = (
-        cands.join(sa, "doc_a")
+        cands.join(sa.hint("shuffle_hash"), "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size("sh_a").alias("size_a"),
-            F.size("sh_b").alias("size_b"),
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_shared"),
         )
         .withColumn(
             "containment_ppm",
@@ -1364,14 +1401,22 @@ def containment_dup_oracle() -> str:
           GROUP BY a.doc_id, b.doc_id
           HAVING COUNT(*) >= {CONT_MIN_RARE_SHARED}
         ),
+        shh AS (
+          -- 60-bit md5-prefix hashed shingle sets, mirroring the Spark
+          -- verify's narrow payload (see containment_dup docstring)
+          SELECT doc_id, len(shingles) AS sz,
+                 list_transform(shingles,
+                     s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+          FROM sh
+        ),
         scored AS (
           SELECT c.doc_a, c.doc_b,
-                 len(x.shingles) AS size_a,
-                 len(y.shingles) AS size_b,
-                 len(list_intersect(x.shingles, y.shingles)) AS n_shared
+                 x.sz AS size_a,
+                 y.sz AS size_b,
+                 len(list_intersect(x.hs, y.hs)) AS n_shared
           FROM cands c
-          JOIN sh x ON x.doc_id = c.doc_a
-          JOIN sh y ON y.doc_id = c.doc_b
+          JOIN shh x ON x.doc_id = c.doc_a
+          JOIN shh y ON y.doc_id = c.doc_b
         )
         SELECT CAST(doc_a AS BIGINT) AS doc_a,
                CAST(doc_b AS BIGINT) AS doc_b,

