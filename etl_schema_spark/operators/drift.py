@@ -169,7 +169,55 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _psi_report(tagged, ["event_type"]).orderBy("event_type")
 
 
+LOG_BUCKET_SQL = """CAST(CASE WHEN {v} >= 0
+                      THEN FLOOR(LOG10({v} + 1.0) * 4)
+                      ELSE -1 - FLOOR(LOG10(-{v} + 1.0) * 4) END
+                      AS BIGINT)"""
+
+
+def _psi_report_sql(gcol: str) -> str:
+    """DuckDB twin of _psi_report: the cells → window-partials → ppm-terms
+    → per-group PSI tail over a prior ``tagged({gcol}, bucket, is_cur)``
+    CTE. Both PSI oracles (events values, document lengths) end here, so
+    the two SQL forms cannot drift apart — mirroring how both Spark
+    entries share _psi_report itself."""
+    return f"""cells AS (
+          SELECT {gcol}, bucket,
+                 SUM(1 - is_cur) AS cr, SUM(is_cur) AS cc
+          FROM tagged GROUP BY 1, 2
+        ),
+        enriched AS (
+          -- window partials, not a JOIN USING (ADVICE r9): a NULL
+          -- group key is its own window partition on both engines
+          SELECT {gcol}, cr, cc,
+                 SUM(cr) OVER (PARTITION BY {gcol}) AS nr,
+                 SUM(cc) OVER (PARTITION BY {gcol}) AS nc,
+                 COUNT(*) OVER (PARTITION BY {gcol}) AS nb
+          FROM cells
+        ),
+        terms AS (
+          SELECT {gcol}, nr, nc, nb,
+                 CAST(FLOOR(
+                   ((cc + 1) * 1.0 / (nc + nb)
+                    - (cr + 1) * 1.0 / (nr + nb))
+                   * LN(((cc + 1) * 1.0 / (nc + nb))
+                        / ((cr + 1) * 1.0 / (nr + nb)))
+                   * 1e6) AS BIGINT) AS term6
+          FROM enriched
+        )
+        SELECT {gcol},
+               CAST(nr AS BIGINT) AS n_ref,
+               CAST(nc AS BIGINT) AS n_cur,
+               CAST(nb AS BIGINT) AS n_buckets,
+               SUM(term6) / 1e6 AS psi,
+               SUM(term6) / 1e6 > {PSI_DRIFT_LINE} AS drifted
+        FROM terms
+        GROUP BY {gcol}, nr, nc, nb
+        ORDER BY {gcol}"""
+
+
 def psi_value_drift_oracle() -> str:
+    bucket = LOG_BUCKET_SQL.format(v="value")
     return f"""
         WITH ev AS (
           SELECT event_type, ts, value FROM events
@@ -180,46 +228,11 @@ def psi_value_drift_oracle() -> str:
         ),
         tagged AS (
           SELECT event_type,
-                 CAST(CASE WHEN value >= 0
-                      THEN FLOOR(LOG10(value + 1.0) * 4)
-                      ELSE -1 - FLOOR(LOG10(-value + 1.0) * 4) END
-                      AS BIGINT) AS bucket,
+                 {bucket} AS bucket,
                  CAST(epoch_us(ts) >= lo + FLOOR((hi - lo) / 2) AS INT) AS is_cur
           FROM ev CROSS JOIN bounds
         ),
-        cells AS (
-          SELECT event_type, bucket,
-                 SUM(1 - is_cur) AS cr, SUM(is_cur) AS cc
-          FROM tagged GROUP BY 1, 2
-        ),
-        enriched AS (
-          -- window partials, not a JOIN USING (ADVICE r9): a NULL
-          -- event_type is its own window partition on both engines
-          SELECT event_type, cr, cc,
-                 SUM(cr) OVER (PARTITION BY event_type) AS nr,
-                 SUM(cc) OVER (PARTITION BY event_type) AS nc,
-                 COUNT(*) OVER (PARTITION BY event_type) AS nb
-          FROM cells
-        ),
-        terms AS (
-          SELECT event_type, nr, nc, nb,
-                 CAST(FLOOR(
-                   ((cc + 1) * 1.0 / (nc + nb)
-                    - (cr + 1) * 1.0 / (nr + nb))
-                   * LN(((cc + 1) * 1.0 / (nc + nb))
-                        / ((cr + 1) * 1.0 / (nr + nb)))
-                   * 1e6) AS BIGINT) AS term6
-          FROM enriched
-        )
-        SELECT event_type,
-               CAST(nr AS BIGINT) AS n_ref,
-               CAST(nc AS BIGINT) AS n_cur,
-               CAST(nb AS BIGINT) AS n_buckets,
-               SUM(term6) / 1e6 AS psi,
-               SUM(term6) / 1e6 > {PSI_DRIFT_LINE} AS drifted
-        FROM terms
-        GROUP BY event_type, nr, nc, nb
-        ORDER BY event_type
+        {_psi_report_sql("event_type")}
     """
 
 
@@ -297,4 +310,72 @@ def topk_drift_weekly_oracle() -> str:
         LEFT JOIN board p
           ON p.week = b.week - INTERVAL 7 DAY AND p.user_id = b.user_id
         ORDER BY b.week, b.rank
+    """
+
+
+DOC_DRIFT_SALT = "dldrift:"
+
+
+def doc_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-side drift twin of psi_value_drift (VERDICT r9 item 5):
+    PSI of the per-document TOKEN-LENGTH distribution, per source — the
+    "did a source's scrape/extraction change shape" monitor a recurring
+    ingest runs before mixing a new crawl into training data (truncated
+    pages, boilerplate explosions, and parser regressions all move the
+    length histogram long before they move row counts).
+
+    The corpus carries no ingest timestamp, so the reference/current
+    split is the deterministic md5 half-split (the
+    embedding_decontaminate device): stable, engine-portable, and — for
+    a single-vintage corpus — a calibration baseline (psi ~ 0 by
+    construction; a REAL second vintage replaces the split with the
+    vintage column and the same psi_between tail scores it, see
+    psi_between's docstring). Token counts use the explicit whitespace
+    class (ADVICE r9); lengths bucket on the shared signed log10 grid.
+
+    Plan: one scan, narrow (source, n_toks, half) projection, then the
+    shared psi_between tail — two partial-aggregated groupBys over
+    (source, bucket) cells; nothing wider than counters shuffles. A NULL
+    source is monitored as its own stream (the window-partial device).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.filter(
+        F.split(F.lower("text"), r"[ \t\n\x0b\f\r]+"), lambda t: t != F.lit("")
+    )
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(DOC_DRIFT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = docs.select("source", F.size(toks).alias("n_toks"), half.alias("_h"))
+    ref = base.filter(F.col("_h") == 0).select("source", "n_toks")
+    cur = base.filter(F.col("_h") == 1).select("source", "n_toks")
+    return psi_between(ref, cur, value_col="n_toks", by="source").orderBy("source")
+
+
+def doc_length_drift_oracle() -> str:
+    bucket = LOG_BUCKET_SQL.format(v="n_toks")
+    return rf"""
+        WITH base AS (
+          SELECT source,
+                 len(list_filter(string_split_regex(lower(text),
+                                                    '[ \t\n\x0b\f\r]+'),
+                                 t -> t <> '')) AS n_toks,
+                 CAST(('0x' || substr(md5('{DOC_DRIFT_SALT}' ||
+                                          CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 2 AS h
+          FROM documents
+        ),
+        tagged AS (
+          SELECT source, {bucket} AS bucket, CAST(h AS INT) AS is_cur
+          FROM base
+        ),
+        {_psi_report_sql("source")}
     """

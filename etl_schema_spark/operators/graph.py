@@ -413,3 +413,89 @@ def template_communities_oracle() -> str:
         FROM lab
         ORDER BY doc_id
     """
+
+
+DEDUP_SPLIT_MOD = 10  # ~10% of COMPONENTS (not documents) land in eval
+DEDUP_SPLIT_SALT = "cplit:"
+
+
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval splitter (VERDICT r9 item 5): assign the
+    whole near-dup COMPONENT — not the individual document — to a split,
+    so no document's near-duplicate can land on the other side. Splitting
+    uniformly at the document level leaks ~(dup_rate x eval_frac) of eval
+    into training as paraphrase-level copies, which is exactly the
+    contamination decontaminate_ngram_overlap / embedding_decontaminate
+    then have to hunt down; component-level assignment makes the split
+    leakage-free BY CONSTRUCTION against the same pair set those
+    detectors verify.
+
+    Assignment is the deterministic md5 mod on the COMPONENT id
+    (engine-portable, stable under re-runs and ingest order); singleton
+    docs are their own component, so the expected eval fraction is
+    ~1/DEDUP_SPLIT_MOD of components. Composes dup_components (the
+    session-pinned verified-pair closure — this entry rides the same
+    materialization as the rest of the dup-graph family) with one
+    broadcast-sized hash projection and the documents dim for source.
+
+    Scale: dup_components is the whole cost (O(E x diameter) shuffles,
+    see its docstring); the split itself adds one narrow equi-join on
+    doc_id. At 100 TB the assignment column writes back through the
+    partitioned sink and downstream samplers filter on it at scan speed.
+    """
+    comp = dup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(DEDUP_SPLIT_SALT), F.col("component_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % DEDUP_SPLIT_MOD
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "component_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.when(h == 0, F.lit("eval")).otherwise(F.lit("train")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_aware_split_oracle(tau: float = JACCARD_TAU) -> str:
+    return f"""
+        WITH RECURSIVE {jaccard_pairs_ctes_sql(tau)},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jpairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM jpairs
+        ),
+        reach(id, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.id, e.dst FROM reach r JOIN edges e ON r.comp = e.src
+        ),
+        lab AS (
+          SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
+        )
+        SELECT l.doc_id, d.source, l.component_id,
+               COUNT(*) OVER (PARTITION BY l.component_id) AS n_members,
+               CASE WHEN CAST(('0x' || substr(md5('{DEDUP_SPLIT_SALT}' ||
+                                              CAST(l.component_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {DEDUP_SPLIT_MOD} = 0
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+        ORDER BY l.doc_id
+    """

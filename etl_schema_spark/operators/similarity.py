@@ -2361,3 +2361,136 @@ def ivf_recall_eval_oracle() -> str:
         FROM truth t LEFT JOIN hits h USING (query_id)
         ORDER BY t.query_id
     """
+
+
+CENTROID_SHIFT_LINE = 0.95  # half-centroid cosine below this => shifted
+CSHIFT_SALT = "cshift:"
+
+
+def centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (VERDICT r9 item 5 family): per
+    label, the cosine between the class centroid computed from each half
+    of the deterministic md5 split — the "did this class's embedding
+    distribution move" check a recurring ingest runs before trusting a
+    new batch of vectors against an existing index/classifier (encoder
+    version bumps, upstream preprocessing changes, and label noise all
+    rotate class centroids long before accuracy metrics catch it).
+    Complements embedding_domain_profile (is the WIDTH right) and
+    psi_value_drift / doc_length_drift (scalar distributions) with the
+    vector-space angle.
+
+    On a single-vintage corpus the halves are exchangeable, so the
+    report is a calibration baseline (cosine ~ 1); with a real second
+    vintage the split column is the vintage and the same plan scores it.
+    Pooling is the decimal-exact trunc6 device shared with
+    _label_codebook, so centroids — and the cosine between them — are
+    bit-portable to the oracle. Labels with vectors in only one half
+    have nothing to compare and are excluded (inner join on label, both
+    engines); NULL labels likewise.
+
+    Scale: one explode to (label, half, pos) partials — partial-
+    aggregated, <= |labels| x 2 x EMB_DIM groups — then metadata-sized
+    centroid rows; nothing vector-width shuffles beyond the explode, and
+    the fold over two EMB_DIM arrays per label is driver-free.
+    """
+    emb = load_vectors(spark, sf_dir).filter(F.col("label").isNotNull())
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(CSHIFT_SALT), F.col("vec_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    sp = emb.select("label", half.alias("h"), "embedding")
+    pooled = (
+        sp.select("label", "h", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "h", "pos")
+        .agg(
+            F.sum(_trunc6(F.col("x").cast("double")).cast("decimal(18,6)")).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "label",
+            "h",
+            "pos",
+            _trunc6(F.col("_s").cast("double") / F.col("_n")).alias("cx"),
+        )
+    )
+    cent = (
+        pooled.groupBy("label", "h")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select(
+            "label",
+            "h",
+            F.transform(F.col("pairs"), lambda p: p["cx"]).alias("c"),
+        )
+    )
+    counts = sp.groupBy("label", "h").agg(F.count(F.lit(1)).alias("n"))
+    c0 = cent.filter(F.col("h") == 0).select("label", F.col("c").alias("c0"))
+    c1 = cent.filter(F.col("h") == 1).select("label", F.col("c").alias("c1"))
+    n0 = counts.filter(F.col("h") == 0).select("label", F.col("n").alias("n_ref"))
+    n1 = counts.filter(F.col("h") == 1).select("label", F.col("n").alias("n_cur"))
+    cos = F.try_divide(
+        _dot(F.col("c0"), F.col("c1")),
+        F.sqrt(_dot(F.col("c0"), F.col("c0"))) * F.sqrt(_dot(F.col("c1"), F.col("c1"))),
+    )
+    return (
+        c0.join(c1, "label")
+        .join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            _trunc6(cos).alias("centroid_cosine"),
+            (cos < CENTROID_SHIFT_LINE).alias("shifted"),
+        )
+        .orderBy("label")
+    )
+
+
+def centroid_shift_drift_oracle() -> str:
+    cos = (
+        "list_dot_product(a.c, b.c)"
+        " / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))"
+    )
+    return finite_scan(f"""
+        WITH sp AS (
+          SELECT label, embedding,
+                 CAST(('0x' || substr(md5('{CSHIFT_SALT}' ||
+                                          CAST(vec_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 2 AS h
+          FROM embeddings
+          WHERE label IS NOT NULL
+        ),
+        pooled AS (
+          SELECT label, h, dim,
+                 FLOOR(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e6) / 1e6
+                                     AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) * 1e6) / 1e6 AS cx
+          FROM (SELECT label, h, generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS val FROM sp)
+          GROUP BY label, h, dim
+        ),
+        cent AS (
+          SELECT label, h, list(cx ORDER BY dim) AS c FROM pooled GROUP BY label, h
+        ),
+        cnt AS (SELECT label, h, COUNT(*) AS n FROM sp GROUP BY label, h)
+        SELECT CAST(a.label AS BIGINT) AS label,
+               CAST(ra.n AS BIGINT) AS n_ref,
+               CAST(rb.n AS BIGINT) AS n_cur,
+               FLOOR(({cos}) * 1e6) / 1e6 AS centroid_cosine,
+               ({cos}) < {CENTROID_SHIFT_LINE} AS shifted
+        FROM cent a
+        JOIN cent b ON b.label = a.label AND a.h = 0 AND b.h = 1
+        JOIN cnt ra ON ra.label = a.label AND ra.h = 0
+        JOIN cnt rb ON rb.label = a.label AND rb.h = 1
+        ORDER BY label
+    """)

@@ -1329,3 +1329,95 @@ def unigram_lm_pieces_oracle() -> str:
         QUALIFY rank <= {k}
         ORDER BY rank
     """
+
+
+def pii_risk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII risk report: document counts, how many documents
+    carry any PII, per-pattern match totals, and PII density per 10k
+    characters — the observability summary a redaction pipeline
+    (pii_scrub is the row-level pass) publishes per ingest so a source
+    whose scrape started leaking user data is caught at the REPORT, not
+    by sampling masked rows. The density normalizes by corpus volume so
+    a big clean source and a small leaky one rank correctly.
+
+    One scan, the same RE2-portable PII_PATTERNS as pii_scrub (counts
+    only — no masked-text materialization), one partial-aggregated
+    groupBy over |sources| groups; metadata-sized output. A NULL source
+    is reported as its own row (no silent drop); NULL text counts as a
+    zero-char, zero-PII document on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cols = scrub_pii(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.coalesce(cols["n_email"], F.lit(0)).alias("e"),
+        F.coalesce(cols["n_ipv4"], F.lit(0)).alias("i"),
+        F.coalesce(cols["n_phone"], F.lit(0)).alias("p"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("bigint").alias("nch"),
+    )
+    total = F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(((F.col("e") + F.col("i") + F.col("p")) > 0).cast("long"))
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+            F.sum("e").cast("bigint").alias("n_email"),
+            F.sum("i").cast("bigint").alias("n_ipv4"),
+            F.sum("p").cast("bigint").alias("n_phone"),
+            F.sum("nch").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_docs_with_pii",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            # integer-exact density: matches * 10000 div chars (0 when empty)
+            F.when(F.col("n_chars") > 0, F.expr(
+                "(n_email + n_ipv4 + n_phone) * 10000 div n_chars"
+            ))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pii_per_10k_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def pii_risk_profile_oracle() -> str:
+    email_pat, ipv4_pat, phone_pat = (p for _, p, _ in PII_PATTERNS)
+    return rf"""
+        WITH m AS (
+          SELECT source,
+                 COALESCE(len(regexp_extract_all(text, '{email_pat}', 0)), 0) AS e,
+                 COALESCE(len(regexp_extract_all(
+                     regexp_replace(text, '{email_pat}', '[EMAIL]', 'g'),
+                     '{ipv4_pat}', 0)), 0) AS i,
+                 COALESCE(len(regexp_extract_all(
+                     regexp_replace(regexp_replace(text, '{email_pat}', '[EMAIL]', 'g'),
+                                    '{ipv4_pat}', '[IP]', 'g'),
+                     '{phone_pat}', 0)), 0) AS p,
+                 COALESCE(length(text), 0) AS nch
+          FROM documents
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_with_pii,
+                 CAST(SUM(e) AS BIGINT) AS n_email,
+                 CAST(SUM(i) AS BIGINT) AS n_ipv4,
+                 CAST(SUM(p) AS BIGINT) AS n_phone,
+                 CAST(SUM(nch) AS BIGINT) AS n_chars
+          FROM m GROUP BY source
+        )
+        SELECT source, n_docs, n_docs_with_pii, n_email, n_ipv4, n_phone,
+               CAST(CASE WHEN n_chars > 0
+                    THEN (n_email + n_ipv4 + n_phone) * 10000 // n_chars
+                    ELSE 0 END AS BIGINT) AS pii_per_10k_chars
+        FROM agg
+        ORDER BY source
+    """

@@ -84,3 +84,99 @@ def test_gated_publish_cleans_scratch_dir(spark):
     out = jobs.streaming_quality_gated_publish(spark, SF)
     assert out.count() > 0
     assert set(glob.glob(pattern)) == before
+
+
+def test_dedup_aware_split_no_leakage(spark, duck):
+    """No near-dup pair may straddle the split, and the assignment is the
+    component-level md5 rule on both engines."""
+    from etl_schema_spark.operators import dedup, graph
+
+    out = graph.dedup_aware_split(spark, SF)
+    rows = {r.doc_id: r for r in out.collect()}
+    pairs = dedup.dedup_ngram_jaccard(spark, SF).select("doc_a", "doc_b").collect()
+    assert pairs, "test corpus should contain near-dup pairs"
+    for p in pairs:
+        assert rows[p.doc_a].split == rows[p.doc_b].split, (p.doc_a, p.doc_b)
+        assert rows[p.doc_a].component_id == rows[p.doc_b].component_id
+    assert_matches_oracle(out, duck, graph.dedup_aware_split_oracle())
+
+
+def test_doc_length_drift_consumes_psi_between(spark):
+    """The scored entry and a hand-built psi_between call agree — the
+    shared-tail contract psi_value_drift already pins, on documents."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators import drift
+    from etl_schema_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text")
+    toks = F.filter(
+        F.split(F.lower("text"), r"[ \t\n\x0b\f\r]+"), lambda t: t != F.lit("")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dldrift:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    base = docs.select("source", F.size(toks).alias("n_toks"), h.alias("_h"))
+    via_api = {
+        r.source: tuple(r)[1:]
+        for r in drift.psi_between(
+            base.filter("_h = 0").select("source", "n_toks"),
+            base.filter("_h = 1").select("source", "n_toks"),
+            value_col="n_toks",
+            by="source",
+        ).collect()
+    }
+    via_entry = {
+        r.source: tuple(r)[1:] for r in drift.doc_length_drift(spark, SF).collect()
+    }
+    assert via_api == via_entry
+
+
+def test_centroid_shift_identical_halves_score_one(spark):
+    """Sanity pin on the metric itself: when both halves of a label hold
+    the SAME vector, the half-centroids coincide and cosine is 1."""
+    from etl_schema_spark.operators import similarity
+
+    out = {r.label: r for r in similarity.centroid_shift_drift(spark, SF).collect()}
+    assert out, "labels expected"
+    for r in out.values():
+        assert r.n_ref > 0 and r.n_cur > 0
+        assert -1.000001 <= r.centroid_cosine <= 1.000001
+
+
+def test_pii_risk_profile_counts_constructed_pii(spark):
+    """The driver corpus carries no PII, so pin the counting path on a
+    constructed frame through the same scrub_pii columns the profile
+    aggregates."""
+    from pyspark.sql import functions as F
+
+    from etl_schema_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "mail me at a.b@example.com or 10.0.0.1"),
+            (2, "s1", "call 555-123-4567 and 555-765-4321"),
+            (3, "s2", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    cols = scrub_pii(F.col("text"))
+    got = {
+        r.doc_id: (r.e, r.i, r.p)
+        for r in df.select(
+            "doc_id",
+            F.coalesce(cols["n_email"], F.lit(0)).alias("e"),
+            F.coalesce(cols["n_ipv4"], F.lit(0)).alias("i"),
+            F.coalesce(cols["n_phone"], F.lit(0)).alias("p"),
+        ).collect()
+    }
+    assert got == {1: (1, 1, 0), 2: (0, 0, 2), 3: (0, 0, 0)}
