@@ -306,6 +306,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
     band self-join's two sides; that persist stayed pinned in the cache
     manager forever (ADVICE r5 leak class). Now the MinHash map stage
     runs once with nothing persisted.
+
+    Ingest precondition: PK-unique doc_id scan — a replayed key breaks
+    the a<b pair-generation tie deterministically on one engine and not
+    the other. Front door: restore_unique_docs / catalog.load_table_unique
+    at ingest; observable via quality_expectation_report's unique rules
+    (SURVEY §7 item 23).
     """
     docs = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
@@ -465,6 +471,11 @@ def dedup_minhash_portable(
     engine. Band buckets fold the band index into the hash
     (md5("b|" || sig_slice)), so the candidate join is a single-key
     equi-join on `bucket`. Shuffle volume ~ n * bands, independent of n².
+
+    Ingest precondition: PK-unique doc_id scan — a replayed key breaks
+    the a<b pair-generation tie nondeterministically. Front door:
+    restore_unique_docs / catalog.load_table_unique at ingest; observable
+    via quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     candidates = _minhash_banded_candidates(spark, sf_dir)
     common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1447,6 +1458,11 @@ def minhash_pr_eval(
     Cost: the two pipelines it compares (both collision/prefix-bounded)
     reduced to three 1-row counts; the final assembly cross-joins 1-row
     frames (allowlisted, the kmv_set_ops pattern).
+
+    Ingest precondition: PK-unique doc_id scan — both compared pipelines
+    generate a<b pairs whose ties replay-perturb. Front door:
+    restore_unique_docs / catalog.load_table_unique at ingest; observable
+    via quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     # ground truth reads the session-pinned verified pair table (VERDICT
     # r9 item 1) — the same materialization the dup-graph family shares

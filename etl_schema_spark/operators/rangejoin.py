@@ -84,6 +84,12 @@ def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Left-join semantics recovered by aggregating the inner range join and
     right-joining back onto the purchase set (no pair row for empty
     windows — the aggregate, not the join, carries the zero).
+
+    Ingest precondition: PK-unique event_id scan — a replayed purchase
+    row duplicates its window aggregate nondeterministically across
+    engines. Front door: the exactly-once restore
+    (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(

@@ -645,6 +645,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: band keys distribute ~uniformly (hyperplane signs over centered
     data), the exploded collection is 4× ids not 4× vectors, queries
     broadcast, and the dedupe + top-k shuffles only candidate pairs.
+
+    Ingest precondition: the scan must be PK-unique (one row per vec_id).
+    Under at-least-once ingestion a replayed key makes the per-query
+    rank cut tie-break nondeterministically. Front door: ingest through
+    the exactly-once restore (corpus.restore_unique_docs /
+    catalog.load_table_unique); violations are observable via
+    quality_expectation_report's unique rules. See SURVEY §7 item 23.
     """
     emb = load_vectors(spark, sf_dir)
     keyed = emb.select("vec_id", "embedding", *_band_key_cols(F.col("embedding")))
@@ -1814,6 +1821,11 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trunc6 cosine, id tie-breaks), so the whole metric is oracle-checked
     bit-for-bit. Cost: the two index scans it evaluates; the join is
     K-rows-per-query tiny.
+
+    Ingest precondition: PK-unique vec_id scan — a replayed key perturbs
+    both rankings' tie-breaks nondeterministically. Front door:
+    restore_unique_docs / catalog.load_table_unique at ingest; observable
+    via quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     exact = ann_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("rel")
@@ -1978,6 +1990,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential zip_with/aggregate shape (_dot) that is bit-identical
     to DuckDB's list_dot_product, so distances — and therefore ranks —
     hash-match end-to-end.
+
+    Ingest precondition: PK-unique vec_id scan — a replayed key shifts
+    the md5-ordered codebook sample and the per-query rank cut
+    nondeterministically. Front door: restore_unique_docs /
+    catalog.load_table_unique at ingest; observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     emb = load_vectors(spark, sf_dir)
     sub_d = _pq_sub_d()

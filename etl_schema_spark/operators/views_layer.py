@@ -231,6 +231,12 @@ def annotate_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen. `annotate_renest_exploded` keeps the generic
     explode + shuffle-join + re-group plan for dims too large to broadcast;
     the two are equivalence-tested.
+
+    Ingest precondition: PK-unique doc_id scan — a replayed document
+    contributes its annotated array twice and the element-order
+    fingerprint diverges across engines. Front door: restore_unique_docs /
+    catalog.load_table_unique at ingest; observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     # NULL-text docs are excluded (edge fuzz wave 6, doc_chunks
     # contract): a NULL array re-nests to a phantom row on Spark where
