@@ -246,10 +246,16 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def gopher_quality_flags_oracle() -> str:
-    # length() (characters), NOT strlen() (bytes): the Spark side counts
-    # characters (F.length), and the two only agree on ASCII — a 'café'
-    # word is 4 chars but 5 bytes (edge fuzz wave 7, multibyte corpus)
+def _gopher_sql_parts() -> dict[str, str]:
+    """The Gopher-rule expressions as DuckDB SQL strings — the oracle twin
+    of ``_gopher_flag_cols``. Shared by gopher_quality_flags_oracle and
+    quality_score_calibration_oracle so the two cannot drift apart (the
+    shared-tail-generator pattern the PSI oracles use).
+
+    length() (characters), NOT strlen() (bytes): the Spark side counts
+    characters (F.length), and the two only agree on ASCII — a 'café'
+    word is 4 chars but 5 bytes (edge fuzz wave 7, multibyte corpus).
+    """
     words = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
     mean_wl = (
         f"CASE WHEN len({words}) > 0 THEN "
@@ -262,6 +268,25 @@ def gopher_quality_flags_oracle() -> str:
     )
     stops = ", ".join(f"'{s}'" for s in _STOPS)
     stop_hits = f"len(list_filter({words}, w -> w IN ({stops})))"
+    keep = (
+        f"(len({words}) BETWEEN {QW_MIN} AND {QW_MAX})"
+        f" AND (({mean_wl}) BETWEEN {WL_MIN} AND {WL_MAX})"
+        f" AND (({symbol_ratio}) <= {SYMBOL_MAX})"
+        f" AND ({stop_hits} >= {STOP_MIN})"
+    )
+    return {
+        "words": words,
+        "mean_wl": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+def gopher_quality_flags_oracle() -> str:
+    p = _gopher_sql_parts()
+    words, mean_wl = p["words"], p["mean_wl"]
+    symbol_ratio, stop_hits = p["symbol_ratio"], p["stop_hits"]
     return f"""
         SELECT doc_id,
                CAST(len({words}) AS BIGINT) AS n_words,
@@ -493,13 +518,20 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_logreg_score_oracle() -> str:
+def _qlr_token_weight_sql() -> str:
+    """DuckDB twin of ``_qlr_token_weight`` (token `t` in scope) — shared
+    by quality_logreg_score_oracle and quality_score_calibration_oracle."""
     r = QLR_WEIGHT_RANGE
-    tok_w = (
+    return (
         "((CAST(('0x' || substr(md5('w:' || CAST("
         f"CAST(('0x' || substr(md5('q:' || t), 1, 8)) AS BIGINT) % {QLR_BUCKETS}"
         f" AS VARCHAR)), 1, 8)) AS BIGINT) % {2 * r + 1}) - {r})"
     )
+
+
+def quality_logreg_score_oracle() -> str:
+    r = QLR_WEIGHT_RANGE
+    tok_w = _qlr_token_weight_sql()
     return rf"""
         WITH feat AS (
           SELECT doc_id, source,
@@ -1271,4 +1303,258 @@ def ccnet_source_split_oracle() -> str:
                     ELSE 'tail' END AS split
         FROM ranked
         ORDER BY doc_id
+    """
+
+
+# --- quality_score_calibration -------------------------------------------
+
+CAL_BINS = 10  # reliability-diagram deciles over the predicted probability
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE terms for the model-based quality filter:
+    the logreg scorer's predicted keep-probability (quality_logreg_score)
+    binned into CAL_BINS deciles, each bin compared against the EMPIRICAL
+    pass rate of an independent weak label (the Gopher rule conjunction,
+    gopher_quality_flags). The report a filtering pipeline reads before
+    trusting a classifier threshold: a well-calibrated bin has
+    avg_prob ~= keep_rate_weak; sum(ece_term) is the expected calibration
+    error against the rule-based label.
+
+    ONE corpus scan computes both feature families (the shared
+    ``_qlr_token_weight`` / ``_gopher_flag_cols`` expression builders —
+    no second scan, no doc_id re-join), then one partial-aggregated
+    groupBy over <= CAL_BINS integer bins; the normalization window runs
+    over the CAL_BINS-row frame. Scan-bound at 100 TB by construction.
+
+    Determinism: the per-doc probability is floor-truncated to micro
+    units ONCE (bigint), bins derive from that integer, and bin
+    aggregates are exact integer sums — the only doubles are final
+    single-divisions, identical expression order on both engines.
+    """
+    from pyspark.sql import Window
+
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    toks = F.split(F.lower("text"), r"\s+")
+    wsum = F.aggregate(
+        F.transform(toks, _qlr_token_weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    keep_weak = _gopher_flag_cols()["keep"].cast("int")
+    feat = docs.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        wsum.alias("w_sum"),
+        keep_weak.alias("keep_weak"),
+    )
+    score = F.col("w_sum") / (F.lit(float(QLR_WEIGHT_RANGE)) * F.col("n_tokens"))
+    p_micro = F.floor(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-score)) * 1e6
+    ).cast("bigint")
+    per_doc = feat.select(
+        F.least(F.floor(p_micro / 100000), F.lit(CAL_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+        p_micro.alias("p_micro"),
+        "keep_weak",
+    )
+    binned = per_doc.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p_micro").cast("bigint").alias("_sum_p"),
+        F.sum("keep_weak").cast("bigint").alias("n_keep_weak"),
+    )
+    w = Window.partitionBy()
+    avg_prob = F.col("_sum_p") / F.lit(1e6) / F.col("n_docs")
+    keep_rate = F.col("n_keep_weak").cast("double") / F.col("n_docs")
+    gap = F.abs(avg_prob - keep_rate)
+    return (
+        binned.withColumn("_n_total", F.sum("n_docs").over(w))
+        .select(
+            "bin",
+            "n_docs",
+            "n_keep_weak",
+            _trunc6(avg_prob).alias("avg_prob"),
+            _trunc6(keep_rate).alias("keep_rate_weak"),
+            _trunc6(gap).alias("abs_gap"),
+            _trunc6(
+                (F.col("n_docs").cast("double") / F.col("_n_total")) * gap
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def quality_score_calibration_oracle() -> str:
+    r = QLR_WEIGHT_RANGE
+    tok_w = _qlr_token_weight_sql()
+    keep = _gopher_sql_parts()["keep"]
+    return rf"""
+        WITH feat AS (
+          SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(list_sum(list_transform(
+                     string_split_regex(lower(text), '\s+'),
+                     t -> {tok_w})) AS BIGINT) AS w_sum,
+                 CAST(({keep}) AS INT) AS keep_weak
+          FROM documents WHERE text IS NOT NULL
+        ), scored AS (
+          SELECT CAST(FLOOR(
+                   1.0 / (1.0 + exp(-(w_sum / ({r}.0 * n_tokens)))) * 1e6
+                 ) AS BIGINT) AS p_micro,
+                 keep_weak
+          FROM feat
+        ), binned AS (
+          SELECT LEAST(p_micro // 100000, {CAL_BINS - 1}) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(p_micro) AS BIGINT) AS sum_p,
+                 CAST(SUM(keep_weak) AS BIGINT) AS n_keep_weak
+          FROM scored GROUP BY 1
+        ), tot AS (SELECT SUM(n_docs) AS n_total FROM binned)
+        SELECT bin, n_docs, n_keep_weak,
+               FLOOR(sum_p / 1e6 / n_docs * 1e6) / 1e6 AS avg_prob,
+               FLOOR(CAST(n_keep_weak AS DOUBLE) / n_docs * 1e6) / 1e6
+                 AS keep_rate_weak,
+               FLOOR(ABS(sum_p / 1e6 / n_docs
+                         - CAST(n_keep_weak AS DOUBLE) / n_docs) * 1e6) / 1e6
+                 AS abs_gap,
+               FLOOR((CAST(n_docs AS DOUBLE) / n_total)
+                     * ABS(sum_p / 1e6 / n_docs
+                           - CAST(n_keep_weak AS DOUBLE) / n_docs) * 1e6) / 1e6
+                 AS ece_term
+        FROM binned, tot
+        ORDER BY bin
+    """
+
+
+# --- doremi_excess_reweight ----------------------------------------------
+
+# eta = 1.0 nat^-1, expressed against micro-nat excess units: the weight
+# multiplier is (DOREMI_SCALE + excess_micro) / DOREMI_SCALE = 1 + excess.
+DOREMI_SCALE = 1_000_000
+
+
+def doremi_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style mixture-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", arXiv:2305.10429): domains whose documents carry HIGH
+    excess loss under the target-domain LM relative to the raw-pool LM
+    get upweighted — train more where the reference gap is largest. The
+    per-doc losses come from lm_domain_perplexity (domain_gap =
+    xent_target - xent_raw); the baseline mixture mass is each source's
+    bigram-feature share.
+
+    Exact-arithmetic EG step (engine-portable by construction): the
+    per-source excess is clamped at 0 and floor-quantized to micro-nats,
+    the unnormalized weight is the DECIMAL(38,0) product
+    n_feats x (DOREMI_SCALE + excess_micro) — integer math end to end —
+    and the only doubles are the final normalizing divisions, identical
+    expression order both engines.
+
+    Scale: lm_domain_perplexity's plan (one explode, 1024-bucket
+    broadcast model, one doc-keyed aggregate) + a narrow doc_id equi-join
+    for the source column + ONE partial-aggregated groupBy(source); the
+    normalization window runs over the |sources|-row frame.
+    """
+    from pyspark.sql import Window
+
+    lm = lm_domain_perplexity(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gap6 = F.round(F.col("domain_gap") * 1e6).cast("bigint")
+    per = (
+        lm.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_feats").cast("bigint").alias("n_feats"),
+            F.sum(F.when(F.col("n_feats") > 0, gap6)).cast("bigint").alias("_g6"),
+            F.sum((F.col("n_feats") > 0).cast("long")).cast("bigint").alias("n_scored"),
+        )
+    )
+    excess6 = F.when(
+        F.col("n_scored") > 0,
+        F.floor(
+            F.greatest(F.col("_g6"), F.lit(0)).cast("double") / F.col("n_scored")
+        ),
+    ).otherwise(F.lit(0)).cast("bigint")
+    gap_mean = F.when(
+        F.col("n_scored") > 0,
+        F.floor(F.col("_g6").cast("double") / F.col("n_scored")) / F.lit(1e6),
+    )
+    numer = F.col("n_feats").cast("decimal(19,0)") * (
+        F.lit(DOREMI_SCALE).cast("decimal(19,0)") + F.col("_e6").cast("decimal(19,0)")
+    )
+    w = Window.partitionBy()
+    mix = F.col("_numer").cast("double") / F.col("_den").cast("double")
+    share = F.col("n_feats").cast("double") / F.col("_ftot").cast("double")
+    return (
+        per.withColumn("_e6", excess6)
+        .withColumn("_numer", numer)
+        .withColumn("_den", F.sum("_numer").over(w))
+        .withColumn("_ftot", F.sum("n_feats").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_feats",
+            "n_scored",
+            gap_mean.alias("gap_mean"),
+            (F.col("_e6") / F.lit(1e6)).alias("excess_nats"),
+            _trunc6(share).alias("token_share"),
+            _trunc6(mix).alias("mix_weight"),
+            F.when(F.col("n_feats") > 0, _trunc6(mix / share)).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+def doremi_excess_reweight_oracle() -> str:
+    return rf"""
+        WITH lm AS (
+          SELECT * FROM ({lm_domain_perplexity_oracle()}) lm_sub
+        ), j AS (
+          SELECT d.source, lm.n_feats,
+                 CAST(ROUND(lm.domain_gap * 1e6) AS BIGINT) AS gap6
+          FROM lm JOIN documents d USING (doc_id)
+        ), per AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_feats) AS BIGINT) AS n_feats,
+                 CAST(SUM(CASE WHEN n_feats > 0 THEN gap6 END) AS BIGINT)
+                   AS g6,
+                 CAST(SUM(CASE WHEN n_feats > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_scored
+          FROM j GROUP BY source
+        ), calc AS (
+          SELECT *,
+                 CASE WHEN n_scored > 0
+                      THEN CAST(FLOOR(
+                          CAST(GREATEST(g6, 0) AS DOUBLE) / n_scored
+                        ) AS BIGINT)
+                      ELSE 0 END AS e6
+          FROM per
+        ), numer AS (
+          SELECT *,
+                 CAST(n_feats AS DECIMAL(19,0))
+                   * (CAST({DOREMI_SCALE} AS DECIMAL(19,0))
+                      + CAST(e6 AS DECIMAL(19,0))) AS nm
+          FROM calc
+        ), tot AS (
+          SELECT SUM(nm) AS den, SUM(n_feats) AS ftot FROM numer
+        )
+        SELECT source, n_docs, n_feats, n_scored,
+               CASE WHEN n_scored > 0
+                    THEN FLOOR(CAST(g6 AS DOUBLE) / n_scored) / 1e6 END
+                 AS gap_mean,
+               e6 / 1e6 AS excess_nats,
+               FLOOR(CAST(n_feats AS DOUBLE) / CAST(ftot AS DOUBLE) * 1e6)
+                 / 1e6 AS token_share,
+               FLOOR(CAST(nm AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+                 AS mix_weight,
+               CASE WHEN n_feats > 0 THEN
+                 FLOOR((CAST(nm AS DOUBLE) / CAST(den AS DOUBLE))
+                       / (CAST(n_feats AS DOUBLE) / CAST(ftot AS DOUBLE))
+                       * 1e6) / 1e6 END AS boost
+        FROM numer, tot
+        ORDER BY source
     """

@@ -499,3 +499,83 @@ def dedup_aware_split_oracle(tau: float = JACCARD_TAU) -> str:
         FROM lab l JOIN documents d ON d.doc_id = l.doc_id
         ORDER BY l.doc_id
     """
+
+
+# --- near_dup_keep_plan ----------------------------------------------------
+
+
+def near_dup_keep_plan(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """The dedup pipeline's ACTIONABLE end product: a per-document
+    keep/drop decision list over the near-dup components. Within each
+    component the QUALITY-ranked survivor is kept (longest text by
+    n_chars, ties to the lowest doc_id — the same policy canonical_pick
+    applies to exact-hash groups, lifted to near-dup components); every
+    other member is dropped with a pointer to the survivor. This is the
+    table a production run writes next to the training set: the
+    reproducible record of what was removed and why (the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" removal step, made auditable).
+
+    Rides dup_components (and therefore the session-pinned verified pair
+    closure — no pair recompute); adds one narrow doc_id equi-join for
+    n_chars and one window over the component partition. Component ids
+    are md5-uniform small groups, so the window cannot skew; the plan is
+    the closure's plan plus two narrow exchanges.
+
+    Ingest precondition (wave 9): survivor election is a rank cut —
+    under at-least-once replay two identical copies tie at rank 1 and
+    the engines cut arbitrarily, but the tied rows are IDENTICAL
+    (doc_id ties to itself), so the emitted multiset is unchanged; the
+    entry is replay-stable without the restore front door.
+    """
+    comp = dup_components(spark, sf_dir, tau).select(
+        "doc_id", "component_id", "n_members"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.desc_nulls_last("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "kept_doc", F.first("doc_id").over(w)
+    )
+    return ranked.select(
+        "doc_id",
+        "component_id",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.when(F.col("rn") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias("action"),
+        F.col("kept_doc").alias("kept_doc"),
+    ).orderBy("doc_id")
+
+
+def near_dup_keep_plan_oracle(tau: float = JACCARD_TAU) -> str:
+    return f"""
+        WITH comp AS (
+          SELECT doc_id, component_id, n_members
+          FROM ({dup_components_oracle(tau)}) c
+        ), j AS (
+          SELECT comp.doc_id, comp.component_id, comp.n_members, d.n_chars
+          FROM comp JOIN documents d USING (doc_id)
+        ), ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY component_id
+                   ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn,
+                 FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY component_id
+                   ORDER BY n_chars DESC NULLS LAST, doc_id) AS kept_doc
+          FROM j
+        )
+        SELECT doc_id, component_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action,
+               kept_doc
+        FROM ranked
+        ORDER BY doc_id
+    """

@@ -135,3 +135,138 @@ def skew_salted_daily_users_oracle() -> str:
         FROM pairs GROUP BY event_type, day
         ORDER BY event_type, day
     """
+
+
+# --- key_skew_profile -------------------------------------------------------
+
+SKEW_TOPK = 10  # keys summed into topk_share
+SKEW_FLAG_SHARE = 0.05  # max_share at/above this flags the stream for salting
+
+
+def key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report per event_type — the measurement that
+    DECIDES when the salting machinery above (and AQE skew-join splitting)
+    is worth its extra shuffle: per stream, the per-user row-count
+    distribution's concentration statistics (max/top-K share, HHI, Gini,
+    p50/p99 counts) plus a salt_flag at the SKEW_FLAG_SHARE line. A 100 TB
+    pipeline runs this over a sample or yesterday's partition before
+    choosing join strategies; the same report is the regression monitor
+    for "a hot key appeared in production".
+
+    Plan: ONE partial-aggregated groupBy(event_type, user_id) reduces the
+    corpus to the key frame; ranks/percentile positions ride one window
+    sort per stream over that REDUCED frame (|keys| rows, not |events| —
+    the profile never shuffles raw events twice). All concentration
+    statistics are exact-integer sums (rank-weighted Gini numerator and
+    HHI squares in DECIMAL, overflow-proof at any corpus size); the only
+    doubles are final single divisions, identical expression order on
+    both engines. A NULL user_id is profiled as its own key, a NULL
+    event_type as its own stream (both engines GROUP BY NULL the same
+    way); ordering ties cannot exist — (event_type, user_id) is unique in
+    the key frame — so every rank is total and deterministic.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_asc = Window.partitionBy("event_type").orderBy(
+        F.asc("cnt"), F.asc_nulls_first("user_id")
+    )
+    w_desc = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc_nulls_first("user_id")
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = (
+        per_key.withColumn("rk", F.row_number().over(w_asc))
+        .withColumn("rk_desc", F.row_number().over(w_desc))
+        .withColumn("nk", F.count(F.lit(1)).over(w_all))
+    )
+    dec = "decimal(19,0)"
+    prof = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.sum(F.col("cnt").cast(dec) * F.col("cnt").cast(dec)).alias("_ss"),
+        F.sum(F.col("rk").cast(dec) * F.col("cnt").cast(dec)).alias("_s"),
+        F.sum(F.when(F.col("rk_desc") <= SKEW_TOPK, F.col("cnt")))
+        .cast("bigint")
+        .alias("_topk"),
+        F.max(F.when(F.col("rk") == F.ceil(F.col("nk") * 0.5), F.col("cnt")))
+        .cast("bigint")
+        .alias("p50_cnt"),
+        F.max(F.when(F.col("rk") == F.ceil(F.col("nk") * 0.99), F.col("cnt")))
+        .cast("bigint")
+        .alias("p99_cnt"),
+    )
+    ne_d = F.col("n_events").cast("double")
+    max_share = F.col("max_cnt").cast("double") / ne_d
+    gini_num = (
+        F.lit(2).cast(dec) * F.col("_s")
+        - (F.col("n_keys") + 1).cast(dec) * F.col("n_events").cast(dec)
+    )
+    gini_den = F.col("n_keys").cast(dec) * F.col("n_events").cast(dec)
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return prof.select(
+        "event_type",
+        "n_keys",
+        "n_events",
+        "max_cnt",
+        trunc6(max_share).alias("max_share"),
+        trunc6(F.col("_topk").cast("double") / ne_d).alias("topk_share"),
+        trunc6(F.col("_ss").cast("double") / (ne_d * ne_d)).alias("hhi"),
+        trunc6(gini_num.cast("double") / gini_den.cast("double")).alias("gini"),
+        "p50_cnt",
+        "p99_cnt",
+        (max_share >= SKEW_FLAG_SHARE).cast("int").alias("salt_flag"),
+    ).orderBy(F.asc_nulls_first("event_type"))
+
+
+def key_skew_profile_oracle() -> str:
+    return f"""
+        WITH per_key AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY event_type, user_id
+        ), ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY cnt, user_id NULLS FIRST) AS rk,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY cnt DESC, user_id NULLS FIRST) AS rk_desc,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nk
+          FROM per_key
+        ), prof AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                 SUM(cnt * cnt) AS ss,
+                 SUM(rk * cnt) AS s,
+                 CAST(SUM(CASE WHEN rk_desc <= {SKEW_TOPK} THEN cnt END)
+                      AS BIGINT) AS topk,
+                 CAST(MAX(CASE WHEN rk = CEIL(nk * 0.5) THEN cnt END)
+                      AS BIGINT) AS p50_cnt,
+                 CAST(MAX(CASE WHEN rk = CEIL(nk * 0.99) THEN cnt END)
+                      AS BIGINT) AS p99_cnt
+          FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n_keys, n_events, max_cnt,
+               FLOOR(CAST(max_cnt AS DOUBLE) / CAST(n_events AS DOUBLE) * 1e6)
+                 / 1e6 AS max_share,
+               FLOOR(CAST(topk AS DOUBLE) / CAST(n_events AS DOUBLE) * 1e6)
+                 / 1e6 AS topk_share,
+               FLOOR(CAST(ss AS DOUBLE)
+                     / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                     * 1e6) / 1e6 AS hhi,
+               FLOOR(CAST(2 * s - (n_keys + 1) * n_events AS DOUBLE)
+                     / (CAST(n_keys AS DOUBLE) * CAST(n_events AS DOUBLE))
+                     * 1e6) / 1e6 AS gini,
+               p50_cnt, p99_cnt,
+               CAST(CAST(max_cnt AS DOUBLE) / CAST(n_events AS DOUBLE)
+                    >= {SKEW_FLAG_SHARE} AS INT) AS salt_flag
+        FROM prof
+        ORDER BY event_type NULLS FIRST
+    """

@@ -31,6 +31,9 @@ ALLPAIRS_OK = {
     "q15_top_supplier",
     "zipf_term_stats",
     "domain_mix_weights",  # two broadcast 1-row normalizing constants
+    # rides lm_domain_perplexity's broadcast 1-row bigram-total join (the
+    # LM's smoothing denominator) — same scalar-threshold class as above
+    "doremi_excess_reweight",
     "gapfill_locf",  # broadcast 1-row global min/max hour bounds onto |types|
     "gapfill_interp",  # same broadcast 1-row bounds spine as gapfill_locf
     # evaluates the allowlisted brute-force baseline (broadcast queries
