@@ -705,3 +705,76 @@ def streaming_quality_gated_publish_oracle() -> str:
         WHERE (SELECT v FROM viol) = 0
         ORDER BY hour, event_type
     """
+
+
+# the events restore's deterministic tie-break, in schema-registry order
+# (catalog._unique_tiebreak_cols("events") minus the PK) — shared between
+# the stream reduce and its oracle below
+_RESTORE_ORDER_COLS = ("ts", "user_id", "event_type", "value", "props")
+
+
+def ingest_restore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-least-once ingest RESTORE as a stream: exactly one full event
+    row survives per event_id — the streaming twin of
+    corpus.restore_unique_docs / catalog.load_table_unique, and the front
+    door that enforces the PK-unique precondition every rank/tie-break
+    operator documents (SURVEY §7 item 23). Run this between the
+    at-least-once source and the lake write and the wave-9 replay class
+    never reaches a batch query.
+
+    The winner is adjudicated DETERMINISTICALLY, same contract as the
+    batch restore: first row under the remaining columns' ascending
+    NULLS-LAST order. Streaming has no row_number, so the reduce is a
+    keyed MIN over a sort-key struct whose (is-null, value) field pairs
+    encode exactly that ordering (booleans sort false < true, so non-NULL
+    wins — NULLS LAST; NaN sorts greatest in both engines). An exact
+    replay is a no-op under MIN; a CONFLICTING replay (same key,
+    different payload) picks the same winner the batch restore picks —
+    NOT an arbitrary first-arrival the way dropDuplicates would.
+
+    NULL-keyed rows are excluded: a NULL PK is an ingest fault for the
+    quarantine path (streaming_quality_gated_publish), not a restorable
+    key. State is one struct per in-flight key; in 24/7 operation the
+    job runs in update mode to a keyed upsert sink with the watermark
+    bounding replay-horizon state.
+    """
+    ev = _admit(events_stream(spark, sf_dir)).filter(F.col("event_id").isNotNull())
+    fields = []
+    for i, c in enumerate(_RESTORE_ORDER_COLS):
+        fields.append(F.col(c).isNull().alias(f"n{i}"))
+        fields.append(F.col(c).alias(f"c{i}"))
+    won = ev.withWatermark("ts", "1 hour").groupBy("event_id").agg(
+        F.min(F.struct(*fields)).alias("_w")
+    )
+    return won.select(
+        "event_id",
+        *[F.col(f"_w.c{i}").alias(c) for i, c in enumerate(_RESTORE_ORDER_COLS)],
+    )
+
+
+def streaming_ingest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streaming PK restore drained via AvailableNow
+    (complete mode — the bounded-drain equivalent of the production
+    upsert sink). Over a bounded source every copy of a key lands before
+    the drain finishes, so the emitted row is exactly the batch restore's
+    row_number()==1 pick, which is what the oracle states."""
+    return run_available_now(
+        ingest_restore_stream(spark, sf_dir),
+        f"sq_restore_{next(_DRAIN_SEQ)}",
+    )
+
+
+def streaming_ingest_restore_oracle() -> str:
+    from ..operators.contracts import PLAUSIBLE_TS_SQL
+
+    order = ", ".join(f"{c} ASC NULLS LAST" for c in _RESTORE_ORDER_COLS)
+    return f"""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM (
+          SELECT * FROM events
+          WHERE {PLAUSIBLE_TS_SQL} AND event_id IS NOT NULL
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_id ORDER BY {order}) = 1
+        )
+        ORDER BY event_id
+    """

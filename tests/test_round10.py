@@ -286,3 +286,40 @@ def test_near_dup_keep_plan_parity_and_closure(spark, duck):
         for r in members:
             assert r.kept_doc == keeper.doc_id
             assert r.n_members == len(members)
+
+
+def test_streaming_ingest_restore_parity_and_conflict_adjudication(spark, duck):
+    """Base-corpus parity, plus: a planted conflicting replay must pick the
+    SAME winner the batch restore's NULLS-LAST tie-break picks."""
+    from etl_schema_spark.streaming import jobs
+
+    sdf = jobs.streaming_ingest_restore(spark, SF)
+    assert_matches_oracle(sdf, duck, jobs.streaming_ingest_restore_oracle())
+
+    # conflict adjudication on an in-memory replayed stream is covered by
+    # the wave-9 fuzz battery; here pin the tie-break encoding itself:
+    # non-NULL beats NULL (NULLS LAST), smaller payload beats larger
+    import pyspark.sql.functions as SF_
+
+    rows = [
+        (1, "2021-01-01 00:00:00", 5, "click", 1.0, "a"),
+        (1, "2021-01-01 00:00:00", 5, "click", 0.5, "a"),  # smaller value wins
+        (2, "2021-01-01 00:00:00", None, "view", 2.0, "b"),
+        (2, "2021-01-01 00:00:00", 7, "view", 2.0, "b"),  # non-NULL user wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", SF_.to_timestamp("ts"))
+    fields = []
+    for i, c in enumerate(jobs._RESTORE_ORDER_COLS):
+        fields.append(SF_.col(c).isNull().alias(f"n{i}"))
+        fields.append(SF_.col(c).alias(f"c{i}"))
+    won = (
+        df.groupBy("event_id")
+        .agg(SF_.min(SF_.struct(*fields)).alias("_w"))
+        .select("event_id", "_w.c3", "_w.c1")
+        .collect()
+    )
+    picks = {r.event_id: (r.c3, r.c1) for r in won}
+    assert picks[1] == (0.5, 5)
+    assert picks[2] == (2.0, 7)

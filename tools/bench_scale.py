@@ -74,6 +74,16 @@ SCALE_QUERIES = [
     "streaming_quality_gated_publish",
     "psi_value_drift",
     "topk_drift_weekly",
+    # round-10 operators
+    "doc_length_drift",
+    "dedup_aware_split",
+    "centroid_shift_drift",
+    "pii_risk_profile",
+    "quality_score_calibration",
+    "doremi_excess_reweight",
+    "near_dup_keep_plan",
+    "key_skew_profile",
+    "streaming_ingest_restore",
 ]
 
 
