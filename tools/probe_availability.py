@@ -70,6 +70,10 @@ DOC_ENTRIES = [
     "lsh_tuning_curve",
     # round-9 additions (doc-bound)
     "ccnet_source_split", "lm_domain_perplexity",
+    # round-10 additions (doc-bound)
+    "pii_risk_profile", "quality_score_calibration",
+    "doremi_excess_reweight", "near_dup_keep_plan", "dedup_aware_split",
+    "doc_length_drift",
 ]
 EMB_ENTRIES = [
     "embedding_cosine_dup", "semdedup_clusters", "embedding_outliers",
@@ -79,6 +83,8 @@ EMB_ENTRIES = [
     "triplet_mining",
     # round-9 additions (embedding-bound)
     "embedding_domain_profile", "ivf_recall_eval", "label_balance_sample",
+    # round-10 addition (embedding-bound)
+    "centroid_shift_drift",
 ]
 EVENT_ENTRIES = [
     "bloom_membership", "gapfill_locf", "gapfill_interp",
@@ -99,6 +105,8 @@ EVENT_ENTRIES = [
     # round-9 additions (events-bound)
     "quality_expectation_report", "streaming_quality_gated_publish",
     "psi_value_drift", "topk_drift_weekly",
+    # round-10 additions (events-bound)
+    "key_skew_profile", "streaming_ingest_restore",
 ]
 
 
