@@ -1643,6 +1643,15 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Event-time admission (fuzz wave 13): a NULL ts shifts the run
     boundaries (Spark ASC sorts NULLs first, DuckDB last), so the
     dimension's time domain is contracts.plausible_ts on both sides.
+
+    Ingest precondition: PK-unique event_id scan — a CONFLICTING
+    event_id replay at the same ts ties in the per-user time order, so
+    run boundaries through the tie are partition-layout-dependent
+    (observed run-to-run flaky in the r10 --wave9 battery: red in the
+    full-session run, green isolated). Front door: the exactly-once
+    restore (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23);
+    --wave9-restored: green.
     """
     ev = (
         load_table(spark, sf_dir, "events")

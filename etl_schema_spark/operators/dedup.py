@@ -1315,6 +1315,16 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same way); a within-pair collision altering the count vs the
     string intersect needs a 60-bit birthday hit across a few hundred
     shingles (~1e-13/pair). Integer ppm output.
+
+    Ingest precondition: PK-unique doc_id scan — a replayed doc_id lands
+    twice in its rare-shingle buckets, and the position-ordered in-row
+    pairing then emits equal-id and duplicated pairs the oracle's
+    value-ordered pair set excludes (enumerated by the r10 full --wave9
+    battery; fails identically at the r9 tree, latent since the shape
+    landed). Front door: the exactly-once restore
+    (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23);
+    --wave9-restored: green.
     """
     sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -1747,6 +1757,17 @@ def repeat_profile_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-grams of all lengths (quadratic, fine at the oracle's sf) and
     reproduces every statistic from first principles, so the automaton's
     bookkeeping is checked against brute force, not against itself.
+
+    Ingest precondition: PK-unique doc_id scan — the Arrow pass profiles
+    each PHYSICAL row independently while the oracle's n-gram enumeration
+    groups positions BY doc_id, so a replayed doc_id merges two copies'
+    positions into one brute-force profile (a full-length gram suddenly
+    "repeats") while Spark emits two per-copy profiles (enumerated by the
+    r10 full --wave9 battery; fails identically at the r9 tree, latent
+    since the entry landed). Front door: the exactly-once restore
+    (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23);
+    --wave9-restored: green.
     """
     from collections.abc import Iterator
 

@@ -442,6 +442,14 @@ def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     see its docstring); the split itself adds one narrow equi-join on
     doc_id. At 100 TB the assignment column writes back through the
     partitioned sink and downstream samplers filter on it at scan speed.
+
+    Ingest precondition: PK-unique doc_id scan — a CONFLICTING doc_id
+    replay (same key, different text) perturbs the shingle pair set and
+    with it component membership, so the two engines can assign the tied
+    copies' component differently (r10 --wave9 battery). Front door: the
+    exactly-once restore (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23);
+    --wave9-restored: green.
     """
     comp = dup_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -524,11 +532,14 @@ def near_dup_keep_plan(
     are md5-uniform small groups, so the window cannot skew; the plan is
     the closure's plan plus two narrow exchanges.
 
-    Ingest precondition (wave 9): survivor election is a rank cut —
-    under at-least-once replay two identical copies tie at rank 1 and
-    the engines cut arbitrarily, but the tied rows are IDENTICAL
-    (doc_id ties to itself), so the emitted multiset is unchanged; the
-    entry is replay-stable without the restore front door.
+    Ingest precondition (wave 9): survivor election is a rank cut. For
+    EXACT replays the tied rows are identical (doc_id ties to itself),
+    so the emitted multiset is unchanged; a CONFLICTING replay (same
+    doc_id, different n_chars/text) perturbs the pair set through
+    dup_components and the rank boundary with it — the standard
+    precondition class. Front door: the exactly-once restore
+    (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     comp = dup_components(spark, sf_dir, tau).select(
         "doc_id", "component_id", "n_members"

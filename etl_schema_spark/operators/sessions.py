@@ -105,6 +105,15 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave 13): a NULL ts has no position in the cumulative ordering (and
     the engines disagree on one — Spark ASC sorts NULL first, DuckDB
     last), so the time domain is contracts.plausible_ts on both sides.
+
+    Ingest precondition: PK-unique event_id scan — a CONFLICTING
+    event_id replay (same key and ts, different value) ties on BOTH sort
+    keys, so the cumulative sequence through the tie is
+    partition-layout-dependent (observed run-to-run flaky in the r10
+    --wave9 battery: red in the full-session run, green isolated).
+    Front door: the exactly-once restore (catalog.load_table_unique);
+    observable via quality_expectation_report's unique rules (SURVEY §7
+    item 23); --wave9-restored: green.
     """
     ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     w = (

@@ -344,6 +344,16 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str, tau: float = COSINE_T
     in the oracle) so a templated mega-cluster cannot make the pair output
     C(cluster, 2) — see the constant's comment for the bound and the
     cluster-shaped escape hatch.
+
+    Ingest precondition: PK-unique vec_id scan — a replayed vec_id sits
+    twice in every band bucket it occupies, and the occupancy-cap
+    row_number plus the position-ordered in-row pairing then cut/pair
+    the tied copies differently across engines (enumerated by the r10
+    full --wave9 battery; fails identically at the r9 pre-rebuild tree,
+    latent since the entry landed). Front door: the exactly-once restore
+    (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23);
+    --wave9-restored: green.
     """
     emb = load_vectors(spark, sf_dir)
     # Parquet count-star resolves from footer metadata — a cheap action that
