@@ -239,11 +239,8 @@ def test_key_skew_profile_hot_key_flags(spark):
         ("hot", i) for i in range(100)
     ]
     df = spark.createDataFrame(rows, "event_type string, user_id long")
-    import etl_schema_spark.sources.catalog as cat
-
-    # profile over an in-memory frame: monkey-free path — reuse the same
-    # expressions by registering a temp view and calling the SQL shape is
-    # overkill; assert on the building blocks instead
+    # profile over an in-memory frame: assert on the building blocks
+    # rather than monkeypatching the table loader
     per_key = df.groupBy("event_type", "user_id").count()
     hot = per_key.filter(F.col("event_type") == "hot").agg(
         F.max("count"), F.sum("count")
