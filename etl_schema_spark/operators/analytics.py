@@ -1644,21 +1644,32 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries (Spark ASC sorts NULLs first, DuckDB last), so the
     dimension's time domain is contracts.plausible_ts on both sides.
 
-    Ingest precondition: PK-unique event_id scan — a CONFLICTING
-    event_id replay at the same ts ties in the per-user time order, so
-    run boundaries through the tie are partition-layout-dependent
-    (observed run-to-run flaky in the r10 --wave9 battery: red in the
-    full-session run, green isolated). Front door: the exactly-once
-    restore (catalog.load_table_unique); observable via
-    quality_expectation_report's unique rules (SURVEY §7 item 23);
-    --wave9-restored: green.
+    Replay determinism (r11, VERDICT r10 item 6): a CONFLICTING event_id
+    replay at the same ts used to tie in the per-user time order, leaving
+    run boundaries through the tie partition-layout-dependent
+    (run-to-run flaky in the r10 --wave9 battery). The window order
+    therefore extends to the FULL ROW in ascending NULLS-LAST order —
+    the streaming_ingest_restore tie-break device, identical on both
+    engines — so a violated PK-unique precondition degrades to a
+    DETERMINISTIC history instead of a flaky one. On a PK-unique scan
+    the extra keys are inert (they refine only (ts, event_type) ties,
+    whose relative order cannot move a run boundary). Front door for the
+    replay class itself: the exactly-once restore
+    (catalog.load_table_unique); observable via
+    quality_expectation_report's unique rules (SURVEY §7 item 23).
     """
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(plausible_ts("ts"))
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id", "value", "props")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts",
+        "event_type",
+        F.asc_nulls_last("event_id"),
+        F.asc_nulls_last("value"),
+        F.asc_nulls_last("props"),
+    )
     changed = F.when(
         F.lag("event_type").over(w).isNull()
         | (F.col("event_type") != F.lag("event_type").over(w)),
@@ -1692,7 +1703,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_history_oracle() -> str:
     return f"""
         WITH ev AS (
-          SELECT user_id, event_type, ts FROM events
+          SELECT user_id, event_type, ts, event_id, value, props FROM events
           WHERE {PLAUSIBLE_TS_SQL}
         ),
         marked AS (
@@ -1701,11 +1712,15 @@ def scd2_history_oracle() -> str:
                         OR event_type <> LAG(event_type) OVER w
                       THEN 1 ELSE 0 END AS chg
           FROM ev
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type,
+                       event_id ASC NULLS LAST, value ASC NULLS LAST,
+                       props ASC NULLS LAST)
         ),
         runs AS (
           SELECT *,
-                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type,
+                     event_id ASC NULLS LAST, value ASC NULLS LAST,
+                     props ASC NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
           FROM marked
         ),

@@ -24,6 +24,8 @@ single-session form of the same plan shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -34,9 +36,38 @@ _PINS: dict[str, DataFrame] = {}
 _PIN_PARAMS: dict[str, tuple] = {}
 
 
-def memo_pin(key: str, spark, params: tuple, builder, level=None) -> DataFrame:
+def input_fingerprint(*paths: str) -> tuple:
+    """Cheap driver-side fingerprint of the files under ``paths``: a
+    sorted ((file, size, mtime_ns), ...) listing, directories walked
+    recursively, missing paths recorded as (path, -1, -1). Folding this
+    into memo params makes a same-path REWRITE (an in-place re-ingest, a
+    notebook regenerating its corpus dir) change the memo identity — the
+    VERDICT r10 staleness hazard: a path-keyed memo silently served the
+    STALE frame to every consumer after the bytes under the path changed.
+    """
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    out.append((fp, st.st_size, st.st_mtime_ns))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        else:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
+def memo_pin(
+    key: str, spark, params: tuple, builder, level=None, inputs: tuple = ()
+) -> DataFrame:
     """Cross-invocation pin: return the frame already pinned under ``key``
-    if it was built with the same ``params`` on the same live session;
+    if it was built with the same ``params`` (and, when ``inputs`` names
+    the source files, the same on-disk bytes) on the same live session;
     otherwise build (via the zero-arg ``builder``), swap-pin, and record.
 
     This is the sharing device swap_pin alone cannot provide: swap_pin
@@ -47,7 +78,15 @@ def memo_pin(key: str, spark, params: tuple, builder, level=None) -> DataFrame:
     the same (key, params) hit the materialized cache. The session check
     guards notebook/pytest patterns where a torn-down session's frame
     would otherwise be handed to a new one.
+
+    ``inputs`` (paths the builder reads) closes the same-path-rewrite
+    staleness hazard (VERDICT r10 item 4): their ``input_fingerprint``
+    is folded into the memo identity, so rewriting the corpus at the
+    SAME path invalidates the pin instead of serving stale data — a
+    param tuple alone is a PATH identity, not a data identity.
     """
+    if inputs:
+        params = (params, input_fingerprint(*inputs))
     cur = _PINS.get(key)
     if cur is not None and _PIN_PARAMS.get(key) == params:
         try:

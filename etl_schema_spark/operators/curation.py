@@ -1500,8 +1500,11 @@ def doremi_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_scored",
             gap_mean.alias("gap_mean"),
             (F.col("_e6") / F.lit(1e6)).alias("excess_nats"),
-            _trunc6(share).alias("token_share"),
-            _trunc6(mix).alias("mix_weight"),
+            # zero-denominator guards (ADVICE r10): on an all-empty corpus
+            # every n_feats is 0, and Spark's 0/0 double is NaN where
+            # DuckDB's is NULL — NULL on both engines instead
+            F.when(F.col("_ftot") > 0, _trunc6(share)).alias("token_share"),
+            F.when(F.col("_den") > 0, _trunc6(mix)).alias("mix_weight"),
             F.when(F.col("n_feats") > 0, _trunc6(mix / share)).alias("boost"),
         )
         .orderBy("source")
@@ -1547,10 +1550,12 @@ def doremi_excess_reweight_oracle() -> str:
                     THEN FLOOR(CAST(g6 AS DOUBLE) / n_scored) / 1e6 END
                  AS gap_mean,
                e6 / 1e6 AS excess_nats,
-               FLOOR(CAST(n_feats AS DOUBLE) / CAST(ftot AS DOUBLE) * 1e6)
-                 / 1e6 AS token_share,
-               FLOOR(CAST(nm AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
-                 AS mix_weight,
+               CASE WHEN ftot > 0 THEN
+                 FLOOR(CAST(n_feats AS DOUBLE) / CAST(ftot AS DOUBLE) * 1e6)
+                   / 1e6 END AS token_share,
+               CASE WHEN den > 0 THEN
+                 FLOOR(CAST(nm AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) / 1e6
+                 END AS mix_weight,
                CASE WHEN n_feats > 0 THEN
                  FLOOR((CAST(nm AS DOUBLE) / CAST(den AS DOUBLE))
                        / (CAST(n_feats AS DOUBLE) / CAST(ftot AS DOUBLE))

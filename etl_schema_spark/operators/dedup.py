@@ -1289,6 +1289,72 @@ CONT_MIN_RARE_SHARED = 2  # candidate pairs must share >= 2 rare shingles
 CONT_TAU_PPM = 500_000  # report pairs where the smaller doc is >= 50% contained
 
 
+def rare_shared_pairs(
+    posting: DataFrame, df_cap: int, min_shared: int, pin_key: str
+) -> DataFrame:
+    """Exact (doc_a, doc_b) pairs sharing >= ``min_shared`` rare shingles
+    (document frequency <= ``df_cap``), doc_a < doc_b — the shared
+    candidate generator of containment_dup and template_communities
+    (r11, VERDICT r10 items 2/3).
+
+    ONE groupBy(shingle) collects each rare shingle's <= df_cap member
+    ids into a row (the >cap buckets drop AT the aggregate — nothing hot
+    ever shuffles twice) and the a<b pairing happens IN-ROW, at most
+    C(df_cap, 2) structs per bucket. The pair-multiplicity count — the
+    dominant 100x mem-spill once the pairing itself is in-row (26.6 GB
+    residual, VERDICT r10 item 3) — runs TWO-PHASE:
+
+      phase A counts occurrences of the 8-byte ``xxhash64(doc_a, doc_b)``
+      alone, so the wide aggregate's hash map carries one bigint key
+      instead of a two-id row; only hashes seen >= min_shared survive.
+      phase B re-derives the id pairs from the same PINNED bucket frame,
+      hash-joins them against the (small) survivor set, and recounts
+      EXACTLY by (doc_a, doc_b) — a collision in phase A only adds a
+      false survivor for phase B's exact recount to drop, never removes
+      a true one, so the result is byte-identical to the one-phase count.
+
+    The bucket frame is swap_pinned (narrow: one id array per rare
+    shingle) so the two phases share one shingling+aggregation; at
+    cluster scale the equivalent is materializing the bucket table once
+    to durable storage.
+    """
+    from .cachereg import swap_pin
+
+    buckets = swap_pin(
+        f"{pin_key}.buckets",
+        posting.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
+        .select("docs"),
+    )
+    pair_expr = """
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+            struct(a AS doc_a, b AS doc_b))))
+    """
+    hot = (
+        buckets.select(
+            F.explode(
+                F.expr(f"transform({pair_expr}, p -> xxhash64(p.doc_a, p.doc_b))")
+            ).alias("ph")
+        )
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("_phc"))
+        .filter(F.col("_phc") >= min_shared)
+        .select("ph")
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("s"))
+        .select(F.col("s.doc_a").alias("doc_a"), F.col("s.doc_b").alias("doc_b"))
+        .withColumn("ph", F.xxhash64("doc_a", "doc_b"))
+        .join(hot.hint("shuffle_hash"), "ph")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_rare_shared"))
+        .filter(F.col("n_rare_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+
+
 def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs: documents whose SMALLER
     shingle set is >= CONT_TAU_PPM (ppm) contained in the larger one —
@@ -1301,13 +1367,14 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, as in cross_lang_contamination; a pair sharing only
     boilerplate shingles is not an excerpt).
 
-    Scale shape (r10 rebuild — VERDICT r9 item 3, the 39.4 GB mem-spill):
-    ONE groupBy(shingle) collects each rare shingle's <= CONT_DF_CAP doc
-    ids into a row and the a<b pairing happens IN-ROW — the previous
-    df-count + rare semi-join + postings SELF-JOIN (postings shuffled
-    twice, pair explosion through a join) collapses to one narrow
-    aggregation; the >cap buckets the self-join also shuffled before
-    dropping are filtered AT the aggregate. Verification then re-attaches
+    Scale shape (r10 rebuild — VERDICT r9 item 3, the 39.4 GB mem-spill;
+    r11 — VERDICT r10 item 3, the 26.6 GB residual): candidate pairs come
+    from ``rare_shared_pairs`` — ONE groupBy(shingle) bucket aggregate
+    with IN-ROW a<b pairing (at most C(CONT_DF_CAP, 2) structs per
+    bucket; >cap buckets drop AT the aggregate), and the
+    pair-multiplicity count two-phased over 8-byte pair hashes with an
+    exact recount of the survivors (byte-identical result — see the
+    helper's docstring). Verification then re-attaches
     per-doc shingle sets HASHED to 60-bit ints (md5-prefix, the portable
     family) — the pair x shingle-array intermediate the verify shuffles
     narrows ~3x vs string shingles. n_shared is the hashed-set intersect
@@ -1328,32 +1395,16 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    # rare-shingle buckets: one row per shingle with df <= cap, members
-    # id-sorted; in-row pairing is at most C(CONT_DF_CAP, 2) = 190 structs
-    buckets = (
-        posting.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= CONT_DF_CAP))
-    )
-    pair_expr = """
-        flatten(transform(docs, (a, i) ->
-          transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-            struct(a AS doc_a, b AS doc_b))))
-    """
     # >= CONT_MIN_RARE_SHARED shared rare shingles, not >= 1: a single
     # rare-shingle coincidence admits C(df_cap, 2) pairs per shingle and
     # the candidate set was measured at 1.1M pairs at sf0.1 — each paying
     # an array_intersect. Any pair at tau shares >= half the smaller
     # set's shingles, so requiring two of those to be rare costs recall
     # only for docs whose overlap is almost entirely boilerplate — the
-    # same trade the df cap itself makes.
-    cands = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("s"))
-        .select(F.col("s.doc_a").alias("doc_a"), F.col("s.doc_b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_rare_shared"))
-        .filter(F.col("n_rare_shared") >= CONT_MIN_RARE_SHARED)
-        .select("doc_a", "doc_b")
+    # same trade the df cap itself makes. Bucketing + the two-phase
+    # narrow-key multiplicity count live in rare_shared_pairs (r11).
+    cands = rare_shared_pairs(
+        posting, CONT_DF_CAP, CONT_MIN_RARE_SHARED, "containment_dup"
     )
     # 60-bit md5-prefix hash per shingle (the portable family): the verify
     # intermediate carries 8-byte ints, not ~25-byte shingle strings
@@ -2064,13 +2115,19 @@ def verified_pairs_pinned(
     helper is that materialization for a long-lived session (~60% of
     dup_pagerank's warm cost was re-deriving pairs, VERDICT r8 item 6).
     memo_pin returns the already-materialized frame on a repeat call
-    with the same (sf_dir, tau) and live session; a changed sf_dir/tau
-    swaps the pin (steady state: ONE pinned pair frame), and
-    release_pins() at harness exit keeps the ADVICE-r5 leak class
-    closed. At cluster scale the equivalent is writing the verified
-    pair table once to durable storage and reading it from all four
-    consumers — the plan shape this pin models locally.
+    with the same (sf_dir, tau), the same on-disk documents bytes, and a
+    live session; a changed sf_dir/tau swaps the pin (steady state: ONE
+    pinned pair frame), and release_pins() at harness exit keeps the
+    ADVICE-r5 leak class closed. The documents file's fingerprint rides
+    in the memo identity (``inputs=``), so REWRITING the corpus at the
+    same path rebuilds the pairs instead of serving the stale set to all
+    five dup-graph consumers (VERDICT r10 item 4). At cluster scale the
+    equivalent is writing the verified pair table once to durable
+    storage and reading it from all four consumers — the plan shape this
+    pin models locally.
     """
+    import os
+
     from .cachereg import memo_pin
 
     return memo_pin(
@@ -2078,4 +2135,5 @@ def verified_pairs_pinned(
         spark,
         (sf_dir, tau),
         lambda: dedup_ngram_jaccard(spark, sf_dir, tau).select("doc_a", "doc_b"),
+        inputs=(os.path.join(sf_dir, "documents.parquet"),),
     )

@@ -36,6 +36,7 @@ from .contracts import (
 
 PSI_DRIFT_LINE = 0.2  # the standard "significant shift" threshold
 TOPK_DRIFT_K = 10
+TOPK_SALTS = 16  # phase-1 reducers per week in the two-phase top-K
 
 
 def log_bucket(col: str | Column = "value") -> Column:
@@ -242,27 +243,53 @@ def topk_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL = new entrant) with the rank delta — the trending/churn monitor
     over ranks that psi_value_drift gives over histograms.
 
-    One scan, one (week, user) partial-aggregated count, one per-week
-    rank window (weeks are few; each week's candidate set is the
-    already-reduced user aggregate, the top_clients_per_type precedent),
-    and a board-to-board self-join on (prev week, user) — top-K-bounded
-    rows on both sides, metadata-sized at any corpus scale.
+    One scan, one (week, user) partial-aggregated count, then the
+    BOUNDED two-phase top-K (r11, VERDICT r10 finding 3): phase 1 keeps
+    K sort-key structs per (week, salt) — per-reducer state is capped at
+    K however many users a week has — and phase 2 merges |salts| K-arrays
+    per week (K*salts rows, metadata-sized), exactly the
+    reservoir_sample_per_key device. The previous `row_number() OVER
+    (PARTITION BY week)` sorted a week's ENTIRE active-user aggregate in
+    one task — the single-task-sort shape SURVEY §4 forbids. The struct
+    encodes (n_events DESC, user_id ASC NULLS LAST) as (-n_events,
+    is_null(user_id), user_id) ascending — booleans sort false < true,
+    so identified users beat the NULL-user stream at equal counts in
+    BOTH engines (DuckDB's bare ASC is already nulls-last; Spark's is
+    nulls-first — the wave-6 class). The board-to-board self-join on
+    (prev week, user) stays top-K-bounded on both sides.
     """
     ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     counts = ev.groupBy(
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
         "user_id",
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    # asc_NULLS_LAST: a NULL-user stream ranks behind every identified
-    # user at equal counts in BOTH engines (DuckDB's bare ASC is already
-    # nulls-last; Spark's is nulls-first — the wave-6 class)
-    w = Window.partitionBy("week").orderBy(
-        F.desc("n_events"), F.asc_nulls_last("user_id")
+    key = F.struct(
+        (-F.col("n_events")).alias("nneg"),
+        F.col("user_id").isNull().alias("unull"),
+        F.col("user_id").alias("user_id"),
+        F.col("n_events").alias("n_events"),
+    )
+    phase1 = (
+        counts.withColumn("_salt", F.pmod(F.xxhash64("user_id"), F.lit(TOPK_SALTS)))
+        .groupBy("week", "_salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(key)), 1, TOPK_DRIFT_K).alias("cand")
+        )
     )
     board = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK_DRIFT_K)
-        .select("week", "user_id", "n_events", "rank")
+        phase1.groupBy("week")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("cand"))), 1, TOPK_DRIFT_K
+            ).alias("top")
+        )
+        .select("week", F.posexplode("top").alias("pos", "c"))
+        .select(
+            "week",
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.n_events").alias("n_events"),
+            (F.col("pos") + 1).alias("rank"),
+        )
     )
     prev = board.select(
         F.date_add(F.col("week"), 7).alias("week"),

@@ -310,32 +310,25 @@ def template_communities(
     curation action differs too: near-dups drop to one canonical, template
     families get their boilerplate stripped or the family downweighted.
 
-    Edges: rare-shingle postings (document frequency <= TEMPLATE_DF_CAP —
-    the df cap is simultaneously the semantic filter and the hot-key
-    bound, as in cross_lang_contamination) self-joined on shingle, pair
-    count >= TEMPLATE_MIN_SHARED. Closure: the same one-shuffle-per-round
-    min-label propagation as dup_components, exact recursive-CTE oracle.
+    Edges: pairs sharing >= TEMPLATE_MIN_SHARED rare shingles (document
+    frequency <= TEMPLATE_DF_CAP — the df cap is simultaneously the
+    semantic filter and the hot-key bound, as in
+    cross_lang_contamination), generated by ``dedup.rare_shared_pairs``
+    (r11, VERDICT r10 item 2 — the largest remaining 100x spill source):
+    the previous rare-postings SELF-JOIN + wide pair-count aggregate is
+    now one groupBy(shingle) bucket aggregate with in-row <= C(cap, 2)
+    pairing and the two-phase narrow-key multiplicity count, exactly the
+    device that retired containment_dup's spill. Closure: the same
+    one-shuffle-per-round min-label propagation as dup_components, exact
+    recursive-CTE oracle.
     """
-    from .dedup import _shingled_docs
+    from .dedup import _shingled_docs, rare_shared_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
     posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= TEMPLATE_DF_CAP)
-        .select("shingle")
-    )
-    p = posting.join(rare, "shingle")
-    pairs = (
-        p.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(p.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= TEMPLATE_MIN_SHARED)
-        .select("doc_a", "doc_b")
+    pairs = rare_shared_pairs(
+        posting, TEMPLATE_DF_CAP, TEMPLATE_MIN_SHARED, "template_communities"
     )
     edges = swap_pin(
         "template_communities.edges",
@@ -366,7 +359,7 @@ def template_communities(
         labels = new_labels
         if changed == 0:
             break
-    release_pins("template_communities.edges")
+    release_pins("template_communities.edges", "template_communities.buckets")
     w = Window.partitionBy("family_id")
     return (
         labels.select("doc_id", F.col("fam").alias("family_id"))

@@ -106,19 +106,30 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engines disagree on one — Spark ASC sorts NULL first, DuckDB
     last), so the time domain is contracts.plausible_ts on both sides.
 
-    Ingest precondition: PK-unique event_id scan — a CONFLICTING
-    event_id replay (same key and ts, different value) ties on BOTH sort
-    keys, so the cumulative sequence through the tie is
-    partition-layout-dependent (observed run-to-run flaky in the r10
-    --wave9 battery: red in the full-session run, green isolated).
-    Front door: the exactly-once restore (catalog.load_table_unique);
+    Replay determinism (r11, VERDICT r10 item 6): a CONFLICTING event_id
+    replay (same key and ts, different payload) ties on both primary
+    sort keys, which left the cumulative sequence through the tie
+    partition-layout-dependent (run-to-run flaky in the r10 --wave9
+    battery). The window order therefore extends to the FULL ROW in
+    ascending NULLS-LAST order — the streaming_ingest_restore tie-break
+    device, identical on both engines — so a violated PK-unique
+    precondition now degrades to a DETERMINISTIC cumulative sequence
+    instead of a flaky one. On a PK-unique scan the extra keys are inert
+    ((ts, event_id) is already total). Front door for the replay class
+    itself: the exactly-once restore (catalog.load_table_unique);
     observable via quality_expectation_report's unique rules (SURVEY §7
-    item 23); --wave9-restored: green.
+    item 23).
     """
     ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            "ts",
+            "event_id",
+            F.asc_nulls_last("event_type"),
+            F.asc_nulls_last("value"),
+            F.asc_nulls_last("props"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -134,7 +145,9 @@ def running_totals_oracle() -> str:
     return f"""
         SELECT event_id, user_id, ts, value,
                CAST(SUM({VDEC4_SQL}) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id,
+                       event_type ASC NULLS LAST, value ASC NULLS LAST,
+                       props ASC NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS cum_value
         FROM events

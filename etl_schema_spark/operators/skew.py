@@ -153,38 +153,45 @@ def key_skew_profile(spark, sf_dir: str) -> DataFrame:
     choosing join strategies; the same report is the regression monitor
     for "a hot key appeared in production".
 
-    Plan: ONE partial-aggregated groupBy(event_type, user_id) reduces the
-    corpus to the key frame; ranks/percentile positions ride one window
-    sort per stream over that REDUCED frame (|keys| rows, not |events| —
-    the profile never shuffles raw events twice). All concentration
-    statistics are exact-integer sums (rank-weighted Gini numerator and
-    HHI squares in DECIMAL, overflow-proof at any corpus size); the only
-    doubles are final single divisions, identical expression order on
-    both engines. A NULL user_id is profiled as its own key, a NULL
-    event_type as its own stream (both engines GROUP BY NULL the same
-    way); ordering ties cannot exist — (event_type, user_id) is unique in
-    the key frame — so every rank is total and deterministic.
-    """
-    from pyspark.sql import Window
+    Plan (r11 rebuild — VERDICT r10 item 1, the single-task-sort fix):
+    ONE partial-aggregated groupBy(event_type, user_id) reduces the
+    corpus to the key frame, and the per-stream ascending rank comes from
+    ``distributed.grouped_running_sum`` — the two-phase range-partitioned
+    rank user_activity_gini / mad_outliers already ride — NOT from
+    `row_number() OVER (PARTITION BY event_type)`, which would sort a
+    stream's ENTIRE distinct-key set (billions of keys at 100 TB) in one
+    task. No second (descending) rank pass exists: every rank-derived
+    statistic here is TIE-BREAK INVARIANT — keys tying on cnt contribute
+    the same Gini weight sum (c*r + c*(r+1) either way), the same top-K
+    cnt multiset, and the same cnt at any percentile position — so the
+    descending-axis condition `rk_desc <= K` rewrites exactly to
+    `rk > n_keys - K` on the ascending rank, and the oracle's two-window
+    form is unchanged. All concentration statistics are exact-integer
+    sums (rank-weighted Gini numerator and HHI squares in DECIMAL,
+    overflow-proof at any corpus size); the only doubles are final
+    single divisions, identical expression order on both engines.
 
+    NULL domain: a NULL user_id is profiled as its own key, a NULL
+    event_type as its own stream — the stream key rides through the
+    two-phase rank wrapped in a one-field STRUCT, whose field-wise
+    comparison is null-safe where a bare-column equi-join would drop the
+    NULL stream (the wave-6 class). Ordering ties cannot exist —
+    (event_type, user_id) is unique in the key frame — so every rank is
+    total and deterministic.
+    """
     from ..sources.catalog import load_table
+    from .distributed import grouped_running_sum
 
     events = load_table(spark, sf_dir, "events")
     per_key = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    w_asc = Window.partitionBy("event_type").orderBy(
-        F.asc("cnt"), F.asc_nulls_first("user_id")
-    )
-    w_desc = Window.partitionBy("event_type").orderBy(
-        F.desc("cnt"), F.asc_nulls_first("user_id")
-    )
-    w_all = Window.partitionBy("event_type")
-    ranked = (
-        per_key.withColumn("rk", F.row_number().over(w_asc))
-        .withColumn("rk_desc", F.row_number().over(w_desc))
-        .withColumn("nk", F.count(F.lit(1)).over(w_all))
-    )
+    ).withColumn("_gk", F.struct("event_type"))
+    # |streams| rows (~handful): broadcast nk back onto the ranked frame
+    # for the percentile-position and top-K-threshold predicates
+    nk_df = per_key.groupBy("_gk").agg(F.count(F.lit(1)).alias("nk"))
+    ranked = grouped_running_sum(
+        per_key, "_gk", F.struct("cnt", "user_id"), F.lit(1), "rk"
+    ).join(F.broadcast(nk_df), "_gk")
     dec = "decimal(19,0)"
     prof = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -192,7 +199,7 @@ def key_skew_profile(spark, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("bigint").alias("max_cnt"),
         F.sum(F.col("cnt").cast(dec) * F.col("cnt").cast(dec)).alias("_ss"),
         F.sum(F.col("rk").cast(dec) * F.col("cnt").cast(dec)).alias("_s"),
-        F.sum(F.when(F.col("rk_desc") <= SKEW_TOPK, F.col("cnt")))
+        F.sum(F.when(F.col("rk") > F.col("nk") - SKEW_TOPK, F.col("cnt")))
         .cast("bigint")
         .alias("_topk"),
         F.max(F.when(F.col("rk") == F.ceil(F.col("nk") * 0.5), F.col("cnt")))

@@ -756,8 +756,15 @@ def streaming_ingest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: the streaming PK restore drained via AvailableNow
     (complete mode — the bounded-drain equivalent of the production
     upsert sink). Over a bounded source every copy of a key lands before
-    the drain finishes, so the emitted row is exactly the batch restore's
-    row_number()==1 pick, which is what the oracle states."""
+    the drain finishes, so for any key whose copies ALL pass the
+    plausible_ts admission filter the emitted row is exactly the batch
+    restore's row_number()==1 pick (and the oracle states that filtered
+    election). The qualifier matters (ADVICE r10): this stream admits
+    BEFORE the per-key election while catalog.load_table_unique elects
+    over unfiltered rows — a conflicting replay whose ts is
+    implausible-but-smaller can win the batch election yet be dropped
+    pre-election here. Batch callers get the identical winner set by
+    composing plausible_ts AFTER load_table_unique."""
     return run_available_now(
         ingest_restore_stream(spark, sf_dir),
         f"sq_restore_{next(_DRAIN_SEQ)}",

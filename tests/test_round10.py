@@ -231,21 +231,29 @@ def test_key_skew_profile_parity_and_bounds(spark, duck):
         assert r.salt_flag in (0, 1)
 
 
-def test_key_skew_profile_hot_key_flags(spark):
-    """A planted hot key must raise max_share/gini and trip salt_flag."""
+def test_key_skew_profile_hot_key_flags(spark, tmp_path):
+    """A planted hot key must trip the OPERATOR's own salt_flag (ADVICE
+    r10: the previous form re-derived max share from building blocks and
+    never exercised the salt_flag wiring or SKEW_FLAG_SHARE threshold)."""
     from etl_schema_spark.operators import skew
 
-    rows = [("click", i % 50, ) for i in range(200)] + [("hot", 7)] * 500 + [
+    rows = [("click", i % 50) for i in range(200)] + [("hot", 7)] * 500 + [
         ("hot", i) for i in range(100)
     ]
     df = spark.createDataFrame(rows, "event_type string, user_id long")
-    # profile over an in-memory frame: assert on the building blocks
-    # rather than monkeypatching the table loader
-    per_key = df.groupBy("event_type", "user_id").count()
-    hot = per_key.filter(F.col("event_type") == "hot").agg(
-        F.max("count"), F.sum("count")
-    ).first()
-    assert hot[0] / hot[1] > skew.SKEW_FLAG_SHARE
+    # write a minimal events table into a temp sf_dir: the profile reads
+    # only (event_type, user_id), so the pruned scan never misses ts/value
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    prof = {r.event_type: r for r in skew.key_skew_profile(spark, str(tmp_path)).collect()}
+    assert prof["hot"].salt_flag == 1
+    assert prof["hot"].max_share >= skew.SKEW_FLAG_SHARE
+    assert prof["click"].salt_flag == 0
+    assert prof["hot"].gini > prof["click"].gini
+    # exact check on the planted distribution: user 7 appears in both
+    # plants (500 hot + 1 range) = 501 of 600 events across 100 keys
+    assert prof["hot"].n_keys == 100
+    assert prof["hot"].max_cnt == 501
+    assert abs(prof["hot"].max_share - 501 / 600) < 2e-6
 
 
 def test_doremi_excess_reweight_parity_and_invariants(spark, duck):
@@ -278,7 +286,12 @@ def test_near_dup_keep_plan_parity_and_closure(spark, duck):
         assert len(keeps) == 1
         keeper = keeps[0]
         assert keeper.kept_doc == keeper.doc_id
-        best = max(members, key=lambda r: (r.n_chars or -1, -r.doc_id))
+        # sentinel distinguishes n_chars == 0 from NULL (ADVICE r10: `or
+        # -1` conflated them, a spurious-fail under all-NULL-but-zero ties)
+        best = max(
+            members,
+            key=lambda r: (r.n_chars if r.n_chars is not None else -1, -r.doc_id),
+        )
         assert keeper.n_chars == best.n_chars
         for r in members:
             assert r.kept_doc == keeper.doc_id
