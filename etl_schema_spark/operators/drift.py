@@ -406,3 +406,146 @@ def doc_length_drift_oracle() -> str:
         ),
         {_psi_report_sql("source")}
     """
+
+
+QRD_SALT = "qrdrift:"
+# document-level row rules monitored for pass-rate drift, name -> the
+# quality.Check semantics they mirror (NULL-tolerant forms identical to
+# expectation_report's documents suite)
+QRD_RULES = (
+    "accepted_lang",
+    "n_chars_matches_text",
+    "non_negative_n_chars",
+    "not_null_text",
+)
+
+
+def quality_rule_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUALITY-RULE drift monitor (VERDICT r10 item 7): the
+    pass/fail distribution of each document-level expectation —
+    accepted_values(lang), n_chars_matches_text, non_negative(n_chars),
+    not_null(text) — PSI'd between the two md5 halves of each source.
+    quality_expectation_report says whether the corpus passes TODAY;
+    this entry says whether a source's rule pass-rates are MOVING — the
+    "the scraper started emitting empty bodies for one source" monitor
+    that fires long before an absolute gate trips, per (source, rule) so
+    the alert names the offending expectation directly.
+
+    The corpus carries no ingest timestamp, so the reference/current
+    split is the deterministic md5 half-split (the doc_length_drift
+    device): calibration baseline psi ~ 0 on a single-vintage corpus; a
+    real second vintage replaces the split with the vintage column and
+    the same tail scores it. Rule semantics mirror expectation_report
+    exactly (accepted_values and non_negative pass NULLs; the dedicated
+    not_null rule owns NULL detection), so a drift here always maps to a
+    report row.
+
+    Plan: ONE documents scan computes all four pass flags and the half
+    tag; an in-row stack() unpivots to (source, rule, bucket=pass,
+    is_cur) — 4 narrow rows per doc, no extra scan per rule — and the
+    shared _psi_report tail reduces to |sources| x 4 report rows via two
+    partial-aggregated groupBys. A NULL source is monitored as its own
+    stream (window partials, the ADVICE-r9 device); a NULL doc_id has no
+    half and drops from both sides identically (NULL %-arithmetic on
+    both engines).
+    """
+    from ..quality import STANDARD_LANGS
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(QRD_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    base = docs.select(
+        "source",
+        F.col("text").isNotNull().cast("bigint").alias("p_nn"),
+        F.coalesce(F.length("text") == F.col("n_chars"), F.lit(False))
+        .cast("bigint")
+        .alias("p_len"),
+        (F.col("n_chars").isNull() | (F.col("n_chars") >= 0))
+        .cast("bigint")
+        .alias("p_neg"),
+        (F.col("lang").isNull() | F.col("lang").isin(*STANDARD_LANGS))
+        .cast("bigint")
+        .alias("p_lang"),
+        half.alias("is_cur"),
+    )
+    tagged = base.selectExpr(
+        "source",
+        "stack(4, 'accepted_lang', p_lang, 'n_chars_matches_text', p_len,"
+        " 'non_negative_n_chars', p_neg, 'not_null_text', p_nn)"
+        " AS (rule, bucket)",
+        "is_cur",
+    )
+    return _psi_report(tagged, ["source", "rule"]).orderBy("source", "rule")
+
+
+def quality_rule_drift_oracle() -> str:
+    from ..quality import STANDARD_LANGS
+
+    langs = ", ".join(f"'{v}'" for v in STANDARD_LANGS)
+    # the PSI tail is _psi_report_sql's shape with an explicit two-column
+    # group (the shared template's GROUP BY 1, 2 is single-group-col)
+    return f"""
+        WITH base AS (
+          SELECT source,
+                 CAST(text IS NOT NULL AS BIGINT) AS p_nn,
+                 CAST(COALESCE(length(text) = n_chars, FALSE) AS BIGINT)
+                   AS p_len,
+                 CAST(n_chars IS NULL OR n_chars >= 0 AS BIGINT) AS p_neg,
+                 CAST(lang IS NULL OR lang IN ({langs}) AS BIGINT) AS p_lang,
+                 CAST(CAST(('0x' || substr(md5('{QRD_SALT}' ||
+                                           CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 2 AS INT) AS is_cur
+          FROM documents
+        ),
+        tagged AS (
+          SELECT source, 'accepted_lang' AS rule, p_lang AS bucket, is_cur
+          FROM base
+          UNION ALL
+          SELECT source, 'n_chars_matches_text', p_len, is_cur FROM base
+          UNION ALL
+          SELECT source, 'non_negative_n_chars', p_neg, is_cur FROM base
+          UNION ALL
+          SELECT source, 'not_null_text', p_nn, is_cur FROM base
+        ),
+        cells AS (
+          SELECT source, rule, bucket,
+                 SUM(1 - is_cur) AS cr, SUM(is_cur) AS cc
+          FROM tagged GROUP BY 1, 2, 3
+        ),
+        enriched AS (
+          SELECT source, rule, cr, cc,
+                 SUM(cr) OVER (PARTITION BY source, rule) AS nr,
+                 SUM(cc) OVER (PARTITION BY source, rule) AS nc,
+                 COUNT(*) OVER (PARTITION BY source, rule) AS nb
+          FROM cells
+        ),
+        terms AS (
+          SELECT source, rule, nr, nc, nb,
+                 CAST(FLOOR(
+                   ((cc + 1) * 1.0 / (nc + nb)
+                    - (cr + 1) * 1.0 / (nr + nb))
+                   * LN(((cc + 1) * 1.0 / (nc + nb))
+                        / ((cr + 1) * 1.0 / (nr + nb)))
+                   * 1e6) AS BIGINT) AS term6
+          FROM enriched
+        )
+        SELECT source, rule,
+               CAST(nr AS BIGINT) AS n_ref,
+               CAST(nc AS BIGINT) AS n_cur,
+               CAST(nb AS BIGINT) AS n_buckets,
+               SUM(term6) / 1e6 AS psi,
+               SUM(term6) / 1e6 > {PSI_DRIFT_LINE} AS drifted
+        FROM terms
+        GROUP BY source, rule, nr, nc, nb
+        ORDER BY source, rule
+    """

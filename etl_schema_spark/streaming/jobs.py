@@ -785,3 +785,122 @@ def streaming_ingest_restore_oracle() -> str:
         )
         ORDER BY event_id
     """
+
+
+def incremental_dedup_sink(spark: SparkSession, sf_dir: str, target: str) -> None:
+    """The incremental fingerprint-index dedup as a STREAMING front door
+    (VERDICT r10 item 7): arriving documents flow through foreachBatch,
+    each micro-batch is restored to one-row-per-doc_id (the
+    load_table_unique tie-break, applied WITHIN the batch), hashed, and
+    verdict-joined against the static corpus fingerprint index — the
+    "is this arriving doc already in the lake" gate a 24/7 ingest runs
+    BEFORE writing, composing streaming_ingest_restore's adjudication
+    device with operators.dedup.incremental_dedup's index join.
+
+    Plan per batch (mirrors the batch twin): the arriving slice is small
+    relative to the index, so the join BROADCASTS the batch and streams
+    the index past it map-side — the index never shuffles. The index is
+    built ONCE from the exactly-once restore (load_table_unique) and
+    reused across batches; at cluster scale it is the bucketed
+    fingerprint table the lake maintains. Verdicts append to ``target``
+    (idempotent under availableNow redelivery: the checkpoint owns batch
+    identity).
+
+    Replay contract: copies of a doc_id landing in the SAME micro-batch
+    are adjudicated exactly like the batch restore (deterministic
+    NULLS-LAST winner — a bounded availableNow drain over one file is
+    one batch, so the oracle equality is exact). Copies split ACROSS
+    micro-batches in 24/7 operation produce one verdict each; the
+    keyed upsert sink (merge_upsert_batch) collapses them downstream,
+    same contract as streaming_ingest_restore's update-mode note.
+    """
+    import os
+
+    from ..operators.dedup import NEW_BATCH_MOD, _normalized
+    from ..sources.catalog import (
+        _unique_tiebreak_cols,
+        load_table_unique,
+    )
+
+    m = NEW_BATCH_MOD
+    index = (
+        load_table_unique(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % m != m - 1)
+        .select("doc_id", F.md5(_normalized()).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    stream = (
+        spark.readStream.schema(physical_schema(spark, sf_dir, "documents"))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % m == m - 1))
+    )
+
+    def verdicts(batch_df: DataFrame, batch_id: int) -> None:
+        rest = _unique_tiebreak_cols("documents", batch_df.columns)
+        order = [F.col(c).asc_nulls_last() for c in rest] or [F.lit(1)]
+        w = Window.partitionBy("doc_id").orderBy(*order)
+        restored = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        hashed = restored.select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.md5(_normalized()).alias("content_md5"),
+        )
+        out = index.join(F.broadcast(hashed), "content_md5", "right").select(
+            F.col("new_doc_id").alias("doc_id"),
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
+        out.write.mode("append").parquet(os.path.join(target, "out"))
+
+    q = (
+        stream.writeStream.foreachBatch(verdicts)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(target, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streaming fingerprint-index dedup drained via
+    AvailableNow and the verdict table returned. Over a bounded source
+    the arriving cohort lands in one micro-batch, so the verdicts equal
+    the batch twin's (incremental_dedup) row for row — the oracle IS the
+    batch oracle. The driver-side materialization is the arriving-slice
+    verdict list: |docs| / NEW_BATCH_MOD rows, the same bound the batch
+    twin's output carries."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    target = tempfile.mkdtemp(prefix="sq_incdedup_")
+    try:
+        incremental_dedup_sink(spark, sf_dir, target)
+        try:
+            rows = (
+                spark.read.parquet(os.path.join(target, "out"))
+                .orderBy("doc_id")
+                .collect()
+            )
+        except AnalysisException:
+            rows = []
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    sch = "doc_id long, is_duplicate boolean, dup_of long"
+    if not rows:
+        return spark.createDataFrame([], sch)
+    return spark.createDataFrame(rows, sch).orderBy("doc_id")
+
+
+def streaming_incremental_dedup_oracle() -> str:
+    from ..operators.dedup import incremental_dedup_oracle
+
+    return incremental_dedup_oracle()

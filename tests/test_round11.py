@@ -150,3 +150,47 @@ def test_scd2_history_deterministic_under_conflicting_replay(spark, tmp_path):
     con = _replayed_events_corpus(spark, tmp_path)
     sdf = analytics.scd2_history(spark, str(tmp_path))
     assert_matches_oracle(sdf, con, analytics.scd2_history_oracle())
+
+
+def test_pack_fill_audit_parity_and_invariants(spark, duck):
+    from etl_schema_spark.operators import packing
+
+    sdf = packing.pack_fill_audit(spark, SF)
+    assert_matches_oracle(sdf, duck, packing.pack_fill_audit_oracle())
+    for r in sdf.collect():
+        assert r.closed_bins == r.n_bins - 1  # exactly one open tail bin
+        assert r.full_bins >= r.straddled_bins
+        assert 0 <= r.waste_tokens <= r.closed_bins * packing.PACK_BUDGET
+        assert r.avg_fill > 0
+        if r.waste_frac is not None:
+            assert 0.0 <= r.waste_frac < 1.0
+
+
+def test_quality_rule_drift_parity_and_shape(spark, duck):
+    from etl_schema_spark.operators import drift
+
+    sdf = drift.quality_rule_drift(spark, SF)
+    assert_matches_oracle(sdf, duck, drift.quality_rule_drift_oracle())
+    rows = sdf.collect()
+    # every (source, rule) pair present; single-vintage corpus => psi ~ 0
+    rules = {r.rule for r in rows}
+    assert rules == set(drift.QRD_RULES)
+    for r in rows:
+        assert r.n_buckets in (1, 2)
+        assert r.psi < drift.PSI_DRIFT_LINE and not r.drifted
+
+
+def test_streaming_incremental_dedup_matches_batch_twin(spark, duck):
+    from etl_schema_spark.operators import dedup
+    from etl_schema_spark.streaming import jobs
+
+    sdf = jobs.streaming_incremental_dedup(spark, SF)
+    assert_matches_oracle(sdf, duck, jobs.streaming_incremental_dedup_oracle())
+    batch = {
+        r.doc_id: (r.is_duplicate, r.dup_of)
+        for r in dedup.incremental_dedup(spark, SF).collect()
+    }
+    stream = {
+        r.doc_id: (r.is_duplicate, r.dup_of) for r in sdf.collect()
+    }
+    assert stream == batch  # verdict-for-verdict equal to the batch twin
