@@ -451,7 +451,7 @@ def streaming_ewma_flags_oracle() -> str:
         WITH RECURSIVE ranked AS (
           SELECT user_id, CAST(value AS DOUBLE) AS value,
                  ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS i,
+                   PARTITION BY user_id ORDER BY ts, event_id, value) AS i,
                  COUNT(*) OVER (PARTITION BY user_id) AS n
           FROM events
           WHERE {FINITE_VALUE_SQL} AND {PLAUSIBLE_TS_SQL}

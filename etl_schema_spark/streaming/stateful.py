@@ -67,10 +67,17 @@ def _ewma_update(
     # than one Arrow batch arrives as multiple chunks in shuffle order, and
     # per-chunk sorting would feed the recurrence a nondeterministic
     # interleaving. Holding one group in memory is the operator's stated
-    # state bound (per-key state machine); event_id breaks ts ties so the
-    # recurrence order — and thus the oracle — is total.
+    # state bound (per-key state machine); event_id breaks ts ties so on a
+    # PK-unique scan the recurrence order — and thus the oracle — is total.
+    # `value` rides as the third key (r11, the running_totals device): a
+    # CONFLICTING event_id replay ties BOTH primary keys with different
+    # values, and the EWMA path through the tie was run-to-run flaky in
+    # the r11 --wave9 battery (latent at the r10 tree: 2/10 red in the
+    # throwaway-worktree replay). With value in the order an exact replay
+    # is order-invariant and a conflicting one is deterministic — the
+    # oracle sorts identically (finite_value admits no NaN/NULL values).
     whole = pd.concat(list(pdfs), ignore_index=True)
-    for pdf in (whole.sort_values(["ts", "event_id"]),):
+    for pdf in (whole.sort_values(["ts", "event_id", "value"]),):
         for v in pdf["value"].to_numpy():
             if n > 0 and var > 0:
                 z = abs(v - mean) / (var**0.5)

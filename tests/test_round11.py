@@ -112,18 +112,27 @@ def _replayed_events_corpus(spark, tmp_path):
         (2, "2024-01-01 00:00:05", 10, "click", 9.0, '{"a":2}'),  # conflict
         (1, "2024-01-01 00:00:00", 10, "view", 1.0, '{"a":1}'),  # exact
     ]
-    df = spark.createDataFrame(
-        rows, "event_id long, ts string, user_id long, event_type string,"
-        " value double, props string"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     import duckdb
 
     con = duckdb.connect()
-    # Spark writes a part-file directory; glob it for DuckDB
+    # a single parquet FILE (not a Spark part-dir): the streaming source's
+    # pathGlobFilter matches `events.parquet` as a file name
+    values = ", ".join(
+        "(%d, TIMESTAMP '%s', %d, '%s', %r, %s)"
+        % (e, ts, u, t, v, "NULL" if p is None else f"'{p}'")
+        for e, ts, u, t, v, p in rows
+    )
+    con.execute(
+        "COPY (SELECT CAST(event_id AS BIGINT) AS event_id, ts,"
+        " CAST(user_id AS BIGINT) AS user_id, event_type,"
+        " CAST(value AS DOUBLE) AS value, props"
+        f" FROM (VALUES {values})"
+        " v(event_id, ts, user_id, event_type, value, props))"
+        f" TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
     con.execute(
         "CREATE VIEW events AS SELECT * FROM"
-        f" read_parquet('{tmp_path}/events.parquet/*.parquet')"
+        f" read_parquet('{tmp_path}/events.parquet')"
     )
     return con
 
@@ -194,3 +203,15 @@ def test_streaming_incremental_dedup_matches_batch_twin(spark, duck):
         r.doc_id: (r.is_duplicate, r.dup_of) for r in sdf.collect()
     }
     assert stream == batch  # verdict-for-verdict equal to the batch twin
+
+
+def test_streaming_ewma_flags_deterministic_under_conflicting_replay(spark, tmp_path):
+    """The third flaky recurrence found by the r11 --wave9 battery: a
+    conflicting replay ties (ts, event_id) with different values, so the
+    EWMA path through the tie was order-dependent. `value` now rides the
+    recurrence order on both engines."""
+    from etl_schema_spark.streaming import jobs
+
+    con = _replayed_events_corpus(spark, tmp_path)
+    sdf = jobs.streaming_ewma_flags(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, jobs.streaming_ewma_flags_oracle())
