@@ -286,9 +286,24 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window (shuffle on user_id) + one grouped agg over exact
     decimal×seconds products.
+
+    Replay determinism (r11, the running_totals/ewma class found by a
+    proactive sweep of (ts, event_id)-ordered windows): under a
+    CONFLICTING event_id replay the two copies tie on both primary sort
+    keys with different values, and WHICH copy picks up the nonzero
+    hold interval to the next event was order-dependent. The window
+    order extends to the remaining row (ASC NULLS LAST, both engines),
+    so a violated PK-unique precondition degrades to a deterministic
+    answer; inert on a PK-unique scan.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts",
+        "event_id",
+        F.asc_nulls_last("event_type"),
+        F.asc_nulls_last("value"),
+        F.asc_nulls_last("props"),
+    )
     gap = F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
     stepped = ev.select(
         "user_id", _vdec().alias("v"), gap.alias("gap")
@@ -317,7 +332,9 @@ def time_weighted_value_oracle() -> str:
           SELECT user_id,
                  {_VDEC_SQL} AS v,
                  LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
-                     PARTITION BY user_id ORDER BY ts, event_id)
+                     PARTITION BY user_id ORDER BY ts, event_id,
+                       event_type ASC NULLS LAST, value ASC NULLS LAST,
+                       props ASC NULLS LAST)
                    - CAST(FLOOR(epoch(ts)) AS BIGINT) AS gap
           FROM events
         )
@@ -1717,10 +1734,13 @@ def scd2_history_oracle() -> str:
                        props ASC NULLS LAST)
         ),
         runs AS (
+          -- chg DESC: the two-pass tie-interleaving guard (r11, see
+          -- sessionized_events_oracle) — EXACT replay copies tie on the
+          -- whole row, so only the pass-1 flag itself can order them
           SELECT *,
                  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type,
                      event_id ASC NULLS LAST, value ASC NULLS LAST,
-                     props ASC NULLS LAST
+                     props ASC NULLS LAST, chg DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
           FROM marked
         ),

@@ -727,8 +727,12 @@ def audio_vad_segments_oracle() -> str:
           FROM active
         ),
         segs AS (
+          -- brk DESC: the two-pass tie-interleaving guard (r11, see
+          -- sessionized_events_oracle) — a replayed doc duplicates its
+          -- (doc_id, window_idx) rows and the cumsum pass re-sorts ties
+          -- independently of the flag pass
           SELECT *, SUM(brk) OVER (
-              PARTITION BY doc_id ORDER BY window_idx
+              PARTITION BY doc_id ORDER BY window_idx, brk DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
           FROM marked
         )

@@ -78,8 +78,13 @@ def sessionized_events_oracle() -> str:
           WHERE {PLAUSIBLE_TS_SQL}
         ),
         numbered AS (
+          -- new_session DESC rides the cumsum order (r11): DuckDB sorts
+          -- the flag pass and the cumsum pass INDEPENDENTLY, so two
+          -- fully-tied replay copies can interleave differently between
+          -- passes and flip a session boundary run-to-run; ordering the
+          -- flagged copy first reproduces Spark's single-sort semantics
           SELECT *, CAST(SUM(new_session) OVER (
-              PARTITION BY user_id ORDER BY ts, event_id
+              PARTITION BY user_id ORDER BY ts, event_id, new_session DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           FROM flagged
         )
@@ -275,8 +280,12 @@ def session_top_paths_oracle() -> str:
           WHERE {PLAUSIBLE_TS_SQL}
         ),
         numbered AS (
+          -- new_session DESC: the two-pass tie-interleaving guard, see
+          -- sessionized_events_oracle (observed flaky here in the r11
+          -- --wave9 battery: a replayed pair flipped 'click>purchase'
+          -- into 'click' + 'purchase' on the oracle side only)
           SELECT *, SUM(new_session) OVER (
-              PARTITION BY user_id ORDER BY ts, event_id
+              PARTITION BY user_id ORDER BY ts, event_id, new_session DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM flagged
         ),
@@ -375,9 +384,11 @@ def interval_coverage_oracle() -> str:
           FROM iv
         ),
         islands AS (
+          -- open DESC: the two-pass tie-interleaving guard (r11, see
+          -- sessionized_events_oracle) for fully-tied replayed intervals
           SELECT user_id, s, e,
                  SUM(open) OVER (
-                   PARTITION BY user_id ORDER BY s, e
+                   PARTITION BY user_id ORDER BY s, e, open DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS island
           FROM marked

@@ -163,8 +163,11 @@ def streaming_session_windows_oracle() -> str:
           WHERE {PLAUSIBLE_TS_SQL}
         ),
         numbered AS (
+          -- brk DESC: the two-pass tie-interleaving guard (r11, see
+          -- sessionized_events_oracle) — replay copies tie on ts and the
+          -- oracle's cumsum pass re-sorts independently of the flag pass
           SELECT *, SUM(brk) OVER (
-              PARTITION BY user_id ORDER BY ts
+              PARTITION BY user_id ORDER BY ts, brk DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM flagged
         )

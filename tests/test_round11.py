@@ -215,3 +215,68 @@ def test_streaming_ewma_flags_deterministic_under_conflicting_replay(spark, tmp_
     con = _replayed_events_corpus(spark, tmp_path)
     sdf = jobs.streaming_ewma_flags(spark, str(tmp_path))
     assert_matches_oracle(sdf, con, jobs.streaming_ewma_flags_oracle())
+
+
+def test_time_weighted_value_deterministic_under_conflicting_replay(spark, tmp_path):
+    """Found by the proactive sweep of (ts, event_id)-ordered windows:
+    which replay copy owns the hold interval to the next event was
+    order-dependent. The smaller value must own it now (ASC order)."""
+    from etl_schema_spark.operators import analytics
+
+    con = _replayed_events_corpus(spark, tmp_path)
+    sdf = analytics.time_weighted_value(spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, analytics.time_weighted_value_oracle())
+    rows = {r.user_id: r for r in sdf.collect()}
+    # user 10: replayed 1.0 holds 0s then 5s; the trailing conflicting
+    # pair (2.0, 9.0) holds 0s/NULL whichever order — so the value is
+    # pinned exactly and any tie-order divergence would break parity
+    assert rows[10].hold_seconds == 5
+    assert abs(rows[10].tw_value - 1.0) < 2e-6
+
+
+def test_session_oracle_two_pass_tie_guard(spark, tmp_path):
+    """The r11 --wave9 battery caught the ORACLE flipping a session
+    boundary run-to-run: DuckDB sorts the gaps-and-islands flag pass and
+    the cumsum pass independently, so fully-tied replay copies can
+    interleave differently between passes. With `new_session DESC` in
+    the cumsum order the oracle is stable across runs and equals Spark
+    (whose merged single-sort WindowExec was never affected)."""
+    import duckdb
+
+    from etl_schema_spark.operators import sessions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, None),
+        # 2h gap, then an EXACT replayed pair opening a new session: the
+        # pair's (flag=1, flag=0) copies are indistinguishable to any
+        # re-sort except by the flag itself
+        (2, "2024-01-01 02:00:00", 10, "purchase", 2.0, None),
+        (2, "2024-01-01 02:00:00", 10, "purchase", 2.0, None),
+        (3, "2024-01-01 02:00:10", 10, "view", 3.0, None),
+    ]
+    values = ", ".join(
+        "(%d, TIMESTAMP '%s', %d, '%s', %r, NULL)" % r[:5] for r in rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT CAST(event_id AS BIGINT) AS event_id, ts,"
+        " CAST(user_id AS BIGINT) AS user_id, event_type,"
+        " CAST(value AS DOUBLE) AS value, CAST(props AS VARCHAR) AS props"
+        f" FROM (VALUES {values})"
+        " v(event_id, ts, user_id, event_type, value, props))"
+        f" TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/events.parquet')"
+    )
+    spark_rows = tuple(
+        sorted(tuple(r) for r in sessions.session_top_paths(spark, str(tmp_path)).collect())
+    )
+    # sessions must be [click] [purchase>purchase>view] on every run
+    assert ("purchase>purchase>view", 1, 2) in spark_rows
+    for _ in range(15):
+        oracle_rows = tuple(
+            sorted(tuple(r) for r in con.execute(sessions.session_top_paths_oracle()).fetchall())
+        )
+        assert oracle_rows == spark_rows
