@@ -103,6 +103,37 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    def canary() -> tuple[float, float]:
+        # Host-speed canary (VERDICT r11 item 1): the same two fixed,
+        # data-independent micro-benchmarks as tools/host_canary.py,
+        # embedded so every bench ARTIFACT carries its own host
+        # calibration — r8-r11 all needed out-of-band canary lines to
+        # adjudicate fleet-wide drift. Medians of 3. Quiet r11 baseline:
+        # {cpu 0.834, agg 0.426}; a 1.5x canary explains a 1.5x bench.
+        def cpu_once() -> float:
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(20_000_000):
+                s += i
+            assert s == 199999990000000
+            return time.perf_counter() - t0
+
+        def agg_once() -> float:
+            df = spark.range(10_000_000)
+            t0 = time.perf_counter()
+            df.selectExpr("id % 1024 AS k", "id AS v").groupBy("k").sum(
+                "v"
+            ).count()
+            return time.perf_counter() - t0
+
+        agg_once()  # compile the canary plan once; measure steady-state
+        return (
+            sorted(cpu_once() for _ in range(3))[1],
+            sorted(agg_once() for _ in range(3))[1],
+        )
+
+    canary_start = canary()
+
     def one_pass() -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
         total = 0.0
@@ -132,6 +163,7 @@ def main() -> None:
     from etl_schema_spark.operators.cachereg import release_pins
 
     release_pins()
+    canary_end = canary()
     warm_med = {
         k: sorted(run[k] for run in warm_runs)[WARM_PASSES // 2] for k in timings
     }
@@ -149,6 +181,8 @@ def main() -> None:
                 "queries_warm_min": warm_min,
                 "value_cold": round(total, 4),
                 "value_warm_median": warm_total,
+                "canary_start": [round(x, 3) for x in canary_start],
+                "canary_end": [round(x, 3) for x in canary_end],
                 "sf": sf,
             }
         )
@@ -173,6 +207,14 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in timings.items()},
                 "queries_warm": [round(warm_med[k], 2) for k in timings],
                 "value_warm": round(warm_total, 2),
+                # [cpu_start, agg_start, cpu_end, agg_end] — quiet ref
+                # {cpu 0.834, agg 0.426}; see canary() above.
+                "canary": [
+                    round(canary_start[0], 2),
+                    round(canary_start[1], 2),
+                    round(canary_end[0], 2),
+                    round(canary_end[1], 2),
+                ],
                 "sf": sf,
             },
             separators=(",", ":"),

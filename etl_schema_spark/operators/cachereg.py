@@ -44,19 +44,37 @@ def input_fingerprint(*paths: str) -> tuple:
     notebook regenerating its corpus dir) change the memo identity — the
     VERDICT r10 staleness hazard: a path-keyed memo silently served the
     STALE frame to every consumer after the bytes under the path changed.
+
+    This is a stat-based APPROXIMATION of content identity, not a hash
+    (ADVICE r11): a rewrite that preserves both size and mtime_ns — a
+    same-size write on a filesystem with coarse mtime granularity, or an
+    mtime-preserving copy — is indistinguishable from the original and
+    still serves the pin. That is the same contract Spark's own file
+    index and most build caches accept; nanosecond mtimes make the
+    collision window one same-size write within the same nanosecond.
+    Callers that rewrite inputs in place should release the pin
+    explicitly (release_pins(key)) instead of relying on the stat delta.
+    A file deleted between the walk and its stat records as (path, -1,
+    -1) — the same "not readable as before" identity as a missing path —
+    rather than raising out of memo_pin.
     """
     out = []
+
+    def stat_row(fp: str) -> tuple:
+        try:
+            st = os.stat(fp)
+        except OSError:
+            return (fp, -1, -1)
+        return (fp, st.st_size, st.st_mtime_ns)
+
     for p in paths:
         if os.path.isdir(p):
             for root, dirs, files in os.walk(p):
                 dirs.sort()
                 for f in sorted(files):
-                    fp = os.path.join(root, f)
-                    st = os.stat(fp)
-                    out.append((fp, st.st_size, st.st_mtime_ns))
+                    out.append(stat_row(os.path.join(root, f)))
         elif os.path.exists(p):
-            st = os.stat(p)
-            out.append((p, st.st_size, st.st_mtime_ns))
+            out.append(stat_row(p))
         else:
             out.append((p, -1, -1))
     return tuple(out)

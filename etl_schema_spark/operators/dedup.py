@@ -720,11 +720,18 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key join extends the check to near-dups — see
     dedup_minhash_lsh's bucket keys, which are equally index-able).
 
-    Plan: the batch side is small relative to the corpus index, so the
-    join broadcasts the BATCH and streams the index past it map-side —
-    zero shuffle of either full side. Output: one row per new doc with
-    its verdict and the doc it duplicates (min-id corpus holder, NULL if
-    novel).
+    Plan: the batch side is small relative to the corpus, so the corpus
+    NEVER shuffles — its hashes stream map-side past a broadcast hash of
+    the batch md5s (inner BroadcastHashJoin, build right), and only the
+    MATCHING corpus rows (bounded by |batch|) flow into the min-doc_id
+    aggregation. Batch rows with no corpus match are restored by a
+    second broadcast join of the (tiny) matched set back onto the batch:
+    a right-outer join with a broadcast build-right is NOT a plan Spark
+    supports (it silently degrades to a full sort-merge join — the
+    ADVICE r11 finding; right-outer can only build LEFT), so the outer
+    edge must ride two supported build-right joins instead. Output: one
+    row per new doc with its verdict and the doc it duplicates (min-id
+    corpus holder, NULL if novel).
 
     Ingest boundary = exactly-once front door (wave 9, wired r8): the
     documents scan goes through catalog.load_table_unique, so a replayed
@@ -737,23 +744,27 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_unique(spark, sf_dir, "documents")
     hashed = docs.select("doc_id", F.md5(_normalized()).alias("content_md5"))
     is_new = F.col("doc_id") % NEW_BATCH_MOD == NEW_BATCH_MOD - 1
-    batch = hashed.filter(is_new)
-    index = (
+    batch = hashed.filter(is_new).select(
+        F.col("doc_id").alias("new_doc_id"), "content_md5"
+    )
+    # Inner BHJ (build right = batch): the corpus streams map-side, only
+    # matching rows survive into the (batch-bounded) aggregation. The
+    # per-new_doc_id MIN over matched corpus ids equals the per-md5 MIN
+    # of a pre-built index because each new_doc_id carries one md5.
+    matched = (
         hashed.filter(~is_new)
-        .groupBy("content_md5")
+        .join(F.broadcast(batch), "content_md5", "inner")
+        .groupBy("new_doc_id")
         .agg(F.min("doc_id").alias("dup_of"))
     )
-    return (
-        index.join(
-            F.broadcast(batch.select(F.col("doc_id").alias("new_doc_id"), "content_md5")),
-            "content_md5",
-            "right",
-        )
-        .select(
-            F.col("new_doc_id").alias("doc_id"),
-            F.col("dup_of").isNotNull().alias("is_duplicate"),
-            "dup_of",
-        )
+    # Outer edge via a second build-right BHJ: batch (left, preserved)
+    # against the tiny matched verdicts. The batch subtree's restore
+    # exchange is identical to the corpus subtree's, so ReuseExchange
+    # computes the PK-restore shuffle once for all three consumers.
+    return batch.join(F.broadcast(matched), "new_doc_id", "left").select(
+        F.col("new_doc_id").alias("doc_id"),
+        F.col("dup_of").isNotNull().alias("is_duplicate"),
+        "dup_of",
     )
 
 
@@ -777,6 +788,234 @@ def incremental_dedup_oracle() -> str:
                idx.dup_of
         FROM (SELECT * FROM hashed WHERE doc_id % {m} = {m - 1}) b
         LEFT JOIN idx USING (content_md5)
+        ORDER BY b.doc_id
+    """
+
+
+# --- near-dup-at-ingest front door (VERDICT r11 item 4) --------------------
+
+NEARDUP_AGREE_MIN = 4  # verified near-dup: >= 4 of MINHASH_SEEDS=8 agree
+# (the signature-agreement estimate of Jaccard >= JACCARD_TAU=0.5 —
+# minhash_jaccard_estimate's est_jaccard at the same family/threshold)
+
+
+def _sig_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh, buckets) per shingled doc: the portable-md5 MinHash
+    signature (MINHASH_SEEDS elements) and its LSH_BANDS band-bucket
+    keys — the columns a persisted fingerprint index carries per doc.
+    Same hash family / banding as dedup_minhash_portable (dedup.py:459),
+    so a DuckDB oracle reproduces signatures and buckets bit-for-bit."""
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    minhash = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), _seeded_md5(i)))
+            for i in range(MINHASH_SEEDS)
+        ]
+    )
+    sig = docs.select("doc_id", minhash.alias("mh"))
+    buckets = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{b}|"),
+                    *[F.col("mh")[b * rows_per_band + r] for r in range(rows_per_band)],
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", "mh", buckets.alias("buckets"))
+
+
+def neardup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake's persisted MinHash band-bucket index over the corpus
+    slice (doc_id % NEW_BATCH_MOD != NEW_BATCH_MOD - 1): one narrow row
+    per doc — (doc_id, 8-element signature, 4 bucket keys) — built ONCE
+    per session via memo_pin (keyed on the corpus bytes) and shared by
+    the batch front door (incremental_neardup) and its streaming twin
+    (jobs.streaming_neardup). At cluster scale this is the bucketed
+    signature table the lake maintains incrementally; no arriving batch
+    ever re-shingles the corpus."""
+    import os
+
+    from ..sources.catalog import load_table_unique
+    from .cachereg import memo_pin
+
+    m = NEW_BATCH_MOD
+
+    def build() -> DataFrame:
+        docs = (
+            load_table_unique(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % m != m - 1)
+            .select(
+                "doc_id",
+                _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles"),
+            )
+            .filter(F.size("shingles") > 0)
+        )
+        return _sig_banded(docs)
+
+    return memo_pin(
+        "neardup.band_index",
+        spark,
+        (sf_dir, MINHASH_SEEDS, LSH_BANDS, m),
+        build,
+        inputs=(os.path.join(sf_dir, "documents.parquet"),),
+    )
+
+
+_NEARDUP_AGREE = "size(filter(zip_with(mh_old, mh_new, (x, y) -> x = y), z -> z))"
+
+
+def neardup_verdicts(index: DataFrame, arriving: DataFrame) -> DataFrame:
+    """Verdict table for an arriving cohort of (doc_id, mh, buckets) rows
+    against the corpus band index: per arriving doc, how many corpus docs
+    share >= 1 band bucket (n_candidates), the best signature agreement
+    among them (best_agree, of MINHASH_SEEDS), whether any candidate
+    clears NEARDUP_AGREE_MIN (is_near_dup) and the min-id such candidate
+    (dup_of, NULL if novel).
+
+    Plan: the index side NEVER shuffles — its exploded (bucket, doc)
+    stream flows map-side past a broadcast hash of the arriving buckets
+    (inner BHJ, build right), and only bucket-sharing rows (bounded by
+    |arriving| x LSH_BUCKET_CAP) reach the pair dedupe + agreement
+    aggregation. The outer edge (novel docs) rides a second build-right
+    broadcast join, the incremental_dedup two-join shape — a broadcast
+    right-outer is not a plan Spark supports."""
+    newb = arriving.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("mh").alias("mh_new"),
+        F.explode("buckets").alias("bucket"),
+    )
+    idx = index.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("mh").alias("mh_old"),
+        F.explode("buckets").alias("bucket"),
+    )
+    scored = (
+        idx.join(F.broadcast(newb), "bucket", "inner")
+        .select("new_doc_id", "cand_id", "mh_new", "mh_old")
+        .dropDuplicates(["new_doc_id", "cand_id"])
+        .withColumn("n_agree", F.expr(_NEARDUP_AGREE))
+    )
+    verdicts = scored.groupBy("new_doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("n_agree").alias("best_agree"),
+        F.min(
+            F.when(F.col("n_agree") >= NEARDUP_AGREE_MIN, F.col("cand_id"))
+        ).alias("dup_of"),
+    )
+    return (
+        arriving.select(F.col("doc_id").alias("new_doc_id"))
+        .join(F.broadcast(verdicts), "new_doc_id", "left")
+        .select(
+            F.col("new_doc_id").alias("doc_id"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("best_agree", F.lit(0)).cast("bigint").alias("best_agree"),
+            F.col("dup_of").isNotNull().alias("is_near_dup"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+        )
+    )
+
+
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup an arriving batch against the corpus WITHOUT re-running
+    pairwise dedup over the lake — the banding extension of
+    incremental_dedup's exact tier (its docstring's promised next step):
+    the corpus contributes only its persisted MinHash band-bucket index
+    (neardup_band_index), arriving docs are signed + banded, candidates
+    come from shared band buckets, and the verdict is the existing
+    signature-agreement estimate (minhash_jaccard_estimate's device) at
+    NEARDUP_AGREE_MIN of MINHASH_SEEDS seeds.
+
+    The last doc_id decile stands in for the arriving batch (same cohort
+    as incremental_dedup); docs shingle-empty after tokenization cannot
+    near-dup and are excluded on both engines. Ingest boundary:
+    load_table_unique on both the index build and the arriving slice, so
+    a replayed doc_id contributes ONE deterministic row (wave 9).
+    """
+    from ..sources.catalog import load_table_unique
+
+    m = NEW_BATCH_MOD
+    arriving = _sig_banded(
+        load_table_unique(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % m == m - 1)
+        .select(
+            "doc_id",
+            _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+    index = neardup_band_index(spark, sf_dir)
+    return neardup_verdicts(index, arriving).orderBy("doc_id")
+
+
+def incremental_neardup_oracle() -> str:
+    from ..sources.catalog import unique_scan_sql
+
+    m = NEW_BATCH_MOD
+    n = MINHASH_SEEDS
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig_list = ", ".join(
+        f"list_min([md5('{i}:' || x) for x in shingles])" for i in range(MINHASH_SEEDS)
+    )
+    bucket_list = ", ".join(
+        "md5(concat_ws(',', '{b}|', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    agree = (
+        f"list_sum([CASE WHEN si.mh[i + 1] = sn.mh[i + 1] THEN 1 ELSE 0 END "
+        f"for i in range(0, {n})])"
+    )
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS toks
+          FROM {unique_scan_sql("documents")} documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks) - 1)])
+                      ELSE [] END AS shingles
+          FROM d
+        ),
+        s AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sig AS (SELECT doc_id, [{sig_list}] AS mh FROM s),
+        banded AS (SELECT doc_id, unnest([{bucket_list}]) AS bucket FROM sig),
+        new_b AS (SELECT * FROM banded WHERE doc_id % {m} = {m - 1}),
+        idx_b AS (SELECT * FROM banded WHERE doc_id % {m} <> {m - 1}),
+        cand AS (
+          SELECT DISTINCT nb.doc_id AS new_doc_id, ib.doc_id AS cand_id
+          FROM new_b nb JOIN idx_b ib USING (bucket)
+        ),
+        scored AS (
+          SELECT c.new_doc_id, c.cand_id, {agree} AS n_agree
+          FROM cand c
+          JOIN sig sn ON sn.doc_id = c.new_doc_id
+          JOIN sig si ON si.doc_id = c.cand_id
+        ),
+        agg AS (
+          SELECT new_doc_id,
+                 COUNT(*) AS n_candidates,
+                 MAX(n_agree) AS best_agree,
+                 MIN(CASE WHEN n_agree >= {NEARDUP_AGREE_MIN} THEN cand_id END)
+                   AS dup_of
+          FROM scored GROUP BY new_doc_id
+        )
+        SELECT b.doc_id,
+               CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(a.best_agree, 0) AS BIGINT) AS best_agree,
+               a.dup_of IS NOT NULL AS is_near_dup,
+               CAST(a.dup_of AS BIGINT) AS dup_of
+        FROM (SELECT doc_id FROM s WHERE doc_id % {m} = {m - 1}) b
+        LEFT JOIN agg a ON a.new_doc_id = b.doc_id
         ORDER BY b.doc_id
     """
 
@@ -1287,6 +1526,7 @@ def winnowing_fingerprint_oracle() -> str:
 CONT_DF_CAP = 20
 CONT_MIN_RARE_SHARED = 2  # candidate pairs must share >= 2 rare shingles
 CONT_TAU_PPM = 500_000  # report pairs where the smaller doc is >= 50% contained
+PAIR_AGG_FANOUT = 8  # phase-A aggregate parallelism multiplier (see below)
 
 
 def rare_shared_pairs(
@@ -1332,12 +1572,27 @@ def rare_shared_pairs(
           transform(slice(docs, i + 2, size(docs) - i - 1), b ->
             struct(a AS doc_a, b AS doc_b))))
     """
+    # Phase A's aggregate is the memory hot spot: the pair-hash stream is
+    # ~all-unique (rare shingles), so map-side partial aggregation cannot
+    # combine anything — it only builds a per-task hash map over
+    # |pairs| / num_tasks keys and spills it under session memory
+    # pressure (the r11 full-session 10 GB receipt). An explicit
+    # repartition ON ph ahead of the groupBy moves the whole aggregate
+    # post-shuffle at PAIR_AGG_FANOUT x the session's shuffle
+    # parallelism: shuffle bytes are unchanged (raw 8-byte hashes ~=
+    # uncombinable partial output), but each task's hash map shrinks by
+    # the fanout factor and stays in its memory budget even when earlier
+    # queries' frames crowd the unified region.
+    fanout = PAIR_AGG_FANOUT * int(
+        posting.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     hot = (
         buckets.select(
             F.explode(
                 F.expr(f"transform({pair_expr}, p -> xxhash64(p.doc_a, p.doc_b))")
             ).alias("ph")
         )
+        .repartition(fanout, "ph")
         .groupBy("ph")
         .agg(F.count(F.lit(1)).alias("_phc"))
         .filter(F.col("_phc") >= min_shared)
@@ -1403,9 +1658,24 @@ def containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only for docs whose overlap is almost entirely boilerplate — the
     # same trade the df cap itself makes. Bucketing + the two-phase
     # narrow-key multiplicity count live in rare_shared_pairs (r11).
-    cands = rare_shared_pairs(
-        posting, CONT_DF_CAP, CONT_MIN_RARE_SHARED, "containment_dup"
+    from .cachereg import release_pins, swap_pin
+
+    # Materialize the candidate pairs NOW (they are pair-count bounded —
+    # 25 rows at sf0.01, thousands at 100x) so the rare-shingle bucket
+    # frame can be released before the verify stage runs: the returned
+    # lazy plan reads the small pinned cands frame, not the corpus-scale
+    # buckets — previously 'containment_dup.buckets' stayed swap-pinned
+    # for the rest of the session (ADVICE r11) and squeezed every later
+    # query's memory. swap_pin (not localCheckpoint) keeps the candidate
+    # lineage visible to the plan audit and releasable by key.
+    cands = swap_pin(
+        "containment_dup.cands",
+        rare_shared_pairs(
+            posting, CONT_DF_CAP, CONT_MIN_RARE_SHARED, "containment_dup"
+        ),
     )
+    cands.count()
+    release_pins("containment_dup.buckets")
     # 60-bit md5-prefix hash per shingle (the portable family): the verify
     # intermediate carries 8-byte ints, not ~25-byte shingle strings
     hashed = F.transform(

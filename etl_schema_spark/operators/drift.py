@@ -244,11 +244,20 @@ def topk_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ranks that psi_value_drift gives over histograms.
 
     One scan, one (week, user) partial-aggregated count, then the
-    BOUNDED two-phase top-K (r11, VERDICT r10 finding 3): phase 1 keeps
-    K sort-key structs per (week, salt) — per-reducer state is capped at
-    K however many users a week has — and phase 2 merges |salts| K-arrays
-    per week (K*salts rows, metadata-sized), exactly the
-    reservoir_sample_per_key device. The previous `row_number() OVER
+    two-phase top-K (r11, VERDICT r10 finding 3): phase 1 RETAINS only K
+    sort-key structs per (week, salt), and phase 2 merges |salts|
+    K-arrays per week (K*salts rows, metadata-sized), exactly the
+    reservoir_sample_per_key device. Honest bound (ADVICE r11): phase
+    1's collect_list buffers its whole (week, salt) group — ~|week's
+    distinct users| / TOPK_SALTS rows — BEFORE the sort+slice prunes to
+    K; the salting divides the single-task sort by a constant 16x, it
+    does not cap per-task state at K. A strictly K-bounded reducer needs
+    an incrementally-pruning aggregation buffer Spark SQL does not
+    provide (collect_list is append-only); the fixed-depth alternative —
+    more salt levels halving geometrically — still starts from a
+    data-dependent level-0 group. At the scale where |week|/16 overflows
+    a task, raise TOPK_SALTS with the cluster (the merge stays
+    K*salts-bounded) — the same dial reservoir_sample_per_key documents. The previous `row_number() OVER
     (PARTITION BY week)` sorted a week's ENTIRE active-user aggregate in
     one task — the single-task-sort shape SURVEY §4 forbids. The struct
     encodes (n_events DESC, user_id ASC NULLS LAST) as (-n_events,

@@ -186,12 +186,17 @@ def key_skew_profile(spark, sf_dir: str) -> DataFrame:
     per_key = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     ).withColumn("_gk", F.struct("event_type"))
-    # |streams| rows (~handful): broadcast nk back onto the ranked frame
-    # for the percentile-position and top-K-threshold predicates
-    nk_df = per_key.groupBy("_gk").agg(F.count(F.lit(1)).alias("nk"))
-    ranked = grouped_running_sum(
+    ranked0 = grouped_running_sum(
         per_key, "_gk", F.struct("cnt", "user_id"), F.lit(1), "rk"
-    ).join(F.broadcast(nk_df), "_gk")
+    )
+    # |streams| rows (~handful): broadcast nk back onto the ranked frame
+    # for the percentile-position and top-K-threshold predicates. nk is
+    # derived FROM the ranked frame, whose lineage reads the helper's
+    # persisted range partitioning — not from per_key, which would
+    # re-scan and re-aggregate the raw events a second time (ADVICE r11;
+    # the unreferenced rank window prunes out of this count's plan).
+    nk_df = ranked0.groupBy("_gk").agg(F.count(F.lit(1)).alias("nk"))
+    ranked = ranked0.join(F.broadcast(nk_df), "_gk")
     dec = "decimal(19,0)"
     prof = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),

@@ -46,6 +46,15 @@ _DEFAULTS = {
     # Whole-stage codegen stays on (default); Python round-trips are confined
     # to the few Pandas-UDF operators (multimodal decode), Arrow-batched.
     "spark.sql.execution.pythonUDF.arrow.enabled": "true",
+    # Long analytics sessions (bench, sweeps, notebooks) accumulate
+    # GC-pending RDD/broadcast blocks from finished queries; with a big
+    # heap the JVM may not run a full GC for a long time, so the
+    # ContextCleaner never learns those blocks are dead and later
+    # memory-hungry aggregates spill against phantom storage (the r11
+    # containment_dup full-session 10 GB vs fresh-session 1.28 GB gap).
+    # Spark's own periodic-GC escape hatch, tightened from its 30min
+    # default to the inter-query timescale of a sweep.
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 

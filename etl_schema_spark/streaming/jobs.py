@@ -20,7 +20,6 @@ the source is declarative.
 from __future__ import annotations
 
 import itertools
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -639,11 +638,10 @@ def streaming_quality_gated_publish(spark: SparkSession, sf_dir: str) -> DataFra
     publishes nothing on both sides). In production the same plan runs
     unbounded and the verdict is per batch.
     """
-    import tempfile
-
     from ..quality import STANDARD_EVENT_TYPES, Check
+    from .scratch import scratch_dir
 
-    target = tempfile.mkdtemp(prefix="sq_gated_pub_")
+    target = scratch_dir("sq_gated_pub_")
 
     def build_check(batch_df: DataFrame) -> Check:
         return (
@@ -656,34 +654,29 @@ def streaming_quality_gated_publish(spark: SparkSession, sf_dir: str) -> DataFra
     empty_schema = "hour timestamp, event_type string, n bigint, date date"
     from pyspark.errors import AnalysisException
 
-    # Drain, materialize the published table, then REMOVE the scratch dir
-    # (ADVICE r9: every scoring/bench call was leaking a mkdtemp with the
-    # full published+quarantined output). The collect is metadata-sized —
-    # hourly counts, |hours| x |event types| rows — the same bound every
-    # other driver-side materialization in the fleet rides.
+    # Drain, then return the published table as a DISTRIBUTED read over
+    # the scratch sink — no driver-side materialization of the output
+    # (VERDICT r11 item 6; the previous collect-then-rmtree shape could
+    # not survive a 100 TB drain). The dir is registered with
+    # streaming.scratch and removed at session teardown / harness
+    # release_scratch(), which also closes the ADVICE-r9 mkdtemp leak
+    # the collect was originally added for.
+    quality_gated_sink(spark, sf_dir, target, build_check)
     try:
-        quality_gated_sink(spark, sf_dir, target, build_check)
-        try:
-            rows = (
-                spark.read.parquet(target)
-                .select(
-                    "hour",
-                    "event_type",
-                    F.col("n").cast("bigint").alias("n"),
-                    F.col("date").cast("date").alias("date"),
-                )
-                .orderBy("hour", "event_type")
-                .collect()
+        return (
+            spark.read.parquet(target)
+            .select(
+                "hour",
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("date").cast("date").alias("date"),
             )
-        except AnalysisException:
-            # every batch quarantined: nothing published (underscore dirs
-            # — _quarantine/_batches/_chk — are invisible to the reader)
-            rows = []
-    finally:
-        shutil.rmtree(target, ignore_errors=True)
-    if not rows:
+            .orderBy("hour", "event_type")
+        )
+    except AnalysisException:
+        # every batch quarantined: nothing published (underscore dirs
+        # — _quarantine/_batches/_chk — are invisible to the reader)
         return spark.createDataFrame([], empty_schema)
-    return spark.createDataFrame(rows, empty_schema).orderBy("hour", "event_type")
 
 
 def streaming_quality_gated_publish_oracle() -> str:
@@ -801,10 +794,15 @@ def incremental_dedup_sink(spark: SparkSession, sf_dir: str, target: str) -> Non
     device with operators.dedup.incremental_dedup's index join.
 
     Plan per batch (mirrors the batch twin): the arriving slice is small
-    relative to the index, so the join BROADCASTS the batch and streams
-    the index past it map-side — the index never shuffles. The index is
-    built ONCE from the exactly-once restore (load_table_unique) and
-    reused across batches; at cluster scale it is the bucketed
+    relative to the corpus, so the corpus fingerprint stream never
+    shuffles — it flows map-side past a broadcast hash of the batch md5s
+    (inner BroadcastHashJoin, build right), only the matching rows
+    (batch-bounded) reach the min-id aggregation, and a second
+    build-right broadcast join restores the unmatched batch rows. A
+    single right-outer join cannot express this map-side (broadcast
+    build-right is unsupported for right outer — Spark silently degrades
+    it to a sort-merge join; the ADVICE r11 finding), hence the
+    two-join shape. At cluster scale the corpus side is the bucketed
     fingerprint table the lake maintains. Verdicts append to ``target``
     (idempotent under availableNow redelivery: the checkpoint owns batch
     identity).
@@ -826,12 +824,10 @@ def incremental_dedup_sink(spark: SparkSession, sf_dir: str, target: str) -> Non
     )
 
     m = NEW_BATCH_MOD
-    index = (
+    corpus = (
         load_table_unique(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % m != m - 1)
         .select("doc_id", F.md5(_normalized()).alias("content_md5"))
-        .groupBy("content_md5")
-        .agg(F.min("doc_id").alias("dup_of"))
     )
     stream = (
         spark.readStream.schema(physical_schema(spark, sf_dir, "documents"))
@@ -853,7 +849,14 @@ def incremental_dedup_sink(spark: SparkSession, sf_dir: str, target: str) -> Non
             F.col("doc_id").alias("new_doc_id"),
             F.md5(_normalized()).alias("content_md5"),
         )
-        out = index.join(F.broadcast(hashed), "content_md5", "right").select(
+        matched = (
+            corpus.join(F.broadcast(hashed), "content_md5", "inner")
+            .groupBy("new_doc_id")
+            .agg(F.min("doc_id").alias("dup_of"))
+        )
+        out = hashed.select("new_doc_id").join(
+            F.broadcast(matched), "new_doc_id", "left"
+        ).select(
             F.col("new_doc_id").alias("doc_id"),
             F.col("dup_of").isNotNull().alias("is_duplicate"),
             "dup_of",
@@ -875,35 +878,144 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow and the verdict table returned. Over a bounded source
     the arriving cohort lands in one micro-batch, so the verdicts equal
     the batch twin's (incremental_dedup) row for row — the oracle IS the
-    batch oracle. The driver-side materialization is the arriving-slice
-    verdict list: |docs| / NEW_BATCH_MOD rows, the same bound the batch
-    twin's output carries."""
+    batch oracle. The verdict table comes back as a DISTRIBUTED read
+    over the drain's sink dir (session-scoped, cleaned by
+    streaming.scratch at teardown), never a driver collect (VERDICT r11
+    item 6)."""
     import os
-    import shutil
-    import tempfile
 
     from pyspark.errors import AnalysisException
 
-    target = tempfile.mkdtemp(prefix="sq_incdedup_")
-    try:
-        incremental_dedup_sink(spark, sf_dir, target)
-        try:
-            rows = (
-                spark.read.parquet(os.path.join(target, "out"))
-                .orderBy("doc_id")
-                .collect()
-            )
-        except AnalysisException:
-            rows = []
-    finally:
-        shutil.rmtree(target, ignore_errors=True)
+    from .scratch import scratch_dir
+
+    target = scratch_dir("sq_incdedup_")
+    incremental_dedup_sink(spark, sf_dir, target)
     sch = "doc_id long, is_duplicate boolean, dup_of long"
-    if not rows:
+    try:
+        return (
+            spark.read.parquet(os.path.join(target, "out"))
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "is_duplicate",
+                F.col("dup_of").cast("long").alias("dup_of"),
+            )
+            .orderBy("doc_id")
+        )
+    except AnalysisException:
         return spark.createDataFrame([], sch)
-    return spark.createDataFrame(rows, sch).orderBy("doc_id")
 
 
 def streaming_incremental_dedup_oracle() -> str:
     from ..operators.dedup import incremental_dedup_oracle
 
     return incremental_dedup_oracle()
+
+
+def neardup_sink(spark: SparkSession, sf_dir: str, target: str) -> None:
+    """Near-dup-at-ingest as a STREAMING front door (VERDICT r11 item 4):
+    arriving documents flow through foreachBatch, each micro-batch is
+    restored to one-row-per-doc_id, shingled + MinHash-signed + banded,
+    and verdict-joined against the lake's persisted band-bucket index
+    (dedup.neardup_band_index — built once per session via memo_pin,
+    shared with the batch twin). This is the banding tier of
+    incremental_dedup_sink's exact-hash gate: "is this arriving doc a
+    NEAR duplicate of anything in the lake", answered before the write.
+
+    Plan per batch: the index's exploded (bucket, signature) stream
+    never shuffles — it flows map-side past a broadcast hash of the
+    batch's band buckets; candidates are verified by signature
+    agreement (NEARDUP_AGREE_MIN of MINHASH_SEEDS seeds) and the novel
+    docs restored by a second build-right broadcast join
+    (dedup.neardup_verdicts — the two-join shape, since a broadcast
+    right-outer is unsupported). Verdicts append to ``target``
+    (idempotent under availableNow redelivery: the checkpoint owns
+    batch identity).
+    """
+    import os
+
+    from ..operators.dedup import (
+        NEW_BATCH_MOD,
+        _shingles_of,
+        _sig_banded,
+        neardup_band_index,
+        neardup_verdicts,
+    )
+    from ..sources.catalog import _unique_tiebreak_cols
+
+    m = NEW_BATCH_MOD
+    index = neardup_band_index(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(physical_schema(spark, sf_dir, "documents"))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % m == m - 1))
+    )
+
+    def verdicts(batch_df: DataFrame, batch_id: int) -> None:
+        rest = _unique_tiebreak_cols("documents", batch_df.columns)
+        order = [F.col(c).asc_nulls_last() for c in rest] or [F.lit(1)]
+        w = Window.partitionBy("doc_id").orderBy(*order)
+        restored = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        arriving = _sig_banded(
+            restored.select(
+                "doc_id",
+                _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles"),
+            ).filter(F.size("shingles") > 0)
+        )
+        out = neardup_verdicts(index, arriving)
+        out.write.mode("append").parquet(os.path.join(target, "out"))
+
+    q = (
+        stream.writeStream.foreachBatch(verdicts)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(target, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streaming band-index near-dup gate drained via
+    AvailableNow and the verdict table returned as a DISTRIBUTED read
+    over the drain's sink dir (streaming.scratch lifecycle — no driver
+    collect). Over a bounded source the arriving cohort lands in one
+    micro-batch, so the verdicts equal the batch twin's
+    (incremental_neardup) row for row — the oracle IS the batch oracle.
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from .scratch import scratch_dir
+
+    target = scratch_dir("sq_neardup_")
+    neardup_sink(spark, sf_dir, target)
+    sch = (
+        "doc_id long, n_candidates long, best_agree long, "
+        "is_near_dup boolean, dup_of long"
+    )
+    try:
+        return (
+            spark.read.parquet(os.path.join(target, "out"))
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("best_agree").cast("long").alias("best_agree"),
+                "is_near_dup",
+                F.col("dup_of").cast("long").alias("dup_of"),
+            )
+            .orderBy("doc_id")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], sch)
+
+
+def streaming_neardup_oracle() -> str:
+    from ..operators.dedup import incremental_neardup_oracle
+
+    return incremental_neardup_oracle()

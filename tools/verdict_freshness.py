@@ -137,6 +137,22 @@ class _ModuleIndex:
                 if src:
                     for alias in node.names:
                         self.imports[alias.asname or alias.name] = (src, alias.name)
+        # FUNCTION-LOCAL package imports (`from .distributed import x`
+        # inside an operator body — the deferred-import idiom most
+        # operators use) must join the closure too: r12 found that a
+        # helper reached ONLY through local imports (grouped_running_sum,
+        # memo_pin) could change without flagging a single consumer —
+        # the exact staleness class this tool exists to catch. Top-level
+        # imports win on a name collision (setdefault), and module-level
+        # funcs/consts still take precedence at resolution time.
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                src = self._resolve_from(node)
+                if src:
+                    for alias in node.names:
+                        self.imports.setdefault(
+                            alias.asname or alias.name, (src, alias.name)
+                        )
 
     def _resolve_from(self, node: ast.ImportFrom) -> str | None:
         if node.level:  # relative import: resolve against this module
