@@ -97,6 +97,18 @@ def _psi_report(tagged: DataFrame, gcols: list[str]) -> DataFrame:
         F.sum(1 - F.col("is_cur")).alias("cr"),
         F.sum("is_cur").alias("cc"),
     )
+    return _psi_cells_tail(cells, gcols, out_group)
+
+
+def _psi_cells_tail(
+    cells: DataFrame, gcols: list[str], out_group: list[str]
+) -> DataFrame:
+    """The PSI math over an already-aggregated CELLS frame (group...,
+    bucket, cr, cc) — split out of _psi_report (r12) so an INCREMENTAL
+    caller can feed it counts directly: a streaming drift gate keeps the
+    reference side as a pinned metadata-sized cells table and unions
+    per-batch current-side cells, never re-scanning the reference corpus
+    per micro-batch (jobs.drift_gated_sink)."""
     # Group totals ride a window over the metadata-sized cells frame, NOT
     # an equi-join back onto it (ADVICE r9): an equi-join on the group key
     # drops NULL-keyed groups, so a NULL event_type stream would silently
@@ -458,8 +470,6 @@ def quality_rule_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     half and drops from both sides identically (NULL %-arithmetic on
     both engines).
     """
-    from ..quality import STANDARD_LANGS
-
     docs = load_table(spark, sf_dir, "documents")
     half = (
         F.conv(
@@ -473,6 +483,19 @@ def quality_rule_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 2
     ).cast("int")
+    tagged = rule_tagged(docs, half)
+    return _psi_report(tagged, ["source", "rule"]).orderBy("source", "rule")
+
+
+def rule_tagged(docs: DataFrame, is_cur: Column) -> DataFrame:
+    """(source, rule, bucket=pass-flag, is_cur) — one narrow row per
+    (doc, rule) from ONE pass over ``docs``, the in-row stack() unpivot
+    quality_rule_drift scans with. Shared with the streaming drift gate
+    (jobs.drift_gated_sink), whose reference/current tag is the
+    lake/arriving slice split instead of the md5 half-split — rule
+    semantics stay defined in exactly one place."""
+    from ..quality import STANDARD_LANGS
+
     base = docs.select(
         "source",
         F.col("text").isNotNull().cast("bigint").alias("p_nn"),
@@ -485,16 +508,15 @@ def quality_rule_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang").isNull() | F.col("lang").isin(*STANDARD_LANGS))
         .cast("bigint")
         .alias("p_lang"),
-        half.alias("is_cur"),
+        is_cur.alias("is_cur"),
     )
-    tagged = base.selectExpr(
+    return base.selectExpr(
         "source",
         "stack(4, 'accepted_lang', p_lang, 'n_chars_matches_text', p_len,"
         " 'non_negative_n_chars', p_neg, 'not_null_text', p_nn)"
         " AS (rule, bucket)",
         "is_cur",
     )
-    return _psi_report(tagged, ["source", "rule"]).orderBy("source", "rule")
 
 
 def quality_rule_drift_oracle() -> str:

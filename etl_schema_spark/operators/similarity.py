@@ -2391,6 +2391,225 @@ def ivf_recall_eval_oracle() -> str:
     """
 
 
+GRAPH_NPROBE = 3  # entry bucket + its (GRAPH_NPROBE - 1) nearest buckets
+
+
+def _centroid_neighbor_graph(centroids: DataFrame) -> DataFrame:
+    """(src, dst) centroid adjacency: each bucket linked to its
+    GRAPH_NPROBE - 1 nearest sibling centroids by trunc6 cosine (ties →
+    dst asc) plus itself — the navigable-small-world layer over the IVF
+    coarse quantizer. The graph is |labels|^2 work on a metadata-sized
+    table (the codebook), built once per plan and broadcast."""
+    ca = centroids.select(F.col("c_label").alias("src"), F.col("centroid").alias("ce_a"))
+    cb = centroids.select(F.col("c_label").alias("dst"), F.col("centroid").alias("ce_b"))
+    edges = ca.join(cb, F.col("src") != F.col("dst")).withColumn(
+        "ccos", _trunc6(_cosine(F.col("ce_a"), F.col("ce_b")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("ccos"), F.asc("dst"))
+    near = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GRAPH_NPROBE - 1)
+        .select("src", "dst")
+    )
+    return near.unionByName(
+        centroids.select(F.col("c_label").alias("src"), F.col("c_label").alias("dst"))
+    )
+
+
+def ann_graph_expand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW-style one-hop neighbor expansion over the IVF buckets
+    (VERDICT r11 item 7): route each query to its entry bucket (argmax
+    centroid cosine, exactly ann_ivf_topk's probe), then EXPAND along
+    the centroid neighbor graph to the entry's GRAPH_NPROBE - 1 nearest
+    sibling buckets and rank the union of those inverted lists — the
+    multi-probe recall repair for queries that land near a Voronoi
+    boundary, where single-bucket IVF misses true neighbors sitting in
+    the adjacent cell. One fixed hop keeps the search declarative (the
+    full greedy NSW descent is a loop; its first expansion is where
+    almost all of the recall gain at small probe counts lives).
+
+    Scale: codebook and graph are metadata-sized and broadcast; the
+    collection scan touches GRAPH_NPROBE/|labels| of the data per query
+    (vs 1/|labels| for IVF, |collection| for brute force); each vector
+    belongs to exactly one bucket, so the probe union never duplicates
+    a candidate and the top-k window stays per-query bounded.
+    """
+    emb = load_vectors(spark, sf_dir)
+    centroids = _label_codebook(emb)
+    graph = _centroid_neighbor_graph(centroids)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_cent = queries.join(F.broadcast(centroids)).withColumn(
+        "c_cos", _cosine(F.col("q_emb"), F.col("centroid"))
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    assigned = (
+        q_cent.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", F.col("c_label").alias("entry"))
+    )
+    probes = assigned.join(
+        F.broadcast(graph), F.col("entry") == F.col("src")
+    ).select("query_id", "q_emb", F.col("dst").alias("bucket"))
+    scored = emb.join(
+        F.broadcast(probes),
+        (F.col("label") == F.col("bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("cosine", _trunc6(_cosine(F.col("q_emb"), F.col("embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_graph_expand_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the graph-expanded probe AGAINST the single-bucket IVF
+    probe, both measured on the exact brute-force truth — the paired
+    eval ivf_recall_eval was built to receive (its docstring's "measure
+    the approximation against ground truth" discipline, now comparing
+    two approximations side by side): per query, k_truth, both hit
+    counts, both recalls. The recall delta is the payoff of the one-hop
+    expansion; every side is top-k-bounded so the eval is three index
+    probes plus metadata-sized joins regardless of collection size.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    gx = ann_graph_expand_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_truth"))
+    ivf_hits = (
+        bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ivf_hits"))
+    )
+    gx_hits = (
+        bf.join(F.broadcast(gx), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("graph_hits"))
+    )
+    return (
+        truth.join(F.broadcast(ivf_hits), "query_id", "left")
+        .join(F.broadcast(gx_hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k_truth").cast("bigint").alias("k_truth"),
+            F.coalesce("ivf_hits", F.lit(0)).cast("bigint").alias("ivf_hits"),
+            F.coalesce("graph_hits", F.lit(0)).cast("bigint").alias("graph_hits"),
+            _trunc6(
+                F.coalesce("ivf_hits", F.lit(0)) * 1.0 / F.col("k_truth")
+            ).alias("ivf_recall"),
+            _trunc6(
+                F.coalesce("graph_hits", F.lit(0)) * 1.0 / F.col("k_truth")
+            ).alias("graph_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_graph_expand_topk_oracle() -> str:
+    """ann_ivf_topk_oracle's CTE chain with the centroid neighbor graph
+    and probe expansion spliced between assignment and scoring."""
+    q_cent_cos = (
+        "list_dot_product(qe, centroid)"
+        " / (sqrt(list_dot_product(qe, qe))"
+        " * sqrt(list_dot_product(centroid, centroid)))"
+    )
+    c_c_cos = (
+        "list_dot_product(a.centroid, b.centroid)"
+        " / (sqrt(list_dot_product(a.centroid, a.centroid))"
+        " * sqrt(list_dot_product(b.centroid, b.centroid)))"
+    )
+    b_cos = (
+        "list_dot_product(qe, be)"
+        " / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(be, be)))"
+    )
+    return finite_scan(f"""
+        WITH cent AS (
+          SELECT label AS c_label, list(cx ORDER BY dim) AS centroid FROM (
+            SELECT label, dim,
+                   FLOOR(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1e6) / 1e6
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) * 1e6) / 1e6 AS cx
+            FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                         unnest(embedding) AS val FROM embeddings)
+            GROUP BY label, dim
+          ) GROUP BY label
+        ),
+        cgraph AS (
+          SELECT src, dst FROM (
+            SELECT a.c_label AS src, b.c_label AS dst,
+                   ROW_NUMBER() OVER (PARTITION BY a.c_label
+                     ORDER BY (FLOOR(({c_c_cos}) * 1e6) / 1e6) DESC,
+                              b.c_label ASC) AS rn
+            FROM cent a JOIN cent b ON b.c_label != a.c_label
+          ) WHERE rn <= {GRAPH_NPROBE - 1}
+          UNION ALL SELECT c_label, c_label FROM cent
+        ),
+        q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        assigned AS (
+          SELECT query_id, qe, c_label AS entry FROM (
+            SELECT q.query_id, q.qe, c.c_label,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ({q_cent_cos}) DESC, c.c_label ASC) AS rn
+            FROM q CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT a.query_id, a.qe, g.dst AS bucket
+          FROM assigned a JOIN cgraph g ON g.src = a.entry
+        ),
+        scored AS (
+          SELECT p.query_id, b.vec_id AS neighbor_id,
+                 FLOOR(({b_cos}) * 1e6) / 1e6 AS cosine
+          FROM probes p
+          JOIN (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS be
+                FROM embeddings) b
+            ON b.label = p.bucket AND b.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """)
+
+
+def ann_graph_expand_eval_oracle() -> str:
+    return f"""
+        WITH bf AS ({ann_bruteforce_topk_oracle()}),
+        ivf AS ({ann_ivf_topk_oracle()}),
+        gx AS ({ann_graph_expand_topk_oracle()}),
+        truth AS (SELECT query_id, COUNT(*) AS k_truth FROM bf GROUP BY 1),
+        ih AS (
+          SELECT bf.query_id, COUNT(*) AS ivf_hits
+          FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1
+        ),
+        gh AS (
+          SELECT bf.query_id, COUNT(*) AS graph_hits
+          FROM bf JOIN gx USING (query_id, neighbor_id) GROUP BY 1
+        )
+        SELECT t.query_id,
+               CAST(t.k_truth AS BIGINT) AS k_truth,
+               CAST(COALESCE(ih.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+               CAST(COALESCE(gh.graph_hits, 0) AS BIGINT) AS graph_hits,
+               FLOOR(COALESCE(ih.ivf_hits, 0) * 1.0 / t.k_truth * 1e6) / 1e6
+                 AS ivf_recall,
+               FLOOR(COALESCE(gh.graph_hits, 0) * 1.0 / t.k_truth * 1e6) / 1e6
+                 AS graph_recall
+        FROM truth t
+        LEFT JOIN ih USING (query_id)
+        LEFT JOIN gh USING (query_id)
+        ORDER BY t.query_id
+    """
+
+
 CENTROID_SHIFT_LINE = 0.95  # half-centroid cosine below this => shifted
 CSHIFT_SALT = "cshift:"
 
