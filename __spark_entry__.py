@@ -60,121 +60,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail will NOT be scored this round. Enforced by
     # tests/test_plan_audit.py::test_stale_entries_sort_into_scored_window.
     return {
-        # -- group 0: NEW this round, never scored (3) ---------------------
-        # r11 additions: the packing-efficiency audit over the shipped
-        # pack_sequences layout, the per-(source, rule) quality pass-rate
-        # drift monitor, and the streaming fingerprint-index dedup front
-        # door (foreachBatch verdict join against the lake index).
+        # -- group 0: NEW this round, never scored (4) ---------------------
         # r12 additions: the near-dup-at-ingest front door (batch +
         # streaming twins over the session-pinned MinHash band-bucket
-        # index — VERDICT r11 item 4).
+        # index), the per-batch rule-drift gate, and the graph-expanded
+        # ANN recall eval (VERDICT r11 items 4 and 7).
         "incremental_neardup": dedup.incremental_neardup,
         "streaming_neardup": streaming.streaming_neardup,
         "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate,
         "ann_graph_expand_eval": similarity.ann_graph_expand_eval,
-        "pack_fill_audit": packing.pack_fill_audit,
-        "quality_rule_drift": drift.quality_rule_drift,
-        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,
         # -- group 1: implementation changed since the entry's last green
-        # verdict (20): the VERDICT r10 punch list — key_skew_profile's
-        # rank axes rebuilt on distributed.grouped_running_sum, the
-        # rare_shared_pairs two-phase candidate device (containment_dup +
-        # template_communities), full-row NULLS-LAST replay determinism
-        # (running_totals, scd2_history), the bounded two-phase top-K
-        # (topk_drift_weekly), the doremi zero-denominator guard, and the
-        # six dup-graph consumers of the fingerprint-hardened memo_pin
-        # (verified_pairs_pinned now keys on the documents bytes). -----
-        "containment_dup": dedup.containment_dup,
-        "dedup_aware_split": graph.dedup_aware_split,
-        "doremi_excess_reweight": curation.doremi_excess_reweight,
-        "dup_cluster_stats": graph.dup_cluster_stats,
-        "dup_components": graph.dup_components,
-        "dup_pagerank": graph.dup_pagerank,
-        "key_skew_profile": skew.key_skew_profile,
-        "minhash_pr_eval": dedup.minhash_pr_eval,
-        "near_dup_keep_plan": graph.near_dup_keep_plan,
-        "running_totals": sessions.running_totals,
-        "scd2_history": analytics.scd2_history,
-        # + streaming_ewma_flags (joined mid-round):
-        # the r11 --wave9 battery surfaced it as the THIRD run-to-run
-        # flaky recurrence under a conflicting replay (latent at the r10
-        # tree, 2/10 red in the throwaway-worktree replay); `value` now
-        # rides the recurrence order on both engines.
-        "streaming_ewma_flags": streaming.streaming_ewma_flags,
-        # + the oracle-side two-pass tie-interleaving guard cohort (5,
-        # oracle twins changed): DuckDB sorts a gaps-and-islands flag
-        # pass and its cumsum pass INDEPENDENTLY, so fully-tied replay
-        # copies can interleave differently between passes and flip a
-        # boundary run-to-run (observed on session_top_paths in the r11
-        # battery, 4/40 divergent oracle runs on a pinned corpus; Spark's
-        # merged single-sort WindowExec is immune). Every such oracle now
-        # orders the flag itself (DESC) after its tie keys.
-        "audio_vad_segments": multimodal.audio_vad_segments,
-        "interval_coverage": sessions.interval_coverage,
-        "session_top_paths": sessions.session_top_paths,
-        "sessionized_events": sessions.sessionized_events,
-        "streaming_session_windows": streaming.streaming_session_windows,
-        "template_communities": graph.template_communities,
-        # + time_weighted_value (joined mid-round): the proactive sweep
-        # of (ts, event_id)-ordered windows found the same conflicting-
-        # replay tie class (which copy owns the hold interval); full-row
-        # NULLS-LAST order threaded on both engines.
-        "time_weighted_value": analytics.time_weighted_value,
-        "topk_drift_weekly": drift.topk_drift_weekly,
-        # -- group 2: re-verification rotation, the full r5 cohort (13 —
-        # advances the freshness floor, VERDICT r10 item 5) ------------
-        "daily_modal_event": analytics.daily_modal_event,
-        "dataset_card": corpus.dataset_card,
-        "hashing_trick_features": text.hashing_trick_features,
-        "hll_daily_merge": sketches.hll_daily_merge,
-        "langid_heuristic": text.langid_heuristic,
-        "late_arrival_audit": analytics.late_arrival_audit,
-        "ngram_novelty_score": curation.ngram_novelty_score,
-        "token_count_bpe": text.token_count_bpe,
-        "tokenizer_fertility": text.tokenizer_fertility,
-        "user_activity_gini": analytics.user_activity_gini,
-        "windowed_funnel": analytics.windowed_funnel,
-        "winnowing_fingerprint": dedup.winnowing_fingerprint,
-        "zipf_term_stats": corpus.zipf_term_stats,
-        # -- group 3: rotation fill, oldest r6 entries (the remainder of
-        # the r6 cohort sorts immediately after the cap) ---------------
-        "bigram_surprisal": text.bigram_surprisal,
-        "bloom_membership": sketches.bloom_membership,
-        "canonical_pick": corpus.canonical_pick,
-        "chunk_dedup": packing.chunk_dedup,
-        "cms_frequency_estimate": sketches.cms_frequency_estimate,
-        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
-        "doc_chunks": packing.doc_chunks,
-        "doc_entropy": text.doc_entropy,
-        "domain_mix_weights": packing.domain_mix_weights,
-        "extended_view_events": views_layer.extended_view,
-        "kmv_set_ops": sketches.kmv_set_ops,
-        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
-        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        # verdict (33, tools/verdict_freshness.py): the r12 work set —
+        # the two-join broadcast restructure (incremental_dedup + its
+        # streaming twin), rare_shared_pairs' phase-A fanout +
+        # containment_dup's pin lifecycle, grouped_running_sum sized from
+        # the session (all its consumers), the _psi_report cells split
+        # (psi trio), the distributed streaming drains, key_skew_profile's
+        # nk reuse — PLUS the latent local-import tail the freshness tool
+        # could not see before r12 (helpers reached only through
+        # function-local imports now join the fingerprint closure, so
+        # every past consumer of those helpers re-rotates once). --------
+        "ccnet_source_split": curation.ccnet_source_split,  # r10
+        "containment_dup": dedup.containment_dup,  # r11
+        "dedup_aware_split": graph.dedup_aware_split,  # r11
+        "dedup_impact_curve": dedup.dedup_impact_curve,  # r08
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,  # r07
+        "doc_length_drift": drift.doc_length_drift,  # r10
+        "dup_cluster_stats": graph.dup_cluster_stats,  # r11
+        "dup_components": graph.dup_components,  # r11
+        "dup_pagerank": graph.dup_pagerank,  # r11
+        "embedding_outliers": similarity.embedding_outliers,  # r09
+        "incremental_dedup": dedup.incremental_dedup,  # r08
+        "key_skew_profile": skew.key_skew_profile,  # r11
+        "label_balance_sample": similarity.label_balance_sample,  # r09
+        "lsh_tuning_curve": dedup.lsh_tuning_curve,  # r08
+        "mad_outliers": analytics.mad_outliers,  # r07
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # r07
+        "minhash_pr_eval": dedup.minhash_pr_eval,  # r11
+        "near_dup_keep_plan": graph.near_dup_keep_plan,  # r11
+        "pack_efficiency_sweep": packing.pack_efficiency_sweep,  # r07
+        "pack_fill_audit": packing.pack_fill_audit,  # r11
+        "pack_sequences": packing.pack_sequences,  # r07
+        "perplexity_buckets": text.perplexity_buckets,  # r06
+        "psi_value_drift": drift.psi_value_drift,  # r10
+        "quality_rule_drift": drift.quality_rule_drift,  # r11
+        "source_token_budget": corpus.source_token_budget,  # r09
+        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,  # r11
+        "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,  # r10
+        "tail_latency_percentiles": analytics.tail_latency_percentiles,  # r06
+        "template_communities": graph.template_communities,  # r11
+        "trimmed_mean_value": analytics.trimmed_mean_value,  # r08
+        "triplet_mining": similarity.triplet_mining,  # r09
+        "user_activity_gini": analytics.user_activity_gini,  # r11
+        "vocab_growth_curve": corpus.vocab_growth_curve,  # r06
+        # -- group 2: re-verification rotation, oldest verdict first —
+        # the ENTIRE remaining r6 cohort (9, retiring round 6 from the
+        # freshness histogram) then the r7 cohort head (4) --------------
+        "multimodal_meta": multimodal.multimodal_meta,  # r06
+        "multimodal_resize": multimodal.multimodal_resize,  # r06
+        "q12_shipmode": relational_ext.q12_shipmode,  # r06
+        "repetition_stats": curation.repetition_stats,  # r06
+        "stratified_sample": corpus.stratified_sample,  # r06
+        "streaming_attribution_join": streaming.streaming_attribution_join,  # r06
+        "substring_repeat_ladder": dedup.substring_repeat_ladder,  # r06
+        "text_quality": text.text_quality,  # r06
+        "tfidf_top_terms": text.tfidf_top_terms,  # r06
+        "annotate_renest": views_layer.annotate_renest,  # r07
+        "churned_users": analytics.churned_users,  # r07
+        "corr_value_hour": analytics.corr_value_hour,  # r07
+        "daily_deciles": rollups.daily_deciles,  # r07
         # ---------------- 50-entry scoring cap lands here ----------------
         # -- re-verification rotation: fresh entries, oldest verdict
-        # first ---------------------------------------------------------
-        # fresh, last scored r6 (cohort remainder past the cap) --
-        "multimodal_meta": multimodal.multimodal_meta,
-        "multimodal_resize": multimodal.multimodal_resize,
-        "perplexity_buckets": text.perplexity_buckets,
-        "q12_shipmode": relational_ext.q12_shipmode,
-        "repetition_stats": curation.repetition_stats,
-        "stratified_sample": corpus.stratified_sample,
-        "streaming_attribution_join": streaming.streaming_attribution_join,
-        "substring_repeat_ladder": dedup.substring_repeat_ladder,
-        "tail_latency_percentiles": analytics.tail_latency_percentiles,
-        "text_quality": text.text_quality,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "vocab_growth_curve": corpus.vocab_growth_curve,
+        # first (r7 cohort remainder, then r8+) --------------------------
         # -- fresh, last scored r7 --
-        "annotate_renest": views_layer.annotate_renest,
-        "churned_users": analytics.churned_users,
-        "corr_value_hour": analytics.corr_value_hour,
-        "daily_deciles": rollups.daily_deciles,
         "dedup_editdistance": dedup.dedup_editdistance,
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "gapfill_interp": analytics.gapfill_interp,
         "gapfill_locf": analytics.gapfill_locf,
         "geomean_by_type": rollups.geomean_by_type,
@@ -183,13 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": corpus.json_extract_props,
         "linear_trend": analytics.linear_trend,
         "log_pdf_cdf": rollups.log_pdf_cdf,
-        "mad_outliers": analytics.mad_outliers,
-        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
         "multigrain_stats": analytics.multigrain_stats,
         "multimodal_wav_energy": multimodal.multimodal_wav_energy,
         "multistream_throughput": rollups.multistream_throughput,
-        "pack_efficiency_sweep": packing.pack_efficiency_sweep,
-        "pack_sequences": packing.pack_sequences,
         "pmi_cooccur_terms": text.pmi_cooccur_terms,
         "reservoir_sample_per_key": corpus.reservoir_sample_per_key,
         "rfm_features": analytics.rfm_features,
@@ -209,49 +164,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
         "cross_source_dup_leakage": corpus.cross_source_dup_leakage,
         "dedup_best_per_user": rollups.dedup_best_per_user,
-        "dedup_impact_curve": dedup.dedup_impact_curve,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_minhash_portable": dedup.dedup_minhash_portable,
         "dsir_importance_weights": curation.dsir_importance_weights,
         "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean( s, d, direction="download", fleet="complete" ),
         "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf( s, d, direction="upload", fleet="2021" ),
         "hourly_rollup": rollups.hourly_rollup,
-        "incremental_dedup": dedup.incremental_dedup,
         "length_filter_sweep": curation.length_filter_sweep,
-        "lsh_tuning_curve": dedup.lsh_tuning_curve,
         "new_vs_returning": analytics.new_vs_returning,
         "restore_unique_docs": corpus.restore_unique_docs,
         "streaming_hopping_counts": streaming.streaming_hopping_counts,
         "streaming_hourly_counts": streaming.streaming_hourly_counts,
         "streaming_topk_keys": streaming.streaming_topk_keys,
-        "trimmed_mean_value": analytics.trimmed_mean_value,
         "unified_view_events": views_layer.unified_view,
         "unigram_lm_pieces": text.unigram_lm_pieces,
         "user_transition_matrix": analytics.user_transition_matrix,
         "weighted_sample_ares": corpus.weighted_sample_ares,
         "zscore_outliers": analytics.zscore_outliers,
         # -- fresh, last scored r9 --
-        "embedding_domain_profile": similarity.embedding_domain_profile,
-        "ivf_recall_eval": similarity.ivf_recall_eval,
-        "label_balance_sample": similarity.label_balance_sample,
-        "quality_expectation_report": quality.expectation_report,
-        "curation_pipeline": curation.curation_pipeline,
-        "source_token_budget": corpus.source_token_budget,
-        "repeat_profile_automaton": dedup.repeat_profile_automaton,
-        "triplet_mining": similarity.triplet_mining,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "centroid_per_label": corpus.centroid_per_label,
-        "embedding_outliers": similarity.embedding_outliers,
+        "curation_pipeline": curation.curation_pipeline,
+        "embedding_domain_profile": similarity.embedding_domain_profile,
         "embedding_quantize": similarity.embedding_quantize,
+        "epoch_shuffle": corpus.epoch_shuffle,
+        "hll_distinct_estimate": sketches.hll_distinct_estimate,
+        "ivf_recall_eval": similarity.ivf_recall_eval,
         "jl_projection": similarity.jl_projection,
         "kmeans_clusters": similarity.kmeans_clusters,
         "knn_classify": similarity.knn_classify,
         "ndcg_eval": similarity.ndcg_eval,
-        "semdedup_clusters": similarity.semdedup_clusters,
-        "epoch_shuffle": corpus.epoch_shuffle,
-        "hll_distinct_estimate": sketches.hll_distinct_estimate,
         "pii_scrub": text.pii_scrub,
         "q10_returned_items": relational.q10_returned_items,
         "q11_important_stock": relational_ext.q11_important_stock,
@@ -268,34 +212,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q9_product_type_profit": relational_ext.q9_product_type_profit,
+        "quality_expectation_report": quality.expectation_report,
         "range_interval_join": rangejoin.range_interval_join,
+        "repeat_profile_automaton": dedup.repeat_profile_automaton,
         "retention_cohorts": analytics.retention_cohorts,
         "rolling_active_users": rollups.rolling_active_users,
+        "semdedup_clusters": similarity.semdedup_clusters,
         "vocab_coverage": text.vocab_coverage,
         "wildcard_union": rollups.wildcard_union,
         # -- fresh, last scored r10 --
-        "centroid_shift_drift": similarity.centroid_shift_drift,
-        "doc_length_drift": drift.doc_length_drift,
-        "pii_risk_profile": text.pii_risk_profile,
-        "quality_score_calibration": curation.quality_score_calibration,
-        "streaming_ingest_restore": streaming.streaming_ingest_restore,
         "ann_pq_topk": similarity.ann_pq_topk,
-        "ccnet_source_split": curation.ccnet_source_split,
-        "embedding_cosine_dup": similarity.embedding_cosine_dup,
-        "embedding_decontaminate": similarity.embedding_decontaminate,
-        "gopher_quality_flags": curation.gopher_quality_flags,
-        "lm_domain_perplexity": curation.lm_domain_perplexity,
-        "psi_value_drift": drift.psi_value_drift,
-        "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,
         "asof_attribution": asof.asof_attribution,
+        "asof_nearest": asof.asof_nearest,
+        "bm25_retrieval": text.bm25_retrieval,
+        "boundary_templates": dedup.boundary_templates,
         "bpe_merge_candidates": text.bpe_merge_candidates,
+        "centroid_shift_drift": similarity.centroid_shift_drift,
+        "code_detect": text.code_detect,
+        "concurrency_peak": sessions.concurrency_peak,
         "cross_source_overlap": corpus.cross_source_overlap,
         "dedup_exact": dedup.dedup_exact,
         "doc_fingerprint": text.doc_fingerprint,
+        "embedding_cosine_dup": similarity.embedding_cosine_dup,
+        "embedding_decontaminate": similarity.embedding_decontaminate,
         "funnel_conversion": analytics.funnel_conversion,
+        "gopher_quality_flags": curation.gopher_quality_flags,
         "joined_view_template": view_families.joined_view_template,
         "kmv_distinct_estimate": sketches.kmv_distinct_estimate,
+        "lm_domain_perplexity": curation.lm_domain_perplexity,
         "mix_epoch_plan": packing.mix_epoch_plan,
+        "pii_risk_profile": text.pii_risk_profile,
         "pivot_event_counts": analytics.pivot_event_counts,
         "q16_parts_supplier": relational_ext.q16_parts_supplier,
         "q17_small_quantity": relational_ext.q17_small_quantity,
@@ -304,15 +250,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,
         "q22_inactive_customers": transforms.q22_inactive_customers,
         "quality_logreg_score": curation.quality_logreg_score,
+        "quality_score_calibration": curation.quality_score_calibration,
         "raw_view_events": views_layer.raw_view,
         "simhash_fingerprint": dedup.simhash_fingerprint,
+        "streaming_ingest_restore": streaming.streaming_ingest_restore,
         "token_count": text.token_count,
         "trailing_window_view": view_families.trailing_window_view,
-        "asof_nearest": asof.asof_nearest,
-        "bm25_retrieval": text.bm25_retrieval,
-        "boundary_templates": dedup.boundary_templates,
-        "code_detect": text.code_detect,
-        "concurrency_peak": sessions.concurrency_peak,
+        # -- fresh, last scored r11 --
+        "audio_vad_segments": multimodal.audio_vad_segments,
+        "bigram_surprisal": text.bigram_surprisal,
+        "bloom_membership": sketches.bloom_membership,
+        "canonical_pick": corpus.canonical_pick,
+        "chunk_dedup": packing.chunk_dedup,
+        "cms_frequency_estimate": sketches.cms_frequency_estimate,
+        "daily_modal_event": analytics.daily_modal_event,
+        "dataset_card": corpus.dataset_card,
+        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
+        "doc_chunks": packing.doc_chunks,
+        "doc_entropy": text.doc_entropy,
+        "domain_mix_weights": packing.domain_mix_weights,
+        "doremi_excess_reweight": curation.doremi_excess_reweight,
+        "extended_view_events": views_layer.extended_view,
+        "hashing_trick_features": text.hashing_trick_features,
+        "hll_daily_merge": sketches.hll_daily_merge,
+        "interval_coverage": sessions.interval_coverage,
+        "kmv_set_ops": sketches.kmv_set_ops,
+        "langid_heuristic": text.langid_heuristic,
+        "late_arrival_audit": analytics.late_arrival_audit,
+        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        "ngram_novelty_score": curation.ngram_novelty_score,
+        "running_totals": sessions.running_totals,
+        "scd2_history": analytics.scd2_history,
+        "session_top_paths": sessions.session_top_paths,
+        "sessionized_events": sessions.sessionized_events,
+        "streaming_ewma_flags": streaming.streaming_ewma_flags,
+        "streaming_session_windows": streaming.streaming_session_windows,
+        "time_weighted_value": analytics.time_weighted_value,
+        "token_count_bpe": text.token_count_bpe,
+        "tokenizer_fertility": text.tokenizer_fertility,
+        "topk_drift_weekly": drift.topk_drift_weekly,
+        "windowed_funnel": analytics.windowed_funnel,
+        "winnowing_fingerprint": dedup.winnowing_fingerprint,
+        "zipf_term_stats": corpus.zipf_term_stats,
+        # -- fresh, last scored r10 --
         "cross_lang_contamination": curation.cross_lang_contamination,
     }
 

@@ -161,8 +161,10 @@ def main() -> None:
     # release registry-pinned frames (cachereg) so a bench run leaves the
     # session with zero cache pins — the persist-leak audit's release point
     from etl_schema_spark.operators.cachereg import release_pins
+    from etl_schema_spark.streaming.scratch import release_scratch
 
     release_pins()
+    release_scratch()
     canary_end = canary()
     warm_med = {
         k: sorted(run[k] for run in warm_runs)[WARM_PASSES // 2] for k in timings

@@ -81,6 +81,11 @@ ALLPAIRS_OK = {
     # evaluates the allowlisted brute-force baseline — inherits its BNLJ
     # (the ndcg_eval precedent)
     "ivf_recall_eval",
+    # same baseline inheritance as ivf_recall_eval, plus the codebook
+    # assignment cross (queries x broadcast centroids, the IVF probe
+    # shape) and the |labels|^2 centroid-graph self-pairing — all
+    # metadata-sized by construction
+    "ann_graph_expand_eval",
     # broadcast 1-row time-range bounds (the gapfill_locf pattern)
     "psi_value_drift",
 }

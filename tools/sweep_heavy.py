@@ -69,6 +69,7 @@ def main() -> None:
     import gc
 
     from etl_schema_spark.operators.cachereg import release_pins
+    from etl_schema_spark.streaming.scratch import release_scratch
 
     def reclaim() -> None:
         """Release registry pins and drive storage cleanup: evict the
@@ -90,6 +91,7 @@ def main() -> None:
             LAZY frame over the checkpoint, so an explicit release
             would destroy data the caller's action still needs."""
         release_pins()
+        release_scratch()
         spark.range(1).write.format("noop").mode("overwrite").save()
         for _ in range(10):
             gc.collect()
