@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": text.perplexity_buckets,  # r06
         "psi_value_drift": drift.psi_value_drift,  # r10
         "quality_rule_drift": drift.quality_rule_drift,  # r11
+        # + semdedup_clusters (joined mid-round): its bare .persist()
+        # converted to swap_pin, the last ADVICE-r5 leak-class site
+        "semdedup_clusters": similarity.semdedup_clusters,  # r09
         "source_token_budget": corpus.source_token_budget,  # r09
         "streaming_incremental_dedup": streaming.streaming_incremental_dedup,  # r11
         "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,  # r10
@@ -128,11 +131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_renest": views_layer.annotate_renest,  # r07
         "churned_users": analytics.churned_users,  # r07
         "corr_value_hour": analytics.corr_value_hour,  # r07
-        "daily_deciles": rollups.daily_deciles,  # r07
         # ---------------- 50-entry scoring cap lands here ----------------
         # -- re-verification rotation: fresh entries, oldest verdict
         # first (r7 cohort remainder, then r8+) --------------------------
         # -- fresh, last scored r7 --
+        "daily_deciles": rollups.daily_deciles,
         "dedup_editdistance": dedup.dedup_editdistance,
         "gapfill_interp": analytics.gapfill_interp,
         "gapfill_locf": analytics.gapfill_locf,
@@ -217,7 +220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_profile_automaton": dedup.repeat_profile_automaton,
         "retention_cohorts": analytics.retention_cohorts,
         "rolling_active_users": rollups.rolling_active_users,
-        "semdedup_clusters": similarity.semdedup_clusters,
         "vocab_coverage": text.vocab_coverage,
         "wildcard_union": rollups.wildcard_union,
         # -- fresh, last scored r10 --

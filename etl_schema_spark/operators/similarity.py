@@ -1299,10 +1299,14 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pairs stay bounded, exactly the SemDeDup recipe); the
     within-cluster pair join is a plain equi-join on cluster id, and the
     witness reduction is a partial-aggregated min per vec_id. The
-    assignment table is persisted: three consumers (both pair sides + the
-    final projection), one codebook-scan pass.
+    assignment table is persisted via swap_pin — three consumers (both
+    pair sides + the final projection), one codebook-scan pass — so
+    repeated invocations in a long session hold at most ONE pinned
+    assignment frame (a bare .persist() here was the last ADVICE-r5
+    leak-class site: every call pinned a fresh CacheManager entry until
+    session exit, r12).
     """
-    from pyspark.storagelevel import StorageLevel
+    from .cachereg import swap_pin
 
     emb = load_vectors(spark, sf_dir)
     codebook = _label_codebook(emb)
@@ -1310,14 +1314,14 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("c_label")
     )
-    assigned = (
+    assigned = swap_pin(
+        "semdedup_clusters.assigned",
         emb.select("vec_id", "embedding")
         .join(F.broadcast(codebook))
         .withColumn("c_cos", c_cos)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_label").alias("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("vec_id", "embedding", F.col("c_label").alias("cluster")),
     )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cluster"
