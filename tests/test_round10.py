@@ -76,14 +76,22 @@ def test_pq_sub_d_follows_emb_dim(monkeypatch):
 
 
 def test_gated_publish_cleans_scratch_dir(spark):
-    """ADVICE r9: the drain must not leak its mkdtemp scratch directory."""
-    from etl_schema_spark.streaming import jobs
+    """ADVICE r9 (amended by VERDICT r11 item 6): the drain's scratch dir
+    must not LEAK — but it now outlives the call on purpose (the entry
+    returns a DISTRIBUTED read over the sink instead of a driver
+    collect), so cleanup is release_scratch()'s job, not rmtree's before
+    return. The invariant: the dir is registered, the returned frame
+    reads from it, and release_scratch removes it."""
+    from etl_schema_spark.streaming import jobs, scratch
 
     pattern = os.path.join(tempfile.gettempdir(), "sq_gated_pub_*")
     before = set(glob.glob(pattern))
     out = jobs.streaming_quality_gated_publish(spark, SF)
     assert out.count() > 0
-    assert set(glob.glob(pattern)) == before
+    created = set(glob.glob(pattern)) - before
+    assert len(created) == 1  # registered scratch dir, alive for the read
+    scratch.release_scratch()
+    assert set(glob.glob(pattern)) == before  # released on the harness hook
 
 
 def test_dedup_aware_split_no_leakage(spark, duck):
