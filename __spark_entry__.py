@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": streaming.streaming_neardup,
         "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate,
         "ann_graph_expand_eval": similarity.ann_graph_expand_eval,
+        # + ingest_front_door (joined late-round): the composed
+        # per-document admission pipeline — exact tier, banding tier,
+        # quality tier, admitted — in production order, one verdict row
+        # per arriving doc.
+        "ingest_front_door": dedup.ingest_front_door,
         # -- group 1: implementation changed since the entry's last green
         # verdict (33, tools/verdict_freshness.py): the r12 work set —
         # the two-join broadcast restructure (incremental_dedup + its
@@ -130,11 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": text.tfidf_top_terms,  # r06
         "annotate_renest": views_layer.annotate_renest,  # r07
         "churned_users": analytics.churned_users,  # r07
-        "corr_value_hour": analytics.corr_value_hour,  # r07
         # ---------------- 50-entry scoring cap lands here ----------------
         # -- re-verification rotation: fresh entries, oldest verdict
         # first (r7 cohort remainder, then r8+) --------------------------
         # -- fresh, last scored r7 --
+        "corr_value_hour": analytics.corr_value_hour,
         "daily_deciles": rollups.daily_deciles,
         "dedup_editdistance": dedup.dedup_editdistance,
         "gapfill_interp": analytics.gapfill_interp,
@@ -304,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "incremental_neardup": dedup.incremental_neardup_oracle(),
+        "ingest_front_door": dedup.ingest_front_door_oracle(),
         "streaming_neardup": streaming.streaming_neardup_oracle(),
         "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate_oracle(),
         "ann_graph_expand_eval": similarity.ann_graph_expand_eval_oracle(),

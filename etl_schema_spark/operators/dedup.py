@@ -1020,6 +1020,209 @@ def incremental_neardup_oracle() -> str:
     """
 
 
+# --- the composed ingest front door ----------------------------------------
+
+INGEST_RULES = (  # fixed adjudication order for the quality tier's `detail`
+    "accepted_lang",
+    "n_chars_matches_text",
+    "non_negative_n_chars",
+    "not_null_text",
+)
+
+
+def ingest_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete per-document ADMISSION pipeline an ingest runs on an
+    arriving batch, composed from the round's front-door tiers in
+    production order — one row per arriving doc with its routing:
+
+      'duplicate'     exact tier first (cheapest signal): normalized-md5
+                      hit in the lake's fingerprint index; witness = the
+                      min-id corpus holder (incremental_dedup's rule).
+      'near_dup'      else the banding tier: >= NEARDUP_AGREE_MIN of
+                      MINHASH_SEEDS signature seeds agree with a
+                      band-bucket candidate from the session-pinned
+                      index; witness = the min-id qualifying candidate.
+      'quality_fail'  else the expectation tier: any of the four
+                      document rules (quality_rule_drift's exact
+                      semantics) fails; `detail` names the FIRST failing
+                      rule in INGEST_RULES order (deterministic without
+                      a sort).
+      'admitted'      else.
+
+    Dedup outranks quality deliberately: a duplicate is dropped for
+    free before any quality adjudication spends attention on it, and
+    the verdict stays stable when quality rules evolve.
+
+    Plan: three broadcast-island passes over corpus-scale data, all
+    map-side — the exact tier streams the corpus hashes past a
+    broadcast of the batch md5s (the incremental_dedup two-join shape),
+    the near tier streams the pinned band index past the batch buckets
+    (neardup_verdicts), and the quality flags are per-row expressions
+    on the restored batch. The final assembly is |batch|-bounded
+    broadcast joins only.
+    """
+    from ..quality import STANDARD_LANGS
+    from ..sources.catalog import load_table_unique
+
+    m = NEW_BATCH_MOD
+    docs = load_table_unique(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % m == m - 1
+    batch = docs.filter(is_new)
+
+    # exact tier (the incremental_dedup shape, witness only)
+    hashed_new = batch.select(
+        F.col("doc_id").alias("new_doc_id"), F.md5(_normalized()).alias("content_md5")
+    )
+    exact = (
+        docs.filter(~is_new)
+        .select("doc_id", F.md5(_normalized()).alias("content_md5"))
+        .join(F.broadcast(hashed_new), "content_md5", "inner")
+        .groupBy("new_doc_id")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+
+    # near tier (the banding gate, witness only; shingle-empty docs
+    # cannot near-dup and simply have no row here)
+    arriving_sigs = _sig_banded(
+        batch.select(
+            "doc_id", _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+    )
+    near = (
+        neardup_verdicts(neardup_band_index(spark, sf_dir), arriving_sigs)
+        .filter(F.col("is_near_dup"))
+        .select(F.col("doc_id").alias("new_doc_id"), F.col("dup_of").alias("near_dup_of"))
+    )
+
+    # quality tier: the rule_tagged semantics as per-row flags
+    p_lang = F.col("lang").isNull() | F.col("lang").isin(*STANDARD_LANGS)
+    p_len = F.coalesce(F.length("text") == F.col("n_chars"), F.lit(False))
+    p_neg = F.col("n_chars").isNull() | (F.col("n_chars") >= 0)
+    p_nn = F.col("text").isNotNull()
+    fail_rule = (
+        F.when(~p_lang, INGEST_RULES[0])
+        .when(~p_len, INGEST_RULES[1])
+        .when(~p_neg, INGEST_RULES[2])
+        .when(~p_nn, INGEST_RULES[3])
+    )
+
+    routed = (
+        batch.select(F.col("doc_id").alias("new_doc_id"), fail_rule.alias("_fail"))
+        .join(F.broadcast(exact), "new_doc_id", "left")
+        .join(F.broadcast(near), "new_doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("duplicate"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_fail").isNotNull(), F.lit("quality_fail"))
+        .otherwise(F.lit("admitted"))
+    )
+    return routed.select(
+        F.col("new_doc_id").alias("doc_id"),
+        verdict.alias("verdict"),
+        F.coalesce("exact_dup_of", "near_dup_of").cast("bigint").alias("witness"),
+        F.when(
+            F.col("exact_dup_of").isNull()
+            & F.col("near_dup_of").isNull()
+            & F.col("_fail").isNotNull(),
+            F.col("_fail"),
+        ).alias("detail"),
+    ).orderBy("doc_id")
+
+
+def ingest_front_door_oracle() -> str:
+    from ..quality import STANDARD_LANGS
+    from ..sources.catalog import unique_scan_sql
+
+    m = NEW_BATCH_MOD
+    n = MINHASH_SEEDS
+    langs = ", ".join(f"'{v}'" for v in STANDARD_LANGS)
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sig_list = ", ".join(
+        f"list_min([md5('{i}:' || x) for x in shingles])" for i in range(MINHASH_SEEDS)
+    )
+    bucket_list = ", ".join(
+        "md5(concat_ws(',', '{b}|', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"mh[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    agree = (
+        f"list_sum([CASE WHEN si.mh[i + 1] = sn.mh[i + 1] THEN 1 ELSE 0 END "
+        f"for i in range(0, {n})])"
+    )
+    return rf"""
+        WITH u AS (
+          SELECT doc_id, text, lang, n_chars
+          FROM {unique_scan_sql("documents")} documents
+        ),
+        batch AS (SELECT * FROM u WHERE doc_id % {m} = {m - 1}),
+        corpus AS (SELECT * FROM u WHERE doc_id % {m} <> {m - 1}),
+        exact AS (
+          SELECT b.doc_id AS new_doc_id, MIN(c.doc_id) AS exact_dup_of
+          FROM batch b JOIN corpus c
+            ON md5(regexp_replace(lower(c.text), '\s+', ' ', 'g'))
+             = md5(regexp_replace(lower(b.text), '\s+', ' ', 'g'))
+          GROUP BY 1
+        ),
+        d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM u),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                          for i in range(1, len(toks) - 1)])
+                      ELSE [] END AS shingles
+          FROM d
+        ),
+        s AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        sig AS (SELECT doc_id, [{sig_list}] AS mh FROM s),
+        banded AS (SELECT doc_id, unnest([{bucket_list}]) AS bucket FROM sig),
+        cand AS (
+          SELECT DISTINCT nb.doc_id AS new_doc_id, ib.doc_id AS cand_id
+          FROM (SELECT * FROM banded WHERE doc_id % {m} = {m - 1}) nb
+          JOIN (SELECT * FROM banded WHERE doc_id % {m} <> {m - 1}) ib
+            USING (bucket)
+        ),
+        near AS (
+          SELECT new_doc_id, MIN(cand_id) AS near_dup_of FROM (
+            SELECT c.new_doc_id, c.cand_id, {agree} AS n_agree
+            FROM cand c
+            JOIN sig sn ON sn.doc_id = c.new_doc_id
+            JOIN sig si ON si.doc_id = c.cand_id
+          ) WHERE n_agree >= {NEARDUP_AGREE_MIN}
+          GROUP BY 1
+        ),
+        flags AS (
+          SELECT doc_id AS new_doc_id,
+                 CASE
+                   WHEN NOT (lang IS NULL OR lang IN ({langs}))
+                     THEN 'accepted_lang'
+                   WHEN NOT COALESCE(length(text) = n_chars, FALSE)
+                     THEN 'n_chars_matches_text'
+                   WHEN NOT (n_chars IS NULL OR n_chars >= 0)
+                     THEN 'non_negative_n_chars'
+                   WHEN text IS NULL THEN 'not_null_text'
+                 END AS fail_rule
+          FROM batch
+        )
+        SELECT f.new_doc_id AS doc_id,
+               CASE WHEN e.exact_dup_of IS NOT NULL THEN 'duplicate'
+                    WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup'
+                    WHEN f.fail_rule IS NOT NULL THEN 'quality_fail'
+                    ELSE 'admitted' END AS verdict,
+               CAST(COALESCE(e.exact_dup_of, nr.near_dup_of) AS BIGINT) AS witness,
+               CASE WHEN e.exact_dup_of IS NULL AND nr.near_dup_of IS NULL
+                    THEN f.fail_rule END AS detail
+        FROM flags f
+        LEFT JOIN exact e USING (new_doc_id)
+        LEFT JOIN near nr USING (new_doc_id)
+        ORDER BY doc_id
+    """
+
+
 # --- exact-substring window dedup -----------------------------------------
 
 SUBSTR_WIN = 32  # window width (chars)

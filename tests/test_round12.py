@@ -155,6 +155,47 @@ def test_graph_expand_probes_dominate_ivf_ranking(spark):
             assert worst_gx[r.query_id] >= r.cosine
 
 
+def test_ingest_front_door_routes_all_tiers(spark, tmp_path):
+    """Planted corpus exercising every verdict and the tier precedence:
+    an arriving exact copy routes 'duplicate' even when it also fails a
+    quality rule (dedup outranks quality), a near copy routes
+    'near_dup', a rule violation routes 'quality_fail' with the first
+    failing rule named, and a clean novel doc is 'admitted'."""
+    import duckdb
+
+    from etl_schema_spark.operators import cachereg, dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        # corpus (doc_id % 10 != 9)
+        (1, f"'{base}'", "'en'", len(base)),
+        (2, "'totally different corpus words entirely here now'", "'en'", 47),
+        # arriving (doc_id % 10 == 9)
+        (9, f"'{base}'", "'xx'", len(base)),  # exact copy + bad lang -> duplicate
+        (19, f"'{base} tail words appended'", "'en'", len(base) + 21),  # near
+        (29, "'novel but wrong lang content one two three'", "'xx'", 42),
+        (39, "'clean novel content four five six seven eight nine'", "'en'", 50),
+    ]
+    values = ", ".join(f"({d}, {t}, {la}, {n})" for d, t, la, n in rows)
+    duckdb.connect().execute(
+        "COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,"
+        " 'src' AS source, CAST(n_chars AS BIGINT) AS n_chars"
+        f" FROM (VALUES {values}) v(doc_id, text, lang, n_chars))"
+        f" TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    try:
+        got = {
+            r.doc_id: (r.verdict, r.witness, r.detail)
+            for r in dedup.ingest_front_door(spark, str(tmp_path)).collect()
+        }
+    finally:
+        cachereg.release_pins("neardup.band_index")
+    assert got[9] == ("duplicate", 1, None)  # precedence over quality_fail
+    assert got[19] == ("near_dup", 1, None)
+    assert got[29] == ("quality_fail", None, "accepted_lang")
+    assert got[39] == ("admitted", None, None)
+
+
 def test_incremental_dedup_plan_is_broadcast_only(spark):
     import io
     from contextlib import redirect_stdout
