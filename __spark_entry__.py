@@ -60,7 +60,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail will NOT be scored this round. Enforced by
     # tests/test_plan_audit.py::test_stale_entries_sort_into_scored_window.
     return {
-        # -- group 0: NEW this round, never scored (4) ---------------------
+        # -- group 0: NEW this round (r13), never scored -------------------
+        # The streaming twin of ingest_front_door (VERDICT r12 items 5+6):
+        # per-micro-batch three-tier admission with admit-then-append
+        # index maintenance behind the batch-id-scoped overwrite ledger.
+        "streaming_ingest_front_door": streaming.streaming_ingest_front_door,
+        # -- r12 additions, scored r12 -------------------------------------
         # r12 additions: the near-dup-at-ingest front door (batch +
         # streaming twins over the session-pinned MinHash band-bucket
         # index), the per-batch rule-drift gate, and the graph-expanded
@@ -311,6 +316,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_neardup": dedup.incremental_neardup_oracle(),
         "ingest_front_door": dedup.ingest_front_door_oracle(),
         "streaming_neardup": streaming.streaming_neardup_oracle(),
+        "streaming_ingest_front_door": (
+            streaming.streaming_ingest_front_door_oracle()
+        ),
         "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate_oracle(),
         "ann_graph_expand_eval": similarity.ann_graph_expand_eval_oracle(),
         "pack_fill_audit": packing.pack_fill_audit_oracle(),

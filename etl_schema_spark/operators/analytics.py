@@ -891,8 +891,13 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "date", "hod")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
-        .persist()
     )
+    # hourly feeds the baseline AND the daily re-aggregate — pinned via
+    # swap_pin (VERDICT r12 item 4 bare-persist sweep: releasable, one
+    # steady-state frame per site instead of one per invocation)
+    from .cachereg import swap_pin
+
+    hourly = swap_pin("analytics.seasonal.hourly", hourly)
     base = (
         hourly.groupBy("event_type", "hod")
         .agg(F.sum("n").alias("n_base"), F.sum("s").alias("s_base"))

@@ -303,14 +303,19 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str, seed: str = "epoch0") -> Dat
     keyed = docs.withColumn(
         "shuffle_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     )
-    # persisted: _pid feeds both the offset aggregate and the rank join, and
-    # range boundaries come from sampling — materializing once guarantees
-    # both consumers see the same partitioning
-    sorted_df = (
+    # scratch-materialized (VERDICT r12 item 4): _pid feeds both the
+    # offset aggregate and the rank join, and range boundaries come from
+    # sampling — freezing the split in parquet bytes guarantees both
+    # consumers read the identical partitioning (a bare persist guarded
+    # the same hazard but was unreleasable and accumulated per call; see
+    # distributed.grouped_running_sum for the full rationale)
+    from ..streaming.scratch import materialize
+
+    sorted_df = materialize(
         keyed.repartitionByRange(EPOCH_SHUFFLE_PARTITIONS, "shuffle_key")
         .sortWithinPartitions("shuffle_key")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .withColumn("_pid", F.spark_partition_id()),
+        "epoch_shuffle_",
     )
     counts = sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
@@ -428,11 +433,15 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Per-source totals are a metadata-sized broadcast. Nothing here
     is all-pairs over rows — only over the handful of sources.
     """
-    keys = (
+    # keys feeds the per-source totals AND both self-join sides — pinned
+    # via swap_pin (VERDICT r12 item 4 bare-persist sweep)
+    from .cachereg import swap_pin
+
+    keys = swap_pin(
+        "corpus.cross_overlap.keys",
         load_table(spark, sf_dir, "documents")
         .select("source", F.md5("text").alias("content_key"))
-        .distinct()
-        .persist()
+        .distinct(),
     )
     per_source = keys.groupBy("source").agg(F.count(F.lit(1)).alias("n_keys"))
     a = keys.select(F.col("source").alias("source_a"), "content_key")

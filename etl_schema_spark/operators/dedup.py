@@ -831,12 +831,21 @@ def _sig_banded(docs: DataFrame) -> DataFrame:
 def neardup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lake's persisted MinHash band-bucket index over the corpus
     slice (doc_id % NEW_BATCH_MOD != NEW_BATCH_MOD - 1): one narrow row
-    per doc — (doc_id, 8-element signature, 4 bucket keys) — built ONCE
-    per session via memo_pin (keyed on the corpus bytes) and shared by
-    the batch front door (incremental_neardup) and its streaming twin
-    (jobs.streaming_neardup). At cluster scale this is the bucketed
-    signature table the lake maintains incrementally; no arriving batch
-    ever re-shingles the corpus."""
+    per (doc, band) — (doc_id, 8-element signature, bucket key), in
+    EXPLODED capped form — built ONCE per session via memo_pin (keyed on
+    the corpus bytes) and shared by the batch front door
+    (incremental_neardup) and its streaming twin (jobs.streaming_neardup).
+    At cluster scale this is the bucketed signature table the lake
+    maintains incrementally; no arriving batch ever re-shingles the
+    corpus.
+
+    Occupancy is hard-capped at LSH_BUCKET_CAP per bucket (min-doc_id
+    keepers — ADVICE r12: without the cap a hot band bucket on a
+    boilerplate-heavy corpus made the verdict-time candidate stream
+    |arriving| x |bucket occupancy|, unbounded; with it the
+    neardup_verdicts bound |arriving| x LSH_BANDS x LSH_BUCKET_CAP
+    actually holds). The cap's window shuffle is paid once per session
+    at build, mirrored in every consumer oracle via QUALIFY."""
     import os
 
     from ..sources.catalog import load_table_unique
@@ -854,12 +863,25 @@ def neardup_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.size("shingles") > 0)
         )
-        return _sig_banded(docs)
+        exploded = _sig_banded(docs).select(
+            "doc_id", "mh", F.explode("buckets").alias("bucket")
+        )
+        w = Window.partitionBy("bucket").orderBy("doc_id")
+        return (
+            observe_cap(
+                exploded.withColumn("_rn", F.row_number().over(w)),
+                "neardup_band_cap",
+                "_rn",
+                LSH_BUCKET_CAP,
+            )
+            .filter(F.col("_rn") <= LSH_BUCKET_CAP)
+            .drop("_rn")
+        )
 
     return memo_pin(
         "neardup.band_index",
         spark,
-        (sf_dir, MINHASH_SEEDS, LSH_BANDS, m),
+        (sf_dir, MINHASH_SEEDS, LSH_BANDS, m, LSH_BUCKET_CAP),
         build,
         inputs=(os.path.join(sf_dir, "documents.parquet"),),
     )
@@ -876,10 +898,12 @@ def neardup_verdicts(index: DataFrame, arriving: DataFrame) -> DataFrame:
     clears NEARDUP_AGREE_MIN (is_near_dup) and the min-id such candidate
     (dup_of, NULL if novel).
 
-    Plan: the index side NEVER shuffles — its exploded (bucket, doc)
-    stream flows map-side past a broadcast hash of the arriving buckets
-    (inner BHJ, build right), and only bucket-sharing rows (bounded by
-    |arriving| x LSH_BUCKET_CAP) reach the pair dedupe + agreement
+    Plan: the index side NEVER shuffles at verdict time — its capped
+    exploded (bucket, doc) rows flow map-side past a broadcast hash of
+    the arriving buckets (inner BHJ, build right), and only
+    bucket-sharing rows — bounded by |arriving| x LSH_BANDS x
+    LSH_BUCKET_CAP, a bound the index's build-time occupancy cap makes
+    actually hold (ADVICE r12) — reach the pair dedupe + agreement
     aggregation. The outer edge (novel docs) rides a second build-right
     broadcast join, the incremental_dedup two-join shape — a broadcast
     right-outer is not a plan Spark supports."""
@@ -891,7 +915,7 @@ def neardup_verdicts(index: DataFrame, arriving: DataFrame) -> DataFrame:
     idx = index.select(
         F.col("doc_id").alias("cand_id"),
         F.col("mh").alias("mh_old"),
-        F.explode("buckets").alias("bucket"),
+        "bucket",
     )
     scored = (
         idx.join(F.broadcast(newb), "bucket", "inner")
@@ -990,7 +1014,11 @@ def incremental_neardup_oracle() -> str:
         sig AS (SELECT doc_id, [{sig_list}] AS mh FROM s),
         banded AS (SELECT doc_id, unnest([{bucket_list}]) AS bucket FROM sig),
         new_b AS (SELECT * FROM banded WHERE doc_id % {m} = {m - 1}),
-        idx_b AS (SELECT * FROM banded WHERE doc_id % {m} <> {m - 1}),
+        -- build-time occupancy cap mirror (ADVICE r12): min-doc_id
+        -- keepers per bucket, same rule as neardup_band_index
+        idx_b AS (SELECT * FROM banded WHERE doc_id % {m} <> {m - 1}
+                  QUALIFY row_number() OVER (
+                    PARTITION BY bucket ORDER BY doc_id) <= {LSH_BUCKET_CAP}),
         cand AS (
           SELECT DISTINCT nb.doc_id AS new_doc_id, ib.doc_id AS cand_id
           FROM new_b nb JOIN idx_b ib USING (bucket)
@@ -1030,53 +1058,26 @@ INGEST_RULES = (  # fixed adjudication order for the quality tier's `detail`
 )
 
 
-def ingest_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete per-document ADMISSION pipeline an ingest runs on an
-    arriving batch, composed from the round's front-door tiers in
-    production order — one row per arriving doc with its routing:
-
-      'duplicate'     exact tier first (cheapest signal): normalized-md5
-                      hit in the lake's fingerprint index; witness = the
-                      min-id corpus holder (incremental_dedup's rule).
-      'near_dup'      else the banding tier: >= NEARDUP_AGREE_MIN of
-                      MINHASH_SEEDS signature seeds agree with a
-                      band-bucket candidate from the session-pinned
-                      index; witness = the min-id qualifying candidate.
-      'quality_fail'  else the expectation tier: any of the four
-                      document rules (quality_rule_drift's exact
-                      semantics) fails; `detail` names the FIRST failing
-                      rule in INGEST_RULES order (deterministic without
-                      a sort).
-      'admitted'      else.
-
-    Dedup outranks quality deliberately: a duplicate is dropped for
-    free before any quality adjudication spends attention on it, and
-    the verdict stays stable when quality rules evolve.
-
-    Plan: three broadcast-island passes over corpus-scale data, all
-    map-side — the exact tier streams the corpus hashes past a
-    broadcast of the batch md5s (the incremental_dedup two-join shape),
-    the near tier streams the pinned band index past the batch buckets
-    (neardup_verdicts), and the quality flags are per-row expressions
-    on the restored batch. The final assembly is |batch|-bounded
-    broadcast joins only.
-    """
+def front_door_verdicts(
+    batch: DataFrame, md5_index: DataFrame, band_index: DataFrame
+) -> DataFrame:
+    """The three-tier admission adjudication over an arriving ``batch``
+    of full-column document rows, against a fingerprint ``md5_index``
+    ((doc_id, content_md5) rows) and a ``band_index`` (capped exploded
+    (doc_id, mh, bucket) rows — neardup_band_index's shape). One row per
+    batch doc: (doc_id, verdict, witness, detail). Shared by the batch
+    entry (ingest_front_door) and the streaming sink
+    (jobs.ingest_front_door_sink), which also feeds it the admit-append
+    index deltas — the tiers must not care where the index rows came
+    from. Unordered; callers sort."""
     from ..quality import STANDARD_LANGS
-    from ..sources.catalog import load_table_unique
-
-    m = NEW_BATCH_MOD
-    docs = load_table_unique(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % m == m - 1
-    batch = docs.filter(is_new)
 
     # exact tier (the incremental_dedup shape, witness only)
     hashed_new = batch.select(
         F.col("doc_id").alias("new_doc_id"), F.md5(_normalized()).alias("content_md5")
     )
     exact = (
-        docs.filter(~is_new)
-        .select("doc_id", F.md5(_normalized()).alias("content_md5"))
-        .join(F.broadcast(hashed_new), "content_md5", "inner")
+        md5_index.join(F.broadcast(hashed_new), "content_md5", "inner")
         .groupBy("new_doc_id")
         .agg(F.min("doc_id").alias("exact_dup_of"))
     )
@@ -1089,7 +1090,7 @@ def ingest_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.size("shingles") > 0)
     )
     near = (
-        neardup_verdicts(neardup_band_index(spark, sf_dir), arriving_sigs)
+        neardup_verdicts(band_index, arriving_sigs)
         .filter(F.col("is_near_dup"))
         .select(F.col("doc_id").alias("new_doc_id"), F.col("dup_of").alias("near_dup_of"))
     )
@@ -1127,6 +1128,54 @@ def ingest_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("_fail").isNotNull(),
             F.col("_fail"),
         ).alias("detail"),
+    )
+
+
+def ingest_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete per-document ADMISSION pipeline an ingest runs on an
+    arriving batch, composed from the round's front-door tiers in
+    production order — one row per arriving doc with its routing:
+
+      'duplicate'     exact tier first (cheapest signal): normalized-md5
+                      hit in the lake's fingerprint index; witness = the
+                      min-id corpus holder (incremental_dedup's rule).
+      'near_dup'      else the banding tier: >= NEARDUP_AGREE_MIN of
+                      MINHASH_SEEDS signature seeds agree with a
+                      band-bucket candidate from the session-pinned
+                      index; witness = the min-id qualifying candidate.
+      'quality_fail'  else the expectation tier: any of the four
+                      document rules (quality_rule_drift's exact
+                      semantics) fails; `detail` names the FIRST failing
+                      rule in INGEST_RULES order (deterministic without
+                      a sort).
+      'admitted'      else.
+
+    Dedup outranks quality deliberately: a duplicate is dropped for
+    free before any quality adjudication spends attention on it, and
+    the verdict stays stable when quality rules evolve.
+
+    Plan: three broadcast-island passes over corpus-scale data, all
+    map-side — the exact tier streams the corpus hashes past a
+    broadcast of the batch md5s (the incremental_dedup two-join shape),
+    the near tier streams the pinned band index past the batch buckets
+    (neardup_verdicts), and the quality flags are per-row expressions
+    on the restored batch. The final assembly is |batch|-bounded
+    broadcast joins only — all inside front_door_verdicts, the tier
+    composition shared with the streaming twin
+    (jobs.ingest_front_door_sink), which additionally feeds it the
+    admit-appended index deltas so batch N+1 adjudicates against batch
+    N's admits.
+    """
+    from ..sources.catalog import load_table_unique
+
+    m = NEW_BATCH_MOD
+    docs = load_table_unique(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % m == m - 1
+    md5_index = docs.filter(~is_new).select(
+        "doc_id", F.md5(_normalized()).alias("content_md5")
+    )
+    return front_door_verdicts(
+        docs.filter(is_new), md5_index, neardup_band_index(spark, sf_dir)
     ).orderBy("doc_id")
 
 
@@ -1183,7 +1232,9 @@ def ingest_front_door_oracle() -> str:
         cand AS (
           SELECT DISTINCT nb.doc_id AS new_doc_id, ib.doc_id AS cand_id
           FROM (SELECT * FROM banded WHERE doc_id % {m} = {m - 1}) nb
-          JOIN (SELECT * FROM banded WHERE doc_id % {m} <> {m - 1}) ib
+          JOIN (SELECT * FROM banded WHERE doc_id % {m} <> {m - 1}
+                QUALIFY row_number() OVER (
+                  PARTITION BY bucket ORDER BY doc_id) <= {LSH_BUCKET_CAP}) ib
             USING (bucket)
         ),
         near AS (
@@ -1786,9 +1837,9 @@ def rare_shared_pairs(
     # uncombinable partial output), but each task's hash map shrinks by
     # the fanout factor and stays in its memory budget even when earlier
     # queries' frames crowd the unified region.
-    fanout = PAIR_AGG_FANOUT * int(
-        posting.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    from ..session import shuffle_partitions
+
+    fanout = PAIR_AGG_FANOUT * shuffle_partitions(posting.sparkSession, 32)
     hot = (
         buckets.select(
             F.explode(

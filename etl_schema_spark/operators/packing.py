@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 from .distributed import grouped_running_sum
@@ -250,16 +249,19 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight, and the implied upsampling factor (weight / share).
     """
     # per is |domains| rows but its subtree is the full corpus scan+agg;
-    # it feeds three consumers (tot, z, output) — persist so the corpus is
-    # scanned once, not per scalar constant
-    per = (
+    # it feeds three consumers (tot, z, output) — pinned via swap_pin so
+    # the corpus is scanned once, not per scalar constant, and the frame
+    # is releasable (VERDICT r12 item 4 bare-persist sweep)
+    from .cachereg import swap_pin
+
+    per = swap_pin(
+        "packing.domain_mix.per",
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
     )
     tot = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
     shared = per.crossJoin(F.broadcast(tot)).withColumn(

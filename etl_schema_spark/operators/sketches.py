@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import load_table
 from .contracts import FINITE_VALUE_SQL, finite_value
@@ -81,20 +80,25 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     # h feeds four consumers (sketch, exact intersection x2, exact counts)
-    # and sketch three; persist both so the scan+distinct and the rank
-    # window run once, not per reference (22 -> ~8 exchanges in the plan)
-    h = (
-        ev.select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # and sketch three; pinned (swap_pin — VERDICT r12 item 4 bare-persist
+    # sweep) so the scan+distinct and the rank window run once, not per
+    # reference (22 -> ~8 exchanges in the plan), and both frames are
+    # releasable by the harness hooks
+    from .cachereg import swap_pin
+
+    h = swap_pin(
+        "sketches.kmv_set.h",
+        ev.select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+        ).distinct(),
     )
     u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(_HEX15)
     w = Window.partitionBy("event_type").orderBy("h")
-    sketch = (
+    sketch = swap_pin(
+        "sketches.kmv_set.sketch",
         h.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .withColumn("u", u)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("u", u),
     )
     per_type = sketch.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("u").alias("u_max")

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..sources.catalog import cpu_parallel, load_table
 
@@ -240,12 +239,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFra
     toks = cpu_parallel(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
-    # tf feeds both the df aggregate and the scoring join; persist so the
-    # corpus is tokenized+shuffled once, not once per consumer
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # tf feeds both the df aggregate and the scoring join; pinned so the
+    # corpus is tokenized+shuffled once, not once per consumer — via
+    # swap_pin (VERDICT r12 item 4 sweep: a bare persist here accumulated
+    # one CacheManager entry per invocation, invisible to release_pins)
+    from .cachereg import swap_pin
+
+    tf = swap_pin(
+        "text.tfidf.tf",
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -53,8 +53,13 @@ _DEFAULTS = {
     # memory-hungry aggregates spill against phantom storage (the r11
     # containment_dup full-session 10 GB vs fresh-session 1.28 GB gap).
     # Spark's own periodic-GC escape hatch, tightened from its 30min
-    # default to the inter-query timescale of a sweep.
-    "spark.cleaner.periodicGC.interval": "2min",
+    # default to the inter-query timescale of a sweep. Env-overridable so
+    # the r13 A/B (VERDICT r12 item 1b: quiet-to-quiet warm drifted +17%
+    # with zero plan changes and this conf was the prime suspect) can be
+    # replayed: SPARK_GRAFT_PERIODIC_GC=30min restores the Spark default.
+    "spark.cleaner.periodicGC.interval": os.environ.get(
+        "SPARK_GRAFT_PERIODIC_GC", "2min"
+    ),
 }
 
 
@@ -71,6 +76,19 @@ STREAMING_STATE_CONF = {
     # bound in-memory write buffers so executor heap stays for the query
     "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
 }
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``default`` when the conf is absent OR non-numeric — ADVICE r12 (low):
+    AQE-managed platforms may hold ``"auto"`` there, and a bare ``int()``
+    raised ValueError out of every operator that sizes a repartition from
+    the session (distributed.grouped_running_sum, dedup.rare_shared_pairs).
+    Session plumbing, shared by all call sites."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        return default
 
 
 def get_spark(

@@ -803,9 +803,12 @@ def incremental_dedup_sink(spark: SparkSession, sf_dir: str, target: str) -> Non
     build-right is unsupported for right outer — Spark silently degrades
     it to a sort-merge join; the ADVICE r11 finding), hence the
     two-join shape. At cluster scale the corpus side is the bucketed
-    fingerprint table the lake maintains. Verdicts append to ``target``
-    (idempotent under availableNow redelivery: the checkpoint owns batch
-    identity).
+    fingerprint table the lake maintains. Verdicts land in
+    ``target/out/batch=<id>`` with mode('overwrite') — ADVICE r12
+    (medium): a plain append was only at-least-once (a crash after the
+    append and before the checkpoint commit redelivers the batch and
+    duplicates rows); overwriting a batch-id-scoped dir makes redelivery
+    converge byte-for-byte, the same device as the quarantine path.
 
     Replay contract: copies of a doc_id landing in the SAME micro-batch
     are adjudicated exactly like the batch restore (deterministic
@@ -861,7 +864,11 @@ def incremental_dedup_sink(spark: SparkSession, sf_dir: str, target: str) -> Non
             F.col("dup_of").isNotNull().alias("is_duplicate"),
             "dup_of",
         )
-        out.write.mode("append").parquet(os.path.join(target, "out"))
+        # batch-id-scoped overwrite: idempotent under availableNow
+        # redelivery (ADVICE r12 medium — append was only at-least-once)
+        out.write.mode("overwrite").parquet(
+            os.path.join(target, "out", f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(verdicts)
@@ -927,9 +934,10 @@ def neardup_sink(spark: SparkSession, sf_dir: str, target: str) -> None:
     agreement (NEARDUP_AGREE_MIN of MINHASH_SEEDS seeds) and the novel
     docs restored by a second build-right broadcast join
     (dedup.neardup_verdicts — the two-join shape, since a broadcast
-    right-outer is unsupported). Verdicts append to ``target``
-    (idempotent under availableNow redelivery: the checkpoint owns
-    batch identity).
+    right-outer is unsupported). Verdicts land in
+    ``target/out/batch=<id>`` with mode('overwrite') — idempotent under
+    availableNow redelivery (ADVICE r12 medium: a plain append was only
+    at-least-once across a crash window).
     """
     import os
 
@@ -967,7 +975,11 @@ def neardup_sink(spark: SparkSession, sf_dir: str, target: str) -> None:
             ).filter(F.size("shingles") > 0)
         )
         out = neardup_verdicts(index, arriving)
-        out.write.mode("append").parquet(os.path.join(target, "out"))
+        # batch-id-scoped overwrite: idempotent under availableNow
+        # redelivery (ADVICE r12 medium — append was only at-least-once)
+        out.write.mode("overwrite").parquet(
+            os.path.join(target, "out", f"batch={batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(verdicts)
@@ -1038,10 +1050,13 @@ def drift_gated_sink(spark: SparkSession, sf_dir: str, target: str) -> None:
     batch contributes its own cells from one scan of the batch; the
     union of the two cell sets feeds the PSI tail. No micro-batch ever
     re-scans the reference corpus (at cluster scale the baseline cells
-    live in the metrics store and update on compaction). Reports append
-    to ``target/report``; the batch rows land whole in
-    ``target/published`` or ``target/_quarantine/batch=<id>`` behind a
-    ledger marker (idempotent under availableNow redelivery).
+    live in the metrics store and update on compaction). Reports land in
+    ``target/report/batch=<id>``; the batch rows land whole in
+    ``target/published/batch=<id>`` or ``target/_quarantine/batch=<id>``
+    — every path a batch-id-scoped mode('overwrite') dir behind a
+    ledger marker written last, so availableNow redelivery converges
+    byte-for-byte on all three routes (ADVICE r12 medium: the previous
+    plain appends were only at-least-once).
     """
     import json
     import os
@@ -1108,23 +1123,29 @@ def drift_gated_sink(spark: SparkSession, sf_dir: str, target: str) -> None:
         any_drift = report.agg(
             F.coalesce(F.bool_or("drifted"), F.lit(False)).alias("_any")
         )
+        # batch-id-scoped overwrites (ADVICE r12 medium): a plain append
+        # was only at-least-once — a crash after the append and before
+        # the ledger marker redelivers the batch and duplicates rows in
+        # report/published. Overwriting batch=<id> subdirs (the
+        # _quarantine pattern) makes every routing path converge under
+        # redelivery, keeping the ledger marker as the commit point.
         (
             report.join(F.broadcast(any_drift))
             .withColumn("published", ~F.col("_any"))
             .drop("_any")
-            .write.mode("append")
-            .parquet(os.path.join(target, "report"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(target, "report", f"batch={batch_id}"))
         )
         drifted = bool(any_drift.first()["_any"])
         if drifted:
             qdir = os.path.join(target, "_quarantine", f"batch={batch_id}")
             restored.write.mode("overwrite").parquet(qdir)
         else:
-            restored.write.mode("append").parquet(
-                os.path.join(target, "published")
+            restored.write.mode("overwrite").parquet(
+                os.path.join(target, "published", f"batch={batch_id}")
             )
         # ledger written LAST: a crash before this line redelivers the
-        # batch, and both routing paths are idempotent under redelivery
+        # batch, and every routing path is idempotent under redelivery
         with open(marker, "w") as f:
             json.dump({"outcome": "quarantined" if drifted else "published"}, f)
 
@@ -1162,6 +1183,7 @@ def streaming_rule_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         return (
             spark.read.parquet(os.path.join(target, "report"))
+            .drop("batch")  # partition-discovered batch=<id> scoping col
             .orderBy("source", "rule")
         )
     except AnalysisException:
@@ -1235,3 +1257,200 @@ def streaming_rule_drift_gate_oracle() -> str:
         FROM report
         ORDER BY source, rule
     """
+
+
+def ingest_front_door_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    target: str,
+    arriving_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The composed three-tier ADMISSION pipeline as a 24/7 streaming
+    front door (VERDICT r12 items 5+6): each arriving micro-batch is
+    restored to one-row-per-doc_id, adjudicated exact-tier -> banding
+    tier -> quality tier (operators.dedup.front_door_verdicts — the
+    SAME composition the batch twin runs), its verdict rows written
+    idempotently, and — the maintenance step a real lake runs — the
+    ADMITTED docs' fingerprints and band signatures are APPENDED to the
+    run's index deltas, so batch N+1 adjudicates against batch N's
+    admits: a batch-2 copy of a batch-1 admitted doc verdicts
+    'duplicate' (or 'near_dup' for a near-copy), which the static
+    session-pinned index alone could never see.
+
+    Index state = the session-pinned corpus indexes (md5 fingerprints +
+    neardup_band_index's capped exploded band rows — built once, never
+    re-scanned per batch) UNION the run's delta dirs
+    (``target/_index/{md5,band}/batch=<id>``). Each batch reads only
+    deltas with batch < its own id, so a redelivered batch never
+    self-matches; every write in the pass (verdicts, both deltas) is a
+    batch-id-scoped mode('overwrite') dir behind a ledger marker
+    written LAST — the drift_gated_sink idempotence discipline (ADVICE
+    r12 medium), so availableNow redelivery converges byte-for-byte.
+
+    Plan per batch: the corpus md5/band streams flow map-side past
+    broadcast hashes of the batch (build-right BHJs; the deltas ride
+    the same streamed side), the verdict table is read BACK from its
+    just-written batch dir to derive the admitted set (no recompute of
+    the adjudication plan), and the appended delta rows are
+    |admitted-batch|-bounded. At cluster scale the deltas are appends
+    to the lake's bucketed signature/fingerprint tables; occupancy
+    re-capping of appended band rows happens at compaction (the static
+    tier is capped at build — see neardup_band_index).
+
+    ``arriving_dir`` (tests): stream documents-schema parquet files
+    from this dir instead of the sf_dir decile slice, with
+    ``maxFilesPerTrigger`` controlling micro-batch granularity — the
+    multi-batch replay harness.
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        NEW_BATCH_MOD,
+        _normalized,
+        _shingles_of,
+        _sig_banded,
+        front_door_verdicts,
+        neardup_band_index,
+    )
+    from ..sources.catalog import _unique_tiebreak_cols, load_table_unique
+
+    m = NEW_BATCH_MOD
+    corpus = load_table_unique(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % m != m - 1
+    )
+    md5_index = corpus.select("doc_id", F.md5(_normalized()).alias("content_md5"))
+    band_index = neardup_band_index(spark, sf_dir)
+
+    reader = spark.readStream.schema(physical_schema(spark, sf_dir, "documents"))
+    if arriving_dir is None:
+        stream = (
+            reader.option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % m == m - 1))
+        )
+    else:
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(arriving_dir).filter(F.col("doc_id").isNotNull())
+
+    ledger = os.path.join(target, "_batches")
+    os.makedirs(ledger, exist_ok=True)
+    md5_delta_dir = os.path.join(target, "_index", "md5")
+    band_delta_dir = os.path.join(target, "_index", "band")
+
+    def _deltas_before(path: str, batch_id: int) -> DataFrame | None:
+        """Earlier batches' appended index rows; None when no delta has
+        been written yet. batch < id (not !=) keeps a redelivered
+        batch's own half-written delta out of its re-adjudication."""
+        try:
+            d = spark.read.parquet(path)
+        except AnalysisException:
+            return None
+        return d.filter(F.col("batch") < batch_id).drop("batch")
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        rest = _unique_tiebreak_cols("documents", batch_df.columns)
+        order = [F.col(c).asc_nulls_last() for c in rest] or [F.lit(1)]
+        w = Window.partitionBy("doc_id").orderBy(*order)
+        restored = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        d_md5 = _deltas_before(md5_delta_dir, batch_id)
+        d_band = _deltas_before(band_delta_dir, batch_id)
+        mi = md5_index if d_md5 is None else md5_index.unionByName(d_md5)
+        bi = band_index if d_band is None else band_index.unionByName(d_band)
+        out_dir = os.path.join(target, "out", f"batch={batch_id}")
+        front_door_verdicts(restored, mi, bi).write.mode("overwrite").parquet(
+            out_dir
+        )
+        # admit-then-append: derive the admitted set from the verdict
+        # table just written (read-back, not recompute) and append its
+        # fingerprints + band signatures for the NEXT batch to see
+        admitted = restored.join(
+            F.broadcast(
+                spark.read.parquet(out_dir)
+                .filter(F.col("verdict") == "admitted")
+                .select("doc_id")
+            ),
+            "doc_id",
+        )
+        admitted.select(
+            "doc_id", F.md5(_normalized()).alias("content_md5")
+        ).write.mode("overwrite").parquet(
+            os.path.join(md5_delta_dir, f"batch={batch_id}")
+        )
+        (
+            _sig_banded(
+                admitted.select(
+                    "doc_id",
+                    _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles"),
+                ).filter(F.size("shingles") > 0)
+            )
+            .select("doc_id", "mh", F.explode("buckets").alias("bucket"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(band_delta_dir, f"batch={batch_id}"))
+        )
+        # ledger written LAST: every write above is batch-id-scoped
+        # overwrite, so redelivery before this line converges
+        with open(marker, "w") as f:
+            f.write('{"outcome": "adjudicated"}')
+
+    q = (
+        stream.writeStream.foreachBatch(admit)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(target, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_ingest_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the streaming three-tier admission front door
+    (ingest_front_door_sink) drained via AvailableNow and the verdict
+    table returned as a DISTRIBUTED read over the drain's sink dir
+    (streaming.scratch lifecycle — evaluate before release_scratch).
+
+    Over a bounded source the arriving decile lands in ONE micro-batch
+    with no prior index deltas, so the verdicts equal the batch twin's
+    (ingest_front_door) row for row — the oracle IS the batch oracle.
+    The multi-batch admit-then-append behavior (batch-2 copy of a
+    batch-1 admit verdicts 'duplicate'/'near_dup') is pinned by
+    tests/test_round13.py's replay harness, which streams multiple
+    files at maxFilesPerTrigger=1."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from .scratch import scratch_dir
+
+    target = scratch_dir("sq_frontdoor_")
+    ingest_front_door_sink(spark, sf_dir, target)
+    sch = "doc_id long, verdict string, witness long, detail string"
+    try:
+        return (
+            spark.read.parquet(os.path.join(target, "out"))
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "verdict",
+                F.col("witness").cast("long").alias("witness"),
+                "detail",
+            )
+            .orderBy("doc_id")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], sch)
+
+
+def streaming_ingest_front_door_oracle() -> str:
+    from ..operators.dedup import ingest_front_door_oracle
+
+    return ingest_front_door_oracle()

@@ -12,11 +12,22 @@ cleanup happens at session teardown (atexit) or when a harness calls
 At cluster scale the equivalent is the job's staging prefix on shared
 storage with a TTL/lifecycle rule — the dir is an output location, not a
 driver buffer.
+
+EVALUATE-BEFORE-RELEASE CONTRACT (ADVICE r12, low): a DataFrame returned
+by an entry that reads a scratch dir is backed by the dir's parquet BYTES,
+not by lineage — ``release_scratch()`` deletes those bytes, so any held
+frame evaluated afterwards fails with path-not-found (unlike
+``release_pins()``, where lineage recomputes). Harnesses must collect /
+materialize every result they still need BEFORE calling
+``release_scratch()`` — exactly how bench.py orders it (warm passes, then
+release). The atexit hook is safe by construction: nothing evaluates
+after interpreter teardown.
 """
 
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -28,6 +39,30 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     _SCRATCH_DIRS.append(d)
     return d
+
+
+def materialize(df, prefix: str):
+    """Write ``df`` to a registered scratch dir as parquet and return a
+    DISTRIBUTED read over the immutable bytes (VERDICT r12 item 4).
+
+    This is the determinism-safe replacement for the unreleasable bare
+    ``.persist()`` of range-partitioned frames (grouped_running_sum,
+    epoch_shuffle): a persisted block that is EVICTED recomputes through
+    the range shuffle, whose boundary sampling over a nondeterministically
+    ordered upstream can re-split differently and silently corrupt
+    downstream offsets — parquet bytes cannot. And unlike a bare persist,
+    the frame is RELEASABLE: the same ``release_scratch()`` hook the
+    streaming drains use reclaims it (the r11 pinned-frame GC-pressure
+    class). At cluster scale this is stage materialization to a staging
+    prefix on shared storage — the standard checkpoint-to-storage move.
+
+    The read-back is subject to the evaluate-before-release contract
+    documented above.
+    """
+    d = scratch_dir(prefix)
+    path = os.path.join(d, "data")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def release_scratch() -> int:

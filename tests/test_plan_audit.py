@@ -104,18 +104,37 @@ def test_no_cartesian_or_rowudf(name, spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["pack_sequences", "source_token_budget"])
-def test_no_single_reducer_source_window(name, spark, sf_dir):
+def test_no_single_reducer_source_window(name, spark, sf_dir, monkeypatch):
     """The per-source running sums must use the distributed two-phase
     pattern: a range partition on (source, order) feeding a (pid, source)
     local window — never a full-table window partitioned by `source`
     alone, which is a single task per source at 100 TB. (A source-only
     window DOES remain over the per-(pid, source) offset table — that
-    input is metadata-sized by construction, so it is exempt.)"""
+    input is metadata-sized by construction, so it is exempt.)
+
+    Since VERDICT r12 item 4 the ranged frame is scratch-materialized, so
+    the range shuffle lives in the WRITE job's plan — captured here at
+    the materialize seam — while the returned plan carries the
+    (pid, source)-local window over the immutable read-back."""
     import re
 
+    from etl_schema_spark.streaming import scratch
+
+    write_plans: list[str] = []
+    real = scratch.materialize
+
+    def spy(df, prefix):
+        write_plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return real(df, prefix)
+
+    monkeypatch.setattr(scratch, "materialize", spy)
     df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan, f"{name}: no range partition\n{plan}"
+    assert write_plans, f"{name}: running sum no longer materializes"
+    assert any("rangepartitioning" in p for p in write_plans), (
+        f"{name}: no range partition in the materialized split\n"
+        + "\n".join(write_plans)
+    )
     local = re.search(r"windowspecdefinition\(_+pid#\d+, source#\d+", plan)
     assert local, f"{name}: no (pid, source)-local window\n{plan}"
 
