@@ -60,254 +60,238 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail will NOT be scored this round. Enforced by
     # tests/test_plan_audit.py::test_stale_entries_sort_into_scored_window.
     return {
-        # -- group 0: NEW this round (r13), never scored -------------------
+        # -- group 0: NEW this round (r13), never scored (1) -------------
         # The streaming twin of ingest_front_door (VERDICT r12 items 5+6):
         # per-micro-batch three-tier admission with admit-then-append
         # index maintenance behind the batch-id-scoped overwrite ledger.
         "streaming_ingest_front_door": streaming.streaming_ingest_front_door,
-        # -- r12 additions, scored r12 -------------------------------------
-        # r12 additions: the near-dup-at-ingest front door (batch +
-        # streaming twins over the session-pinned MinHash band-bucket
-        # index), the per-batch rule-drift gate, and the graph-expanded
-        # ANN recall eval (VERDICT r11 items 4 and 7).
-        "incremental_neardup": dedup.incremental_neardup,
-        "streaming_neardup": streaming.streaming_neardup,
-        "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate,
-        "ann_graph_expand_eval": similarity.ann_graph_expand_eval,
-        # + ingest_front_door (joined late-round): the composed
-        # per-document admission pipeline — exact tier, banding tier,
-        # quality tier, admitted — in production order, one verdict row
-        # per arriving doc.
-        "ingest_front_door": dedup.ingest_front_door,
         # -- group 1: implementation changed since the entry's last green
-        # verdict (33, tools/verdict_freshness.py): the r12 work set —
-        # the two-join broadcast restructure (incremental_dedup + its
-        # streaming twin), rare_shared_pairs' phase-A fanout +
-        # containment_dup's pin lifecycle, grouped_running_sum sized from
-        # the session (all its consumers), the _psi_report cells split
-        # (psi trio), the distributed streaming drains, key_skew_profile's
-        # nk reuse — PLUS the latent local-import tail the freshness tool
-        # could not see before r12 (helpers reached only through
-        # function-local imports now join the fingerprint closure, so
-        # every past consumer of those helpers re-rotates once). --------
-        "ccnet_source_split": curation.ccnet_source_split,  # r10
-        "containment_dup": dedup.containment_dup,  # r11
-        "dedup_aware_split": graph.dedup_aware_split,  # r11
-        "dedup_impact_curve": dedup.dedup_impact_curve,  # r08
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,  # r07
-        "doc_length_drift": drift.doc_length_drift,  # r10
-        "dup_cluster_stats": graph.dup_cluster_stats,  # r11
-        "dup_components": graph.dup_components,  # r11
-        "dup_pagerank": graph.dup_pagerank,  # r11
-        "embedding_outliers": similarity.embedding_outliers,  # r09
-        "incremental_dedup": dedup.incremental_dedup,  # r08
-        "key_skew_profile": skew.key_skew_profile,  # r11
-        "label_balance_sample": similarity.label_balance_sample,  # r09
-        "lsh_tuning_curve": dedup.lsh_tuning_curve,  # r08
-        "mad_outliers": analytics.mad_outliers,  # r07
-        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # r07
-        "minhash_pr_eval": dedup.minhash_pr_eval,  # r11
-        "near_dup_keep_plan": graph.near_dup_keep_plan,  # r11
-        "pack_efficiency_sweep": packing.pack_efficiency_sweep,  # r07
-        "pack_fill_audit": packing.pack_fill_audit,  # r11
-        "pack_sequences": packing.pack_sequences,  # r07
-        "perplexity_buckets": text.perplexity_buckets,  # r06
-        "psi_value_drift": drift.psi_value_drift,  # r10
-        "quality_rule_drift": drift.quality_rule_drift,  # r11
-        # + semdedup_clusters (joined mid-round): its bare .persist()
-        # converted to swap_pin, the last ADVICE-r5 leak-class site
-        "semdedup_clusters": similarity.semdedup_clusters,  # r09
-        "source_token_budget": corpus.source_token_budget,  # r09
-        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,  # r11
-        "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,  # r10
-        "tail_latency_percentiles": analytics.tail_latency_percentiles,  # r06
-        "template_communities": graph.template_communities,  # r11
-        "trimmed_mean_value": analytics.trimmed_mean_value,  # r08
-        "triplet_mining": similarity.triplet_mining,  # r09
-        "user_activity_gini": analytics.user_activity_gini,  # r11
-        "vocab_growth_curve": corpus.vocab_growth_curve,  # r06
-        # -- group 2: re-verification rotation, oldest verdict first —
-        # the ENTIRE remaining r6 cohort (9, retiring round 6 from the
-        # freshness histogram) then the r7 cohort head (4) --------------
-        "multimodal_meta": multimodal.multimodal_meta,  # r06
-        "multimodal_resize": multimodal.multimodal_resize,  # r06
-        "q12_shipmode": relational_ext.q12_shipmode,  # r06
-        "repetition_stats": curation.repetition_stats,  # r06
-        "stratified_sample": corpus.stratified_sample,  # r06
-        "streaming_attribution_join": streaming.streaming_attribution_join,  # r06
-        "substring_repeat_ladder": dedup.substring_repeat_ladder,  # r06
-        "text_quality": text.text_quality,  # r06
-        "tfidf_top_terms": text.tfidf_top_terms,  # r06
-        "annotate_renest": views_layer.annotate_renest,  # r07
-        "churned_users": analytics.churned_users,  # r07
+        # verdict (29, tools/verdict_freshness.py): the r13 work set —
+        # grouped_running_sum's scratch-materialized range split (all its
+        # consumers re-rotate), the swap_pin bare-persist sweep (tfidf /
+        # domain_mix / seasonal / cross_source_overlap / kmv_set_ops),
+        # epoch_shuffle's materialized split, the band-index occupancy
+        # cap (neardup family + front doors), the batch-scoped idempotent
+        # sink rewrites (streaming dedup/neardup/drift-gate), the shared
+        # front_door_verdicts refactor, rare_shared_pairs' conf fallback
+        # (containment_dup + template_communities), and topk_drift_weekly's
+        # truly K-bounded Arrow phase 1. ------------------------------
+        "ccnet_source_split": curation.ccnet_source_split,  # r12
+        "containment_dup": dedup.containment_dup,  # r12
+        "cross_source_overlap": corpus.cross_source_overlap,  # r10
+        "domain_mix_weights": packing.domain_mix_weights,  # r11
+        "embedding_outliers": similarity.embedding_outliers,  # r12
+        "epoch_shuffle": corpus.epoch_shuffle,  # r09
+        "incremental_neardup": dedup.incremental_neardup,  # r12
+        "ingest_front_door": dedup.ingest_front_door,  # r12
+        "key_skew_profile": skew.key_skew_profile,  # r12
+        "kmv_set_ops": sketches.kmv_set_ops,  # r11
+        "label_balance_sample": similarity.label_balance_sample,  # r12
+        "mad_outliers": analytics.mad_outliers,  # r12
+        "pack_efficiency_sweep": packing.pack_efficiency_sweep,  # r12
+        "pack_fill_audit": packing.pack_fill_audit,  # r12
+        "pack_sequences": packing.pack_sequences,  # r12
+        "perplexity_buckets": text.perplexity_buckets,  # r12
+        "seasonal_baseline": analytics.seasonal_baseline,  # r07
+        "source_token_budget": corpus.source_token_budget,  # r12
+        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,  # r12
+        "streaming_neardup": streaming.streaming_neardup,  # r12
+        "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate,  # r12
+        "tail_latency_percentiles": analytics.tail_latency_percentiles,  # r12
+        "template_communities": graph.template_communities,  # r12
+        "tfidf_top_terms": text.tfidf_top_terms,  # r12
+        "topk_drift_weekly": drift.topk_drift_weekly,  # r11
+        "trimmed_mean_value": analytics.trimmed_mean_value,  # r12
+        "triplet_mining": similarity.triplet_mining,  # r12
+        "user_activity_gini": analytics.user_activity_gini,  # r12
+        "vocab_growth_curve": corpus.vocab_growth_curve,  # r12
+        # -- group 2: oldest-verdict rotation fill (20 of the 28-entry r7
+        # freshness tail; the remaining 8 — sliding_window_stats,
+        # source_quality_profile, static_mapping, streaming_distinct_keys,
+        # substring_dup_spans, switch_utilization, tiered_views,
+        # top_clients_per_type — carry a fresh LOCAL sf0.01 gate this
+        # round (BENCH_NOTES r13) and rotate first in r14. --------------
+        "corr_value_hour": analytics.corr_value_hour,  # r07
+        "daily_deciles": rollups.daily_deciles,  # r07
+        "dedup_editdistance": dedup.dedup_editdistance,  # r07
+        "gapfill_interp": analytics.gapfill_interp,  # r07
+        "gapfill_locf": analytics.gapfill_locf,  # r07
+        "geomean_by_type": rollups.geomean_by_type,  # r07
+        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,  # r07
+        "image_ahash_dup": multimodal.image_ahash_dup,  # r07
+        "json_extract_props": corpus.json_extract_props,  # r07
+        "linear_trend": analytics.linear_trend,  # r07
+        "log_pdf_cdf": rollups.log_pdf_cdf,  # r07
+        "multigrain_stats": analytics.multigrain_stats,  # r07
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # r07
+        "multistream_throughput": rollups.multistream_throughput,  # r07
+        "pmi_cooccur_terms": text.pmi_cooccur_terms,  # r07
+        "reservoir_sample_per_key": corpus.reservoir_sample_per_key,  # r07
+        "rfm_features": analytics.rfm_features,  # r07
+        "rollup_revenue": analytics.rollup_revenue,  # r07
+        "sidestream_view": rollups.sidestream_view,  # r07
+        "skew_salted_daily_users": skew.skew_salted_daily_users,  # r07
         # ---------------- 50-entry scoring cap lands here ----------------
-        # -- re-verification rotation: fresh entries, oldest verdict
-        # first (r7 cohort remainder, then r8+) --------------------------
-        # -- fresh, last scored r7 --
-        "corr_value_hour": analytics.corr_value_hour,
-        "daily_deciles": rollups.daily_deciles,
-        "dedup_editdistance": dedup.dedup_editdistance,
-        "gapfill_interp": analytics.gapfill_interp,
-        "gapfill_locf": analytics.gapfill_locf,
-        "geomean_by_type": rollups.geomean_by_type,
-        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,
-        "image_ahash_dup": multimodal.image_ahash_dup,
-        "json_extract_props": corpus.json_extract_props,
-        "linear_trend": analytics.linear_trend,
-        "log_pdf_cdf": rollups.log_pdf_cdf,
-        "multigrain_stats": analytics.multigrain_stats,
-        "multimodal_wav_energy": multimodal.multimodal_wav_energy,
-        "multistream_throughput": rollups.multistream_throughput,
-        "pmi_cooccur_terms": text.pmi_cooccur_terms,
-        "reservoir_sample_per_key": corpus.reservoir_sample_per_key,
-        "rfm_features": analytics.rfm_features,
-        "rollup_revenue": analytics.rollup_revenue,
-        "seasonal_baseline": analytics.seasonal_baseline,
-        "sidestream_view": rollups.sidestream_view,
-        "skew_salted_daily_users": skew.skew_salted_daily_users,
-        "sliding_window_stats": rollups.sliding_window_stats,
-        "source_quality_profile": curation.source_quality_profile,
-        "static_mapping": transforms.static_mapping,
-        "streaming_distinct_keys": streaming.streaming_distinct_keys,
-        "substring_dup_spans": dedup.substring_dup_spans,
-        "switch_utilization": rollups.switch_utilization,
-        "tiered_views": view_families.tiered_views,
-        "top_clients_per_type": sessions.top_clients_per_type,
-        # -- fresh, last scored r8 --
-        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,
-        "cross_source_dup_leakage": corpus.cross_source_dup_leakage,
-        "dedup_best_per_user": rollups.dedup_best_per_user,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_minhash_portable": dedup.dedup_minhash_portable,
-        "dsir_importance_weights": curation.dsir_importance_weights,
-        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean( s, d, direction="download", fleet="complete" ),
-        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf( s, d, direction="upload", fleet="2021" ),
-        "hourly_rollup": rollups.hourly_rollup,
-        "length_filter_sweep": curation.length_filter_sweep,
-        "new_vs_returning": analytics.new_vs_returning,
-        "restore_unique_docs": corpus.restore_unique_docs,
-        "streaming_hopping_counts": streaming.streaming_hopping_counts,
-        "streaming_hourly_counts": streaming.streaming_hourly_counts,
-        "streaming_topk_keys": streaming.streaming_topk_keys,
-        "unified_view_events": views_layer.unified_view,
-        "unigram_lm_pieces": text.unigram_lm_pieces,
-        "user_transition_matrix": analytics.user_transition_matrix,
-        "weighted_sample_ares": corpus.weighted_sample_ares,
-        "zscore_outliers": analytics.zscore_outliers,
-        # -- fresh, last scored r9 --
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "centroid_per_label": corpus.centroid_per_label,
-        "curation_pipeline": curation.curation_pipeline,
-        "embedding_domain_profile": similarity.embedding_domain_profile,
-        "embedding_quantize": similarity.embedding_quantize,
-        "epoch_shuffle": corpus.epoch_shuffle,
-        "hll_distinct_estimate": sketches.hll_distinct_estimate,
-        "ivf_recall_eval": similarity.ivf_recall_eval,
-        "jl_projection": similarity.jl_projection,
-        "kmeans_clusters": similarity.kmeans_clusters,
-        "knn_classify": similarity.knn_classify,
-        "ndcg_eval": similarity.ndcg_eval,
-        "pii_scrub": text.pii_scrub,
-        "q10_returned_items": relational.q10_returned_items,
-        "q11_important_stock": relational_ext.q11_important_stock,
-        "q13_customer_distribution": relational_ext.q13_customer_distribution,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q15_top_supplier": relational_ext.q15_top_supplier,
-        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q4_order_priority": relational.q4_order_priority,
-        "q5_local_supplier": relational.q5_local_supplier,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_type_profit": relational_ext.q9_product_type_profit,
-        "quality_expectation_report": quality.expectation_report,
-        "range_interval_join": rangejoin.range_interval_join,
-        "repeat_profile_automaton": dedup.repeat_profile_automaton,
-        "retention_cohorts": analytics.retention_cohorts,
-        "rolling_active_users": rollups.rolling_active_users,
-        "vocab_coverage": text.vocab_coverage,
-        "wildcard_union": rollups.wildcard_union,
-        # -- fresh, last scored r10 --
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "asof_attribution": asof.asof_attribution,
-        "asof_nearest": asof.asof_nearest,
-        "bm25_retrieval": text.bm25_retrieval,
-        "boundary_templates": dedup.boundary_templates,
-        "bpe_merge_candidates": text.bpe_merge_candidates,
-        "centroid_shift_drift": similarity.centroid_shift_drift,
-        "code_detect": text.code_detect,
-        "concurrency_peak": sessions.concurrency_peak,
-        "cross_source_overlap": corpus.cross_source_overlap,
-        "dedup_exact": dedup.dedup_exact,
-        "doc_fingerprint": text.doc_fingerprint,
-        "embedding_cosine_dup": similarity.embedding_cosine_dup,
-        "embedding_decontaminate": similarity.embedding_decontaminate,
-        "funnel_conversion": analytics.funnel_conversion,
-        "gopher_quality_flags": curation.gopher_quality_flags,
-        "joined_view_template": view_families.joined_view_template,
-        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,
-        "lm_domain_perplexity": curation.lm_domain_perplexity,
-        "mix_epoch_plan": packing.mix_epoch_plan,
-        "pii_risk_profile": text.pii_risk_profile,
-        "pivot_event_counts": analytics.pivot_event_counts,
-        "q16_parts_supplier": relational_ext.q16_parts_supplier,
-        "q17_small_quantity": relational_ext.q17_small_quantity,
-        "q18_big_orders": transforms.q18_big_orders,
-        "q20_potential_promotion": relational_ext.q20_potential_promotion,
-        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,
-        "q22_inactive_customers": transforms.q22_inactive_customers,
-        "quality_logreg_score": curation.quality_logreg_score,
-        "quality_score_calibration": curation.quality_score_calibration,
-        "raw_view_events": views_layer.raw_view,
-        "simhash_fingerprint": dedup.simhash_fingerprint,
-        "streaming_ingest_restore": streaming.streaming_ingest_restore,
-        "token_count": text.token_count,
-        "trailing_window_view": view_families.trailing_window_view,
-        # -- fresh, last scored r11 --
-        "audio_vad_segments": multimodal.audio_vad_segments,
-        "bigram_surprisal": text.bigram_surprisal,
-        "bloom_membership": sketches.bloom_membership,
-        "canonical_pick": corpus.canonical_pick,
-        "chunk_dedup": packing.chunk_dedup,
-        "cms_frequency_estimate": sketches.cms_frequency_estimate,
-        "daily_modal_event": analytics.daily_modal_event,
-        "dataset_card": corpus.dataset_card,
-        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,
-        "doc_chunks": packing.doc_chunks,
-        "doc_entropy": text.doc_entropy,
-        "domain_mix_weights": packing.domain_mix_weights,
-        "doremi_excess_reweight": curation.doremi_excess_reweight,
-        "extended_view_events": views_layer.extended_view,
-        "hashing_trick_features": text.hashing_trick_features,
-        "hll_daily_merge": sketches.hll_daily_merge,
-        "interval_coverage": sessions.interval_coverage,
-        "kmv_set_ops": sketches.kmv_set_ops,
-        "langid_heuristic": text.langid_heuristic,
-        "late_arrival_audit": analytics.late_arrival_audit,
-        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,
-        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-        "ngram_novelty_score": curation.ngram_novelty_score,
-        "running_totals": sessions.running_totals,
-        "scd2_history": analytics.scd2_history,
-        "session_top_paths": sessions.session_top_paths,
-        "sessionized_events": sessions.sessionized_events,
-        "streaming_ewma_flags": streaming.streaming_ewma_flags,
-        "streaming_session_windows": streaming.streaming_session_windows,
-        "time_weighted_value": analytics.time_weighted_value,
-        "token_count_bpe": text.token_count_bpe,
-        "tokenizer_fertility": text.tokenizer_fertility,
-        "topk_drift_weekly": drift.topk_drift_weekly,
-        "windowed_funnel": analytics.windowed_funnel,
-        "winnowing_fingerprint": dedup.winnowing_fingerprint,
-        "zipf_term_stats": corpus.zipf_term_stats,
-        # -- fresh, last scored r10 --
-        "cross_lang_contamination": curation.cross_lang_contamination,
+        "ann_graph_expand_eval": similarity.ann_graph_expand_eval,  # r12
+        "dedup_aware_split": graph.dedup_aware_split,  # r12
+        "dedup_impact_curve": dedup.dedup_impact_curve,  # r12
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,  # r12
+        "doc_length_drift": drift.doc_length_drift,  # r12
+        "dup_cluster_stats": graph.dup_cluster_stats,  # r12
+        "dup_components": graph.dup_components,  # r12
+        "dup_pagerank": graph.dup_pagerank,  # r12
+        "incremental_dedup": dedup.incremental_dedup,  # r12
+        "lsh_tuning_curve": dedup.lsh_tuning_curve,  # r12
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # r12
+        "minhash_pr_eval": dedup.minhash_pr_eval,  # r12
+        "near_dup_keep_plan": graph.near_dup_keep_plan,  # r12
+        "psi_value_drift": drift.psi_value_drift,  # r12
+        "quality_rule_drift": drift.quality_rule_drift,  # r12
+        "semdedup_clusters": similarity.semdedup_clusters,  # r12
+        "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,  # r12
+        "multimodal_meta": multimodal.multimodal_meta,  # r12
+        "multimodal_resize": multimodal.multimodal_resize,  # r12
+        "q12_shipmode": relational_ext.q12_shipmode,  # r12
+        "repetition_stats": curation.repetition_stats,  # r12
+        "stratified_sample": corpus.stratified_sample,  # r12
+        "streaming_attribution_join": streaming.streaming_attribution_join,  # r12
+        "substring_repeat_ladder": dedup.substring_repeat_ladder,  # r12
+        "text_quality": text.text_quality,  # r12
+        "annotate_renest": views_layer.annotate_renest,  # r12
+        "churned_users": analytics.churned_users,  # r12
+        "sliding_window_stats": rollups.sliding_window_stats,  # r07
+        "source_quality_profile": curation.source_quality_profile,  # r07
+        "static_mapping": transforms.static_mapping,  # r07
+        "streaming_distinct_keys": streaming.streaming_distinct_keys,  # r07
+        "substring_dup_spans": dedup.substring_dup_spans,  # r07
+        "switch_utilization": rollups.switch_utilization,  # r07
+        "tiered_views": view_families.tiered_views,  # r07
+        "top_clients_per_type": sessions.top_clients_per_type,  # r07
+        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,  # r08
+        "cross_source_dup_leakage": corpus.cross_source_dup_leakage,  # r08
+        "dedup_best_per_user": rollups.dedup_best_per_user,  # r08
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # r08
+        "dedup_minhash_portable": dedup.dedup_minhash_portable,  # r08
+        "dsir_importance_weights": curation.dsir_importance_weights,  # r08
+        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean( s, d, direction="download", fleet="complete" ),  # r08
+        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf( s, d, direction="upload", fleet="2021" ),  # r08
+        "hourly_rollup": rollups.hourly_rollup,  # r08
+        "length_filter_sweep": curation.length_filter_sweep,  # r08
+        "new_vs_returning": analytics.new_vs_returning,  # r08
+        "restore_unique_docs": corpus.restore_unique_docs,  # r08
+        "streaming_hopping_counts": streaming.streaming_hopping_counts,  # r08
+        "streaming_hourly_counts": streaming.streaming_hourly_counts,  # r08
+        "streaming_topk_keys": streaming.streaming_topk_keys,  # r08
+        "unified_view_events": views_layer.unified_view,  # r08
+        "unigram_lm_pieces": text.unigram_lm_pieces,  # r08
+        "user_transition_matrix": analytics.user_transition_matrix,  # r08
+        "weighted_sample_ares": corpus.weighted_sample_ares,  # r08
+        "zscore_outliers": analytics.zscore_outliers,  # r08
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,  # r09
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # r09
+        "ann_lsh_topk": similarity.ann_lsh_topk,  # r09
+        "centroid_per_label": corpus.centroid_per_label,  # r09
+        "curation_pipeline": curation.curation_pipeline,  # r09
+        "embedding_domain_profile": similarity.embedding_domain_profile,  # r09
+        "embedding_quantize": similarity.embedding_quantize,  # r09
+        "hll_distinct_estimate": sketches.hll_distinct_estimate,  # r09
+        "ivf_recall_eval": similarity.ivf_recall_eval,  # r09
+        "jl_projection": similarity.jl_projection,  # r09
+        "kmeans_clusters": similarity.kmeans_clusters,  # r09
+        "knn_classify": similarity.knn_classify,  # r09
+        "ndcg_eval": similarity.ndcg_eval,  # r09
+        "pii_scrub": text.pii_scrub,  # r09
+        "q10_returned_items": relational.q10_returned_items,  # r09
+        "q11_important_stock": relational_ext.q11_important_stock,  # r09
+        "q13_customer_distribution": relational_ext.q13_customer_distribution,  # r09
+        "q14_promo_revenue": relational.q14_promo_revenue,  # r09
+        "q15_top_supplier": relational_ext.q15_top_supplier,  # r09
+        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,  # r09
+        "q1_pricing_summary": relational.q1_pricing_summary,  # r09
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,  # r09
+        "q3_shipping_priority": relational.q3_shipping_priority,  # r09
+        "q4_order_priority": relational.q4_order_priority,  # r09
+        "q5_local_supplier": relational.q5_local_supplier,  # r09
+        "q6_forecast_revenue": relational.q6_forecast_revenue,  # r09
+        "q7_volume_shipping": relational.q7_volume_shipping,  # r09
+        "q8_market_share": relational.q8_market_share,  # r09
+        "q9_product_type_profit": relational_ext.q9_product_type_profit,  # r09
+        "quality_expectation_report": quality.expectation_report,  # r09
+        "range_interval_join": rangejoin.range_interval_join,  # r09
+        "repeat_profile_automaton": dedup.repeat_profile_automaton,  # r09
+        "retention_cohorts": analytics.retention_cohorts,  # r09
+        "rolling_active_users": rollups.rolling_active_users,  # r09
+        "vocab_coverage": text.vocab_coverage,  # r09
+        "wildcard_union": rollups.wildcard_union,  # r09
+        "ann_pq_topk": similarity.ann_pq_topk,  # r10
+        "asof_attribution": asof.asof_attribution,  # r10
+        "asof_nearest": asof.asof_nearest,  # r10
+        "bm25_retrieval": text.bm25_retrieval,  # r10
+        "boundary_templates": dedup.boundary_templates,  # r10
+        "bpe_merge_candidates": text.bpe_merge_candidates,  # r10
+        "centroid_shift_drift": similarity.centroid_shift_drift,  # r10
+        "code_detect": text.code_detect,  # r10
+        "concurrency_peak": sessions.concurrency_peak,  # r10
+        "dedup_exact": dedup.dedup_exact,  # r10
+        "doc_fingerprint": text.doc_fingerprint,  # r10
+        "embedding_cosine_dup": similarity.embedding_cosine_dup,  # r10
+        "embedding_decontaminate": similarity.embedding_decontaminate,  # r10
+        "funnel_conversion": analytics.funnel_conversion,  # r10
+        "gopher_quality_flags": curation.gopher_quality_flags,  # r10
+        "joined_view_template": view_families.joined_view_template,  # r10
+        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,  # r10
+        "lm_domain_perplexity": curation.lm_domain_perplexity,  # r10
+        "mix_epoch_plan": packing.mix_epoch_plan,  # r10
+        "pii_risk_profile": text.pii_risk_profile,  # r10
+        "pivot_event_counts": analytics.pivot_event_counts,  # r10
+        "q16_parts_supplier": relational_ext.q16_parts_supplier,  # r10
+        "q17_small_quantity": relational_ext.q17_small_quantity,  # r10
+        "q18_big_orders": transforms.q18_big_orders,  # r10
+        "q20_potential_promotion": relational_ext.q20_potential_promotion,  # r10
+        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,  # r10
+        "q22_inactive_customers": transforms.q22_inactive_customers,  # r10
+        "quality_logreg_score": curation.quality_logreg_score,  # r10
+        "quality_score_calibration": curation.quality_score_calibration,  # r10
+        "raw_view_events": views_layer.raw_view,  # r10
+        "simhash_fingerprint": dedup.simhash_fingerprint,  # r10
+        "streaming_ingest_restore": streaming.streaming_ingest_restore,  # r10
+        "token_count": text.token_count,  # r10
+        "trailing_window_view": view_families.trailing_window_view,  # r10
+        "audio_vad_segments": multimodal.audio_vad_segments,  # r11
+        "bigram_surprisal": text.bigram_surprisal,  # r11
+        "bloom_membership": sketches.bloom_membership,  # r11
+        "canonical_pick": corpus.canonical_pick,  # r11
+        "chunk_dedup": packing.chunk_dedup,  # r11
+        "cms_frequency_estimate": sketches.cms_frequency_estimate,  # r11
+        "daily_modal_event": analytics.daily_modal_event,  # r11
+        "dataset_card": corpus.dataset_card,  # r11
+        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,  # r11
+        "doc_chunks": packing.doc_chunks,  # r11
+        "doc_entropy": text.doc_entropy,  # r11
+        "doremi_excess_reweight": curation.doremi_excess_reweight,  # r11
+        "extended_view_events": views_layer.extended_view,  # r11
+        "hashing_trick_features": text.hashing_trick_features,  # r11
+        "hll_daily_merge": sketches.hll_daily_merge,  # r11
+        "interval_coverage": sessions.interval_coverage,  # r11
+        "langid_heuristic": text.langid_heuristic,  # r11
+        "late_arrival_audit": analytics.late_arrival_audit,  # r11
+        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,  # r11
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # r11
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # r11
+        "ngram_novelty_score": curation.ngram_novelty_score,  # r11
+        "running_totals": sessions.running_totals,  # r11
+        "scd2_history": analytics.scd2_history,  # r11
+        "session_top_paths": sessions.session_top_paths,  # r11
+        "sessionized_events": sessions.sessionized_events,  # r11
+        "streaming_ewma_flags": streaming.streaming_ewma_flags,  # r11
+        "streaming_session_windows": streaming.streaming_session_windows,  # r11
+        "time_weighted_value": analytics.time_weighted_value,  # r11
+        "token_count_bpe": text.token_count_bpe,  # r11
+        "tokenizer_fertility": text.tokenizer_fertility,  # r11
+        "windowed_funnel": analytics.windowed_funnel,  # r11
+        "winnowing_fingerprint": dedup.winnowing_fingerprint,  # r11
+        "zipf_term_stats": corpus.zipf_term_stats,  # r11
+        "cross_lang_contamination": curation.cross_lang_contamination,  # r10
     }
 
 

@@ -36,7 +36,6 @@ from .contracts import (
 
 PSI_DRIFT_LINE = 0.2  # the standard "significant shift" threshold
 TOPK_DRIFT_K = 10
-TOPK_SALTS = 16  # phase-1 reducers per week in the two-phase top-K
 
 
 def log_bucket(col: str | Column = "value") -> Column:
@@ -255,53 +254,86 @@ def topk_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL = new entrant) with the rank delta — the trending/churn monitor
     over ranks that psi_value_drift gives over histograms.
 
-    One scan, one (week, user) partial-aggregated count, then the
-    two-phase top-K (r11, VERDICT r10 finding 3): phase 1 RETAINS only K
-    sort-key structs per (week, salt), and phase 2 merges |salts|
-    K-arrays per week (K*salts rows, metadata-sized), exactly the
-    reservoir_sample_per_key device. Honest bound (ADVICE r11): phase
-    1's collect_list buffers its whole (week, salt) group — ~|week's
-    distinct users| / TOPK_SALTS rows — BEFORE the sort+slice prunes to
-    K; the salting divides the single-task sort by a constant 16x, it
-    does not cap per-task state at K. A strictly K-bounded reducer needs
-    an incrementally-pruning aggregation buffer Spark SQL does not
-    provide (collect_list is append-only); the fixed-depth alternative —
-    more salt levels halving geometrically — still starts from a
-    data-dependent level-0 group. At the scale where |week|/16 overflows
-    a task, raise TOPK_SALTS with the cluster (the merge stays
-    K*salts-bounded) — the same dial reservoir_sample_per_key documents. The previous `row_number() OVER
-    (PARTITION BY week)` sorted a week's ENTIRE active-user aggregate in
-    one task — the single-task-sort shape SURVEY §4 forbids. The struct
-    encodes (n_events DESC, user_id ASC NULLS LAST) as (-n_events,
-    is_null(user_id), user_id) ascending — booleans sort false < true,
-    so identified users beat the NULL-user stream at equal counts in
-    BOTH engines (DuckDB's bare ASC is already nulls-last; Spark's is
-    nulls-first — the wave-6 class). The board-to-board self-join on
-    (prev week, user) stays top-K-bounded on both sides.
+    One scan, one (week, user) partial-aggregated count, then a TRULY
+    K-bounded two-phase top-K (VERDICT r12 item 7, closing the ADVICE
+    r11 gap the r11 salted form documented honestly): phase 1 is a
+    per-PARTITION bounded heap over the counts aggregate — an Arrow
+    ``mapInPandas`` pass whose state is at most 2K rows per week per
+    task (prune-to-K on overflow), the "fold the top-k inside a partial
+    aggregate" device Spark SQL's append-only collect_list cannot
+    express (sketches.py's long-documented gap; this is exactly the
+    asymptotically-wrong-in-SQL case where the repo's Arrow-boundary
+    policy applies). No shuffle precedes it — it prunes the groupBy
+    output in place, so the only post-counts exchange carries <= K x
+    |partitions| candidate rows per week (metadata-sized), where the r11
+    salted form re-shuffled the ENTIRE counts table into (week, salt)
+    groups and buffered ~|week|/16 rows per task before slicing. Phase 2
+    merges the candidates per week with the usual sort+slice — its
+    collect_list input is K-bounded by construction.
+
+    The NULL-user row (at most ONE per week after the aggregate —
+    groupBy collapses all NULL user_ids) bypasses the Python pass and
+    unions straight into the merge: int64 user_ids therefore never ride
+    an Arrow->pandas nullable conversion (which would degrade them to
+    float64 + NaN and silently lose precision past 2^53 at real id
+    scales). Inside the heap the sort key is (-n_events, user_id) —
+    NULLs are absent by construction; the merge struct keeps the
+    (nneg, unull, user_id) encoding so identified users beat the
+    NULL-user stream at equal counts in BOTH engines (DuckDB's bare ASC
+    is already nulls-last; Spark's is nulls-first — the wave-6 class).
+    The board-to-board self-join on (prev week, user) stays
+    top-K-bounded on both sides.
     """
     ev = load_table(spark, sf_dir, "events").filter(plausible_ts("ts"))
     counts = ev.groupBy(
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
         "user_id",
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    k = TOPK_DRIFT_K
+
+    def partition_topk(batches):
+        # bounded per-task state: per week a candidate list pruned to K
+        # whenever it exceeds 2K — amortized O(n log K) time, O(K) space
+        # per week key resident in this partition
+        state: dict = {}
+        for pdf in batches:
+            for week, user, n in zip(
+                pdf["week"], pdf["user_id"], pdf["n_events"]
+            ):
+                cands = state.setdefault(week, [])
+                cands.append((-int(n), int(user)))
+                if len(cands) > 2 * k:
+                    cands.sort()
+                    del cands[k:]
+        import pandas as pd
+
+        out = {"week": [], "user_id": [], "n_events": []}
+        for week, cands in state.items():
+            cands.sort()
+            for nneg, user in cands[:k]:
+                out["week"].append(week)
+                out["user_id"].append(user)
+                out["n_events"].append(-nneg)
+        yield pd.DataFrame(out)
+
+    nn = counts.filter(F.col("user_id").isNotNull())
+    cand = nn.mapInPandas(
+        partition_topk, "week date, user_id long, n_events long"
+    )
+    # <= 1 NULL-user row per week: joins the merge directly, outside Python
+    cands = cand.unionByName(counts.filter(F.col("user_id").isNull()))
     key = F.struct(
         (-F.col("n_events")).alias("nneg"),
         F.col("user_id").isNull().alias("unull"),
         F.col("user_id").alias("user_id"),
         F.col("n_events").alias("n_events"),
     )
-    phase1 = (
-        counts.withColumn("_salt", F.pmod(F.xxhash64("user_id"), F.lit(TOPK_SALTS)))
-        .groupBy("week", "_salt")
-        .agg(
-            F.slice(F.array_sort(F.collect_list(key)), 1, TOPK_DRIFT_K).alias("cand")
-        )
-    )
     board = (
-        phase1.groupBy("week")
+        cands.groupBy("week")
         .agg(
             F.slice(
-                F.array_sort(F.flatten(F.collect_list("cand"))), 1, TOPK_DRIFT_K
+                F.array_sort(F.collect_list(key)), 1, TOPK_DRIFT_K
             ).alias("top")
         )
         .select("week", F.posexplode("top").alias("pos", "c"))

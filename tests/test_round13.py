@@ -210,6 +210,23 @@ def test_shuffle_partitions_tolerates_auto(spark):
     )
 
 
+def test_topk_drift_truly_bounded(spark, duck):
+    """VERDICT r12 item 7: phase 1 is the Arrow per-partition bounded
+    heap (MapInPandas in the plan), the r11 (week, salt) re-shuffle +
+    full-group collect_list is gone, and the output is byte-identical
+    to the unchanged oracle."""
+    from tests.conftest import assert_matches_oracle
+
+    from etl_schema_spark.operators import drift
+
+    df = drift.topk_drift_weekly(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # bounded per-partition top-K
+    assert "BatchEvalPython" not in plan  # Arrow, not row-at-a-time
+    assert "_salt" not in plan  # the salted full-counts re-shuffle is gone
+    assert_matches_oracle(df, duck, drift.topk_drift_weekly_oracle())
+
+
 def test_neardup_band_index_capped(spark):
     """ADVICE r12 (low): the band index's per-bucket occupancy is capped
     at LSH_BUCKET_CAP (min-doc_id keepers), in exploded form."""
