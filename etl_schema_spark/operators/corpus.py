@@ -303,11 +303,12 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str, seed: str = "epoch0") -> Dat
     keyed = docs.withColumn(
         "shuffle_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     )
-    # scratch-materialized (VERDICT r12 item 4): _pid feeds both the
-    # offset aggregate and the rank join, and range boundaries come from
-    # sampling — freezing the split in parquet bytes guarantees both
-    # consumers read the identical partitioning (a bare persist guarded
-    # the same hazard but was unreleasable and accumulated per call; see
+    # materialized at the scratch seam (VERDICT r12 item 4; r13: eager
+    # DISK_ONLY local checkpoint): _pid feeds both the offset aggregate
+    # and the rank join, and range boundaries come from sampling —
+    # freezing the split in immutable bytes guarantees both consumers
+    # read the identical partitioning (a bare persist guarded the same
+    # hazard but was unreleasable and accumulated per call; see
     # distributed.grouped_running_sum for the full rationale)
     from ..streaming.scratch import materialize
 

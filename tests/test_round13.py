@@ -151,10 +151,11 @@ def test_front_door_quality_tier_in_stream(spark, tmp_path):
 
 
 def test_grouped_running_sum_materializes_range_split(spark, monkeypatch):
-    """VERDICT r12 item 4: the determinism guard is now an immutable
-    scratch materialization — the write-side plan carries the range
-    partition, the returned frame reads parquet bytes (recompute
-    impossible), and release_scratch reclaims the dir."""
+    """VERDICT r12 item 4 (r13 form): the determinism guard is an eager
+    DISK_ONLY local checkpoint at the materialize seam — the checkpoint
+    input's plan carries the range partition, the returned frame is
+    lineage-free (recompute through the range shuffle impossible), and
+    release_scratch unpersists the registered checkpoint blocks."""
     from etl_schema_spark.operators.distributed import grouped_running_sum
     from etl_schema_spark.streaming import scratch
 
@@ -168,7 +169,7 @@ def test_grouped_running_sum_materializes_range_split(spark, monkeypatch):
         return real(df, prefix)
 
     monkeypatch.setattr(scratch, "materialize", spy)
-    before = list(scratch._SCRATCH_DIRS)
+    before_rdds = list(scratch._LOCAL_CHECKPOINT_RDDS)
     df = spark.range(0, 1000).select(
         (F.col("id") % 7).alias("g"), F.col("id").alias("o"), F.lit(1).alias("v")
     )
@@ -178,10 +179,16 @@ def test_grouped_running_sum_materializes_range_split(spark, monkeypatch):
     assert rows[(0, 0)] == 1 and rows[(0, 7)] == 2 and rows[(0, 700)] == 101
     assert captured and captured[0][0] == "grsum_"
     assert "rangepartitioning" in captured[0][1]
-    created = [d for d in scratch._SCRATCH_DIRS if d not in before]
-    assert created and all(os.path.isdir(d) for d in created)
+    # the checkpoint is registered for release, its blocks live on disk
+    created = [r for r in scratch._LOCAL_CHECKPOINT_RDDS if r not in before_rdds]
+    assert created, "materialize registered no checkpoint RDD"
+    sc = spark.sparkContext._jsc.sc()
+    live_ids = {i.id() for i in sc.getRDDStorageInfo()}
+    assert any(r.id() in live_ids for r in created)
     scratch.release_scratch()
-    assert not any(os.path.exists(d) for d in created)
+    live_after = {i.id() for i in sc.getRDDStorageInfo()}
+    assert not any(r.id() in live_after for r in created)
+    assert not scratch._LOCAL_CHECKPOINT_RDDS
 
 
 def test_shuffle_partitions_tolerates_auto(spark):
