@@ -74,11 +74,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cap (neardup family + front doors), the batch-scoped idempotent
         # sink rewrites (streaming dedup/neardup/drift-gate), the shared
         # front_door_verdicts refactor, rare_shared_pairs' conf fallback
-        # (containment_dup + template_communities), and topk_drift_weekly's
-        # truly K-bounded Arrow phase 1. ------------------------------
+        # (containment_dup + template_communities), topk_drift_weekly's
+        # truly K-bounded Arrow phase 1, and the r13 shuffle-removal
+        # rewrites (cross_lang_contamination's fused lang+shingle scan,
+        # dedup_impact_curve's broadcast, triplet_mining's shared-window
+        # occupancy, kmv_set_ops' and pmi's in-row pair expansion,
+        # perplexity_buckets' pinned token stream). --------------------
         "ccnet_source_split": curation.ccnet_source_split,  # r12
         "containment_dup": dedup.containment_dup,  # r12
+        "cross_lang_contamination": curation.cross_lang_contamination,  # r10
         "cross_source_overlap": corpus.cross_source_overlap,  # r10
+        "dedup_impact_curve": dedup.dedup_impact_curve,  # r12
         "domain_mix_weights": packing.domain_mix_weights,  # r11
         "embedding_outliers": similarity.embedding_outliers,  # r12
         "epoch_shuffle": corpus.epoch_shuffle,  # r09
@@ -105,8 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triplet_mining": similarity.triplet_mining,  # r12
         "user_activity_gini": analytics.user_activity_gini,  # r12
         "vocab_growth_curve": corpus.vocab_growth_curve,  # r12
-        # -- group 2: oldest-verdict rotation fill (20 of the 28-entry r7
-        # freshness tail; the remaining 8 — sliding_window_stats,
+        # -- group 2: oldest-verdict rotation fill (18 of the 28-entry r7
+        # freshness tail; the remaining 10 — sidestream_view,
+        # skew_salted_daily_users (displaced just below the cap by the
+        # two r13 rewrites in group 1), sliding_window_stats,
         # source_quality_profile, static_mapping, streaming_distinct_keys,
         # substring_dup_spans, switch_utilization, tiered_views,
         # top_clients_per_type — carry a fresh LOCAL sf0.01 gate this
@@ -129,12 +137,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample_per_key": corpus.reservoir_sample_per_key,  # r07
         "rfm_features": analytics.rfm_features,  # r07
         "rollup_revenue": analytics.rollup_revenue,  # r07
+        # ---------------- 50-entry scoring cap lands here ----------------
+        # sidestream_view + skew_salted_daily_users rotate out to make
+        # room for the two r13-optimized entries above (cross_lang_
+        # contamination, dedup_impact_curve — "own function changed" must
+        # sort in-window); both displaced entries carry the judge's local
+        # r12 sf0.01 re-gate and lead the r14 rotation with the other r7s.
         "sidestream_view": rollups.sidestream_view,  # r07
         "skew_salted_daily_users": skew.skew_salted_daily_users,  # r07
-        # ---------------- 50-entry scoring cap lands here ----------------
         "ann_graph_expand_eval": similarity.ann_graph_expand_eval,  # r12
         "dedup_aware_split": graph.dedup_aware_split,  # r12
-        "dedup_impact_curve": dedup.dedup_impact_curve,  # r12
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,  # r12
         "doc_length_drift": drift.doc_length_drift,  # r12
         "dup_cluster_stats": graph.dup_cluster_stats,  # r12
@@ -291,7 +303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_funnel": analytics.windowed_funnel,  # r11
         "winnowing_fingerprint": dedup.winnowing_fingerprint,  # r11
         "zipf_term_stats": corpus.zipf_term_stats,  # r11
-        "cross_lang_contamination": curation.cross_lang_contamination,  # r10
     }
 
 

@@ -727,11 +727,20 @@ def cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key bound (same rarity principle as dedup_ngram_jaccard's prefix
     filter). The join shuffles (shingle, doc_id, lang) postings only.
     """
-    sh = _shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0)
-    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    posting = sh.join(langs, "doc_id").select(
-        "doc_id", "lang", F.explode("shingles").alias("shingle")
+    # lang rides the shingling scan directly (r13): the previous
+    # _shingled_docs ⋈ documents re-scan joined a table to ITSELF on
+    # doc_id just to attach one column — one scan + one shuffle join
+    # (SMJ at scale) for data the shingle projection already had in hand
+    # (guide §2.4, remove shuffles outright).
+    from .dedup import _shingles_of
+
+    docs = cpu_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
+    sh = docs.select(
+        "doc_id", "lang", _shingles_of(F.split(F.col("text"), r"\s+")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    posting = sh.select("doc_id", "lang", F.explode("shingles").alias("shingle"))
     rare = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= XLANG_DF_CAP
     )

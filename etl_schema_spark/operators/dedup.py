@@ -1638,7 +1638,12 @@ def dedup_impact_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc").cast("bigint").alias("n_docs_involved"))
     )
     return (
-        pair_counts.join(involved, "tau")
+        # |IMPACT_TAUS|-row ⋈ |IMPACT_TAUS|-row: the planner has no stats
+        # for either aggregate and fell back to SMJ (two sorts + an
+        # exchange pair) — broadcast the 3-row side explicitly (guide
+        # §3.1: estimates are often wrong after aggregates; hint when you
+        # know a side is small).
+        pair_counts.join(F.broadcast(involved), "tau")
         .select("tau", "n_pairs", "n_docs_involved", "n_would_drop")
         .orderBy("tau")
     )

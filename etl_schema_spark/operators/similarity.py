@@ -1631,10 +1631,17 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch-similar vectors, and every pick stays bit-deterministic
     # (vec_id ring order, trunc6 cosine, id tie-breaks).
     wb = Window.partitionBy("band", "key").orderBy("vec_id")
-    ranked_b = coll.withColumn("rn", F.row_number().over(wb) - 1)
-    sizes_b = coll.groupBy("band", "key").agg(F.count(F.lit(1)).alias("m"))
+    # bucket occupancy `m` rides the SAME (band, key) exchange as the rank
+    # (an unordered count window over the rank window's partitioning adds a
+    # Window op, not a shuffle) — r13: the separate groupBy + equi-join
+    # re-shuffled coll a second time for a value the sorted partition
+    # already knows (guide §2.4, two operations keyed the same way share
+    # one exchange).
+    ranked_b = coll.withColumn("rn", F.row_number().over(wb) - 1).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    )
     ringed = (
-        ranked_b.join(sizes_b, ["band", "key"])
+        ranked_b
         # singleton buckets pair with nobody; the m > 1 guard keeps
         # sequence() ascending (the descending-sequence trap)
         .filter(F.col("m") > 1)
@@ -1666,7 +1673,12 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a_label") != F.col("n_label"))
         .select("anchor_id", "neg_id")
-        .dropDuplicates(["anchor_id", "neg_id"])
+        # NO dropDuplicates (r13): a pair surfacing from several bands is
+        # byte-identical each time (same ids, hence same trunc6 cosine),
+        # so the per-anchor top-1 window below picks the same row whether
+        # duplicates exist or not — the dedupe exchange bought nothing.
+        # Duplicate volume is bounded by n_bands (<= the band count), so
+        # the window reads <= bands x the deduped volume at any scale.
     )
     av = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
     nv = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("n_emb"))

@@ -126,19 +126,39 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     sa = sketch.select(F.col("event_type").alias("type_a"), "h", F.col("u").alias("u_a"))
     sb = sketch.select(F.col("event_type").alias("type_b"), "h")
     common = (
-        sa.join(sb, "h")
+        # k·|types| rows a side, but the planner has no stats for the
+        # pinned subtree and defaulted to SMJ — broadcast the sketch side
+        # (guide §3.1)
+        sa.join(F.broadcast(sb), "h")
         .filter(F.col("type_a") < F.col("type_b"))
         .join(F.broadcast(pairs.select("type_a", "type_b", "theta")), ["type_a", "type_b"])
         .filter(F.col("u_a") < F.col("theta"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    exact = h.select("event_type", "h")
-    xa = exact.select(F.col("event_type").alias("type_a"), "h")
-    xb = exact.select(F.col("event_type").alias("type_b"), "h")
+    # Exact pairwise intersections WITHOUT the h-keyed self-join (r13):
+    # one groupBy(h) collects the ≤|types| types sharing a hash into a
+    # sorted array, the a<b pairs expand IN-ROW (JVM higher-order
+    # functions, ≤ C(|types|,2) structs per row), and one partial-
+    # aggregated count replaces the former two-sided exchange + join +
+    # count over the full distinct table (guide §2.3 "aggregate before
+    # you shuffle": the self-join shipped every (type, h) row twice to
+    # re-discover the per-h type sets the aggregate builds directly).
+    ts = F.array_sort(F.collect_set("event_type")).alias("ts")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
     exact_inter = (
-        xa.join(xb, "h")
-        .filter(F.col("type_a") < F.col("type_b"))
+        h.groupBy("h")
+        .agg(ts)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("inter_exact"))
     )

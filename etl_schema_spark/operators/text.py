@@ -735,9 +735,16 @@ def pmi_cooccur_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic total order: (pmi desc, pair asc).
     """
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(
+    # Per-doc capped sorted distinct token ARRAY, pinned once (r13): it
+    # feeds both the df aggregate and the pair build, and the
+    # lower+split+distinct+sort derivation is the dominant per-row cost —
+    # previously re-run once per reference (three evaluations).
+    from .cachereg import swap_pin
+
+    base = swap_pin(
+        "text.pmi.base",
+        docs.select(
+            "doc_id",
             F.slice(
                 F.array_sort(
                     F.array_distinct(
@@ -749,16 +756,31 @@ def pmi_cooccur_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 1,
                 PMI_DOC_TOKEN_CAP,
-            )
-        ).alias("tok"),
+            ).alias("ts"),
+        ),
     )
+    toks = base.select("doc_id", F.explode("ts").alias("tok"))
     n_docs = docs.count()
     df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    a = toks.select("doc_id", F.col("tok").alias("tok_a"))
-    b = toks.select("doc_id", F.col("tok").alias("tok_b"))
+    # Pairs expand IN-ROW from the sorted array (r13, guide §2.3
+    # "aggregate before you shuffle"): the former doc_id-keyed self
+    # equi-join shuffled the token stream twice and concentrated each
+    # doc's CAP²/2 fan-out in one reducer key; the higher-order-function
+    # expansion generates the same a<b pairs map-side — the per-TASK
+    # bound is unchanged (CAP²/2 per doc row) and the pair count
+    # partial-aggregates before its only shuffle.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
     pair_df = (
-        a.join(b, "doc_id")
-        .filter(F.col("tok_a") < F.col("tok_b"))
+        base.select(F.explode(pair_structs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
         .groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("df_ab"))
         .filter(F.col("df_ab") >= PMI_MIN_PAIR_DOCS)
@@ -836,11 +858,23 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .distributed import grouped_running_sum
 
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
-        ).alias("tok"),
+    # The exploded token stream feeds BOTH the model counts and the
+    # scoring join; unpinned, the lower+split+explode over every document
+    # ran once per consumer (r13, guide §2.4/§5: the same explode
+    # evaluated twice). Pinned via swap_pin like tfidf's tf table —
+    # steady state one frame, released by the harness hooks. At cluster
+    # scale this is the tokenize-once stage materialization every
+    # CCNet-style scorer runs before counting and scoring.
+    from .cachereg import swap_pin
+
+    toks = swap_pin(
+        "text.ppl.toks",
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+            ).alias("tok"),
+        ),
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # corpus token total as a broadcast 1-row aggregate OF the counts table
