@@ -1042,7 +1042,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |value - median|), each joined back via broadcast of the
     |event_type|-sized median tables.
     """
-    from .distributed import grouped_running_sum
+    from .distributed import grouped_rank_pick
 
     # Measurable-domain filter, same contract as its sibling
     # tail_latency_percentiles (contracts.finite_value, ADVICE r6):
@@ -1056,34 +1056,26 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value")
         .filter(finite_value("value"))
     )
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    target = F.expr("(n + 1) div 2").alias("target")
-
-    # Both rank passes persist their range-partitioned frame inside
-    # grouped_running_sum, so deriving the NEXT stage from the pass's own
-    # output (rather than re-joining the raw `ev` scan) reuses that frame:
-    # one events scan feeds median selection, deviation ranking, and the
-    # final flagging — instead of three scans.
-    r1 = grouped_running_sum(
-        ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
+    # r13 (guide §2.3): each pass SELECTS one order statistic, so the full
+    # per-row rank (sort every chunk + offsets join onto every row) is
+    # replaced by grouped_rank_pick — per-chunk counts locate the median's
+    # chunk, only that chunk sorts. The pass's materialized range split
+    # (p1.rows / p2.rows) still feeds the next stage — one events scan
+    # total, the `counts` table now derived from the split's own chunk
+    # counts instead of a second scan.
+    median_target = F.expr("array((n + 1) div 2)")
+    p1 = grouped_rank_pick(
+        ev, "event_type", F.struct("value", "event_id"), median_target
     )
-    med = (
-        r1.join(F.broadcast(counts.select("event_type", target)), "event_type")
-        .filter(F.col("rk") == F.col("target"))
-        .select("event_type", F.col("value").alias("median"))
-    )
-    d = r1.drop("rk").join(F.broadcast(med), "event_type").withColumn(
+    med = p1.picked.select("event_type", F.col("value").alias("median"))
+    d = p1.rows.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("median"))
     )
-    r2 = grouped_running_sum(
-        d, "event_type", F.struct("dev", "event_id"), F.lit(1), "rk2"
+    p2 = grouped_rank_pick(
+        d, "event_type", F.struct("dev", "event_id"), median_target
     )
-    mad = (
-        r2.join(F.broadcast(counts.select("event_type", target)), "event_type")
-        .filter(F.col("rk2") == F.col("target"))
-        .select("event_type", F.col("dev").alias("mad"))
-    )
-    flagged = r2.drop("rk2").join(F.broadcast(mad), "event_type")
+    mad = p2.picked.select("event_type", F.col("dev").alias("mad"))
+    flagged = p2.rows.join(F.broadcast(mad), "event_type")
     return (
         flagged.groupBy("event_type")
         .agg(
@@ -1170,7 +1162,7 @@ def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast target list. Never `percentile() OVER (PARTITION BY
     event_type)` or a per-type sort in one task.
     """
-    from .distributed import grouped_running_sum
+    from .distributed import grouped_rank_pick
 
     # NULL values excluded from the rank domain on both sides — same
     # engine null-ordering asymmetry as mad_outliers (fuzz_edge_docs r6).
@@ -1191,21 +1183,30 @@ def tail_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("value")) < F.lit(1e12))
         )
     )
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    targets = counts.select(
-        "event_type",
-        "n",
-        F.explode(F.array(*[F.lit(p) for p in TAIL_PCTS])).alias("pct"),
-    ).withColumn("target", F.ceil(F.col("pct") / 100.0 * F.col("n")).cast("bigint"))
-    ranked = grouped_running_sum(
-        ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
+    # r13 (guide §2.3): three order statistics per type — rank-selection
+    # pushdown (grouped_rank_pick) sorts only the chunks holding a target
+    # instead of ranking every row, and the per-type counts come from the
+    # split's chunk table instead of a second events scan. Two pcts can
+    # resolve to the SAME rank on a small type: picked carries the rank
+    # once, and the broadcast pct-metadata join fans it back out exactly
+    # as the old rk == target filter did. CEIL arithmetic is unchanged
+    # (double, same expression both engines).
+    pct_arr = ",".join(
+        f"cast(ceil({p} / 100.0 * n) as bigint)" for p in TAIL_PCTS
     )
+    p = grouped_rank_pick(
+        ev, "event_type", F.struct("value", "event_id"), F.expr(f"array({pct_arr})")
+    )
+    targets = p.counts.select(
+        F.col("event_type").alias("_ty"),
+        "n",
+        F.explode(F.array(*[F.lit(pc) for pc in TAIL_PCTS])).alias("pct"),
+    ).withColumn("target", F.ceil(F.col("pct") / 100.0 * F.col("n")).cast("bigint"))
     return (
-        ranked.join(
-            F.broadcast(targets.select("event_type", "pct", "target", "n")),
-            ["event_type"],
+        p.picked.join(
+            F.broadcast(targets),
+            (F.col("rk") == F.col("target")) & (F.col("event_type") == F.col("_ty")),
         )
-        .filter(F.col("rk") == F.col("target"))
         .select(
             "event_type",
             F.col("pct").cast("bigint").alias("pct"),
@@ -1938,7 +1939,7 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     type at 100 TB). Tail bounds join back via a broadcast of the
     |event_type|-sized count table.
     """
-    from .distributed import grouped_running_sum
+    from .distributed import grouped_rank_slice
 
     # NULL event_type is outside the keyed domain (wave-6 contract:
     # unattributed events don't get a robust-location row) — explicit on
@@ -1948,23 +1949,34 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value")
         .filter(finite_value("value") & F.col("event_type").isNotNull())
     )
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ranked = grouped_running_sum(
-        ev, "event_type", F.struct("value", "event_id"), F.lit(1), "rk"
-    )
-    k = F.expr(f"n div {TRIM_FRAC_DENOM}")
-    kept = (
-        ranked.join(F.broadcast(counts), "event_type")
-        .filter((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k))
+    # r13 (guide §2.3): the trim keeps a contiguous RANK RANGE, so chunks
+    # wholly inside (k, n-k] contribute every row without any local rank —
+    # grouped_rank_slice sorts only the two boundary chunks per type where
+    # the old form ranked every row (sort every chunk + offsets join).
+    # The kept-rows sum stays the order-independent DECIMAL lift, so the
+    # changed row order cannot change the result; per-type counts come
+    # from the split's own chunk table instead of a second events scan.
+    s = grouped_rank_slice(
+        ev,
+        "event_type",
+        F.struct("value", "event_id"),
+        F.expr(f"n div {TRIM_FRAC_DENOM}"),
+        F.expr(f"n - n div {TRIM_FRAC_DENOM}"),
     )
     return (
-        kept.groupBy("event_type")
+        s.kept.groupBy("event_type")
         .agg(
-            F.max("n").cast("bigint").alias("n"),
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             _trunc6(
                 F.sum(_vdec("value")).cast("double") / F.count(F.lit(1))
             ).alias("trimmed_mean"),
+        )
+        .join(F.broadcast(s.counts), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "n_kept",
+            "trimmed_mean",
         )
         .orderBy("event_type")
     )

@@ -118,3 +118,202 @@ def grouped_running_sum(
         .withColumn(out_col, F.col(c_goff) + F.sum(c_val).over(w_local))
         .drop(c_pid, c_goff, c_ord, c_val)
     )
+
+
+class _RankedSplit:
+    """Result of grouped_rank_pick / grouped_rank_slice.
+
+    rows    — the materialized range-partitioned input, original columns
+              only (read it instead of re-deriving the input: it is the
+              frozen split both selection branches observed).
+    counts  — (group, n) per-group row counts, derived from the split's
+              own per-chunk counts (metadata-sized; no second input scan).
+    picked  — grouped_rank_pick only: the rows at the requested global
+              ranks, original columns plus the rank column.
+    kept    — grouped_rank_slice only: the rows inside (lo, hi].
+    """
+
+    __slots__ = ("rows", "counts", "picked", "kept")
+
+    def __init__(self, rows, counts, picked=None, kept=None):
+        self.rows, self.counts = rows, counts
+        self.picked, self.kept = picked, kept
+
+
+def _ranged_chunks(df, group_col, order_c, num_partitions, tmp):
+    """Shared first phase: freeze the (group, order) range split and
+    return (ranged, chunk) where chunk is the metadata-sized per-chunk
+    table (_pid, group, n, _off, _cnt) — n the group total, _off the
+    rows of the group in earlier chunks, _cnt the rows here."""
+    from ..streaming.scratch import materialize
+
+    c_ord, c_pid = tmp("_ord"), tmp("_pid")
+    ranged = materialize(
+        df.withColumn(c_ord, order_c)
+        .repartitionByRange(num_partitions, F.col(group_col), F.col(c_ord))
+        .withColumn(c_pid, F.spark_partition_id()),
+        "grpick_",
+    )
+    per = ranged.groupBy(c_pid, group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(c_pid)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk = per.select(
+        c_pid,
+        group_col,
+        F.sum("_cnt").over(Window.partitionBy(group_col)).alias("n"),
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        "_cnt",
+    )
+    return ranged, chunk, c_ord, c_pid
+
+
+def grouped_rank_pick(
+    df: DataFrame,
+    group_col: str,
+    order_col: Column | str,
+    targets_of_n: Column,
+    rank_col: str = "rk",
+    num_partitions: int | None = None,
+) -> _RankedSplit:
+    """Rows at specific per-group GLOBAL ranks (1-based, in ``order_col``
+    order) without ranking every row — the selection pushdown of
+    ``grouped_running_sum`` for consumers that keep only a handful of
+    order statistics (medians, percentiles, quantile boundaries).
+
+    ``targets_of_n`` is an array<bigint> expression over a bigint column
+    literally named ``n`` (the group's row count), e.g.
+    ``F.expr("array((n + 1) div 2)")`` — evaluated per chunk against the
+    metadata-sized chunk table, so target arithmetic is integer-exact.
+    ``group_col`` must not itself be named ``n``.
+
+    Where the running-sum form range-partitions, then SORTS EVERY chunk
+    and joins offsets onto EVERY row, this computes only per-chunk counts
+    (one unsorted pass with map-side partials), locates each target's
+    chunk from the broadcast prefix offsets, and sorts ONLY the chunks
+    that contain a target — per-task state bounded by one chunk, sort
+    work bounded by |targets| chunks per group instead of all of them.
+    Correctness is split-independent: ``order_col`` must be a total order
+    (tie-broken), so the row at global rank t is the same row under any
+    range split; the materialize seam (same guarantees as
+    grouped_running_sum's) only pins WHICH split both the count pass and
+    the selection pass observe.
+    """
+    if num_partitions is None:
+        from ..session import shuffle_partitions
+
+        num_partitions = shuffle_partitions(df.sparkSession)
+    assert group_col != "n", "group_col 'n' collides with the count alias"
+    assert rank_col not in df.columns, f"rank_col {rank_col!r} already in input"
+    order_c = F.col(order_col) if isinstance(order_col, str) else order_col
+
+    def tmp(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    ranged, chunk, c_ord, c_pid = _ranged_chunks(
+        df, group_col, order_c, num_partitions, tmp
+    )
+    c_lt = tmp("_lt")
+    sel = (
+        chunk.select(
+            c_pid,
+            group_col,
+            "_off",
+            "_cnt",
+            F.explode(F.array_distinct(targets_of_n)).alias(rank_col),
+        )
+        .filter(
+            (F.col(rank_col) > F.col("_off"))
+            & (F.col(rank_col) <= F.col("_off") + F.col("_cnt"))
+        )
+        .select(
+            c_pid, group_col, (F.col(rank_col) - F.col("_off")).alias(c_lt), rank_col
+        )
+    )
+    w_local = Window.partitionBy(c_pid, group_col, c_lt).orderBy(c_ord)
+    c_lrn = tmp("_lrn")
+    picked = (
+        ranged.join(F.broadcast(sel), [c_pid, group_col])
+        .withColumn(c_lrn, F.row_number().over(w_local))
+        .filter(F.col(c_lrn) == F.col(c_lt))
+        .drop(c_lrn, c_lt, c_pid, c_ord)
+    )
+    counts = chunk.select(group_col, "n").dropDuplicates([group_col])
+    return _RankedSplit(rows=ranged.drop(c_ord, c_pid), counts=counts, picked=picked)
+
+
+def grouped_rank_slice(
+    df: DataFrame,
+    group_col: str,
+    order_col: Column | str,
+    lo_of_n: Column,
+    hi_of_n: Column,
+    num_partitions: int | None = None,
+) -> _RankedSplit:
+    """Rows whose per-group global rank rk (1-based, ``order_col`` order)
+    satisfies lo < rk <= hi, without ranking interior chunks.
+
+    ``lo_of_n`` / ``hi_of_n`` are bigint expressions over a column named
+    ``n`` (the group count), e.g. ``F.expr("n div 10")`` — the trimmed-
+    mean/IQR shape. Chunks wholly inside (lo, hi] contribute every row
+    with NO local sort (rank is irrelevant there — only the boundary
+    chunks, at most two per group, rank locally and cut exactly). The
+    returned ``kept`` frame's row order differs from the running-sum
+    form; consumers must aggregate order-insensitively (exact DECIMAL
+    sums / counts), which every rank consumer in this codebase already
+    does for engine portability.
+    """
+    if num_partitions is None:
+        from ..session import shuffle_partitions
+
+        num_partitions = shuffle_partitions(df.sparkSession)
+    assert group_col != "n", "group_col 'n' collides with the count alias"
+    order_c = F.col(order_col) if isinstance(order_col, str) else order_col
+
+    def tmp(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name = "_" + name
+        return name
+
+    ranged, chunk, c_ord, c_pid = _ranged_chunks(
+        df, group_col, order_c, num_partitions, tmp
+    )
+    c_lo, c_hi = tmp("_lo"), tmp("_hi")
+    touched = chunk.select(
+        c_pid,
+        group_col,
+        "_off",
+        "_cnt",
+        lo_of_n.alias(c_lo),
+        hi_of_n.alias(c_hi),
+    ).filter(
+        (F.col("_off") + F.col("_cnt") > F.col(c_lo)) & (F.col("_off") < F.col(c_hi))
+    )
+    inside = (F.col("_off") >= F.col(c_lo)) & (
+        F.col("_off") + F.col("_cnt") <= F.col(c_hi)
+    )
+    interior = touched.filter(inside).select(c_pid, group_col)
+    edge = touched.filter(~inside).select(c_pid, group_col, "_off", c_lo, c_hi)
+    orig = [c for c in ranged.columns if c not in (c_ord, c_pid)]
+    kept_i = ranged.join(F.broadcast(interior), [c_pid, group_col]).select(*orig)
+    c_lrn = tmp("_lrn")
+    w_local = Window.partitionBy(c_pid, group_col).orderBy(c_ord)
+    kept_e = (
+        ranged.join(F.broadcast(edge), [c_pid, group_col])
+        .withColumn(c_lrn, F.row_number().over(w_local))
+        .filter(
+            (F.col("_off") + F.col(c_lrn) > F.col(c_lo))
+            & (F.col("_off") + F.col(c_lrn) <= F.col(c_hi))
+        )
+        .select(*orig)
+    )
+    counts = chunk.select(group_col, "n").dropDuplicates([group_col])
+    return _RankedSplit(
+        rows=ranged.drop(c_ord, c_pid), counts=counts, kept=kept_i.unionByName(kept_e)
+    )

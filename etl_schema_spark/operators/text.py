@@ -855,8 +855,6 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket is how many boundaries its score exceeds, so boundary ties
     land deterministically in the lower bucket.
     """
-    from .distributed import grouped_running_sum
-
     docs = cpu_parallel(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # The exploded token stream feeds BOTH the model counts and the
     # scoring join; unpinned, the lower+split+explode over every document
@@ -889,32 +887,30 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             _trunc6(F.avg(-F.log(F.col("c") / F.col("_T")))).alias("logprob"),
         )
     )
-    ranked = grouped_running_sum(
+    # r13 (guide §2.3): only the 4 quantile-boundary rows are selected, so
+    # the full per-row rank is replaced by grouped_rank_pick — per-chunk
+    # counts locate each boundary's chunk and only those chunks sort. The
+    # quantile targets evaluate over the split's own chunk counts (the
+    # SCORED population, docs with >= 1 token — exactly the oracle's
+    # COUNT(*) OVER () domain; the chunk table replaces the separate
+    # n_scored aggregate), and the final bucket join reads the pass's
+    # materialized split (p.rows) instead of re-deriving `scored` a third
+    # time from the token stream.
+    from .distributed import grouped_rank_pick
+
+    p = grouped_rank_pick(
         scored.withColumn("_g", F.lit(1)),
         "_g",
         F.struct("logprob", "doc_id"),
-        F.lit(1),
-        "rk",
+        F.expr(
+            f"transform(sequence(1, {PPL_BUCKETS - 1}),"
+            f" q -> (n * q) div {PPL_BUCKETS})"
+        ),
     )
-    # quantile targets over the SCORED population (docs with >= 1 token),
-    # exactly the oracle's COUNT(*) OVER () domain — the previous
-    # docs.count() counted token-free docs too, shifting every boundary
-    # on any corpus containing them (tools/fuzz_edge_docs.py); as a bonus
-    # the broadcast 1-row aggregate replaces a driver-side action
-    n_scored = scored.agg(F.count(F.lit(1)).alias("n_docs"))
-    bounds = (
-        ranked.join(F.broadcast(n_scored))
-        .filter(
-            F.expr(
-                f"array_contains(transform(sequence(1, {PPL_BUCKETS - 1}),"
-                f" q -> (n_docs * q) div {PPL_BUCKETS}), rk)"
-            )
-        )
-        .select(F.col("logprob").alias("bound"))
-    )
+    bounds = p.picked.select(F.col("logprob").alias("bound"))
     bucket = F.sum(F.when(F.col("logprob") > F.col("bound"), 1).otherwise(0))
     return (
-        scored.join(F.broadcast(bounds))
+        p.rows.join(F.broadcast(bounds))
         .groupBy("doc_id", "n_toks", "logprob")
         .agg(bucket.cast("bigint").alias("bucket"))
         .withColumn(

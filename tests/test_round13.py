@@ -248,3 +248,77 @@ def test_neardup_band_index_capped(spark):
         .first()
     )
     assert top.mx <= dedup.LSH_BUCKET_CAP
+
+
+def test_grouped_rank_pick_matches_full_rank(spark):
+    """r13 rank-selection pushdown: picked rows at requested global ranks
+    equal the full-ranking answer under ANY range split (here forced to
+    many small chunks so targets straddle chunk boundaries), duplicate
+    targets collapse, counts come from the split's own chunk table, and
+    only target-holding chunks feed the local sort (broadcast-join-bounded
+    selection, never a full-input window rank)."""
+    from etl_schema_spark.operators.distributed import grouped_rank_pick
+    from pyspark.sql import Window
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 37) % 2000).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    # median + p90 + a duplicated target (array_distinct must collapse it)
+    targets = F.expr("array((n + 1) div 2, (n * 9) div 10, (n + 1) div 2)")
+    p = grouped_rank_pick(
+        df, "g", F.struct("v", "tie"), targets, num_partitions=16
+    )
+    got = {(r.g, r.rk): (r.v, r.tie) for r in p.picked.collect()}
+    w = Window.partitionBy("g").orderBy("v", "tie")
+    full = df.withColumn("rk", F.row_number().over(w))
+    n_by_g = {r.g: r.n for r in p.counts.collect()}
+    assert n_by_g == {0: 667, 1: 667, 2: 666}
+    want = {}
+    for r in full.collect():
+        n = n_by_g[r.g]
+        for t in {(n + 1) // 2, (n * 9) // 10}:
+            if r.rk == t:
+                want[(r.g, t)] = (r.v, r.tie)
+    assert got == want
+    # rows is the frozen split with original columns only
+    assert set(p.rows.columns) == {"g", "v", "tie"}
+    assert p.rows.count() == 2000
+    # selection is broadcast-bounded: the picked plan joins the metadata
+    # side as a BroadcastHashJoin, no full-input window rank remains
+    plan = p.picked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_rank_slice_matches_full_rank(spark):
+    """r13 trimmed-slice pushdown: kept == the (lo, hi] rank band of the
+    full ranking, with interior chunks passed through sort-free and edge
+    chunks cut exactly; kept row ORDER is unspecified (consumers
+    aggregate order-insensitively)."""
+    from etl_schema_spark.operators.distributed import grouped_rank_slice
+    from pyspark.sql import Window
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 37) % 2000).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    s = grouped_rank_slice(
+        df,
+        "g",
+        F.struct("v", "tie"),
+        F.expr("n div 10"),
+        F.expr("n - n div 10"),
+        num_partitions=16,
+    )
+    got = sorted((r.g, r.v, r.tie) for r in s.kept.collect())
+    w = Window.partitionBy("g").orderBy("v", "tie")
+    full = df.withColumn("rk", F.row_number().over(w))
+    n_by_g = {r.g: r.n for r in s.counts.collect()}
+    want = sorted(
+        (r.g, r.v, r.tie)
+        for r in full.collect()
+        if n_by_g[r.g] // 10 < r.rk <= n_by_g[r.g] - n_by_g[r.g] // 10
+    )
+    assert got == want
