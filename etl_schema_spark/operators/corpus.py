@@ -276,7 +276,9 @@ def canonical_pick_oracle() -> str:
     """
 
 
-EPOCH_SHUFFLE_PARTITIONS = 8
+# (the r12/r13 EPOCH_SHUFFLE_PARTITIONS range-split constant is gone —
+# r14 chunks epoch_shuffle by deterministic hex-prefix buckets sized from
+# the session's shuffle partitions; see the function body)
 
 
 def epoch_shuffle(spark: SparkSession, sf_dir: str, seed: str = "epoch0") -> DataFrame:
@@ -303,20 +305,22 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str, seed: str = "epoch0") -> Dat
     keyed = docs.withColumn(
         "shuffle_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
     )
-    # materialized at the scratch seam (VERDICT r12 item 4; r13: eager
-    # DISK_ONLY local checkpoint): _pid feeds both the offset aggregate
-    # and the rank join, and range boundaries come from sampling —
-    # freezing the split in immutable bytes guarantees both consumers
-    # read the identical partitioning (a bare persist guarded the same
-    # hazard but was unreleasable and accumulated per call; see
-    # distributed.grouped_running_sum for the full rationale)
-    from ..streaming.scratch import materialize
+    # r14 (guide §2.4): the chunk id is a PURE FUNCTION of the md5 key
+    # (hex_prefix_bucket — monotone in shuffle_key, uniform by
+    # construction), so the offset aggregate and the rank join compute
+    # the identical chunk assignment under any re-execution or partition
+    # recompute. The r12/r13 sampled range split — whose boundary sampler
+    # is RDD-id-seeded and therefore needed the materialize seam to
+    # freeze one execution — is gone, and with it the per-call checkpoint
+    # write + read (distributed.py module docstring: deterministic-bucket
+    # mode). The rank join's hash exchange is the only full-data shuffle
+    # and AQE sizes it adaptively.
+    from ..session import shuffle_partitions
+    from .distributed import BUCKETS_PER_PARTITION, hex_prefix_bucket
 
-    sorted_df = materialize(
-        keyed.repartitionByRange(EPOCH_SHUFFLE_PARTITIONS, "shuffle_key")
-        .sortWithinPartitions("shuffle_key")
-        .withColumn("_pid", F.spark_partition_id()),
-        "epoch_shuffle_",
+    nb = BUCKETS_PER_PARTITION * shuffle_partitions(spark)
+    sorted_df = keyed.withColumn(
+        "_pid", hex_prefix_bucket(F.col("shuffle_key"), nb)
     )
     counts = sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
@@ -384,8 +388,18 @@ def source_token_budget(
         .filter(F.col("source").isNotNull())
         .select("doc_id", "source", "n_chars")
     )
+    # r14: the order key is an md5, so the chunk id can be its
+    # hex-prefix bucket — deterministic, monotone, uniform — instead of
+    # the sampled range split + materialize seam (guide §2.4; see
+    # distributed.py "deterministic buckets").
+    from ..session import shuffle_partitions
+    from .distributed import BUCKETS_PER_PARTITION, hex_prefix_bucket
+
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    nb = BUCKETS_PER_PARTITION * shuffle_partitions(spark)
     cum = grouped_running_sum(
-        docs, "source", F.md5(F.col("doc_id").cast("string")), "n_chars", "cum_chars"
+        docs, "source", order_key, "n_chars", "cum_chars",
+        bucket_of=hex_prefix_bucket(order_key, nb),
     )
     return (
         cum.filter(F.col("cum_chars") <= budget_chars)

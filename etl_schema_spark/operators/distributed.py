@@ -20,14 +20,64 @@ The local window keys on (_pid, g) — cardinality |partitions| × |groups|
 — so its exchange hash-distributes evenly even when ``g`` alone is hot.
 Correctness does not depend on where the sampled range boundaries land:
 offsets are computed from the partitioning actually materialized (the
-ranged frame is scratch-materialized to parquet so both consumers read
-the same immutable split, exactly as in epoch_shuffle).
+ranged frame is scratch-materialized so both consumers read the same
+immutable split, exactly as in epoch_shuffle).
+
+TWO CHUNKING MODES (r14). The two-phase pattern needs chunks that are
+contiguous in (group, order); how chunks are assigned decides whether the
+materialize seam is needed:
+
+  sampled range split (default)    ``repartitionByRange`` — balanced for
+      ANY order-key distribution, but the boundary sampler is seeded by
+      the runtime RDD id (RangePartitioner.sketch), so two executions of
+      the same plan split DIFFERENTLY even over byte-identical input.
+      Both phases must therefore observe one frozen execution: the
+      ranged frame goes through scratch.materialize (VERDICT r12 item 4;
+      verified empirically in r14 — an unfrozen shared range subtree
+      returned wrong medians even over a deterministic parquet scan, and
+      exchange reuse does NOT rescue it because branch-specific column
+      pruning makes the two exchange subtrees non-identical).
+
+  deterministic buckets (``bucket_of``)    when the order key carries a
+      uniform hash prefix (md5-keyed shuffles: epoch_shuffle,
+      source_token_budget, triplet/label rings), the chunk id can be a
+      PURE FUNCTION of the key (``hex_prefix_bucket``) — monotone in the
+      order, uniform by construction, identical under any re-execution
+      or partition recompute. No sampling job, no materialize seam, no
+      checkpoint I/O; the chunk exchange is a plain hash shuffle that
+      AQE coalesces adaptively. This is the sampling-free fast path; it
+      is NOT valid for value-ordered ranks (mad/tail percentiles), whose
+      key distribution is arbitrary — those stay on the frozen range
+      split.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Deterministic buckets per session shuffle partition: >= 20-100x more
+# distinct bucket values than partitions so the hash exchange spreads
+# evenly (guide §2.5 — too few synthetic keys leave partitions empty),
+# while the offsets table stays metadata-sized (|buckets| x |groups|).
+BUCKETS_PER_PARTITION = 32
+
+
+def hex_prefix_bucket(key: Column, n_buckets: int) -> Column:
+    """Deterministic, order-preserving chunk id for a lowercase-hex key
+    (md5 and friends): the first 8 hex digits' 32-bit value scaled into
+    ``n_buckets`` with exact integer arithmetic.
+
+    Monotone nondecreasing in the key's string order (hex digit order ==
+    numeric order), uniform for hash-derived keys, and a pure function of
+    the row — so both phases of a two-phase rank compute the identical
+    chunk assignment under any re-execution, with no sampling and no
+    materialize seam (module docstring). ``v * n_buckets`` stays exact:
+    v < 2^32 and n_buckets <= 2^20 keep the product under 2^52.
+    """
+    v = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+    return F.shiftright(v * F.lit(int(n_buckets)), 32)
+
 
 def grouped_running_sum(
     df: DataFrame,
@@ -36,6 +86,7 @@ def grouped_running_sum(
     value_col: Column | str,
     out_col: str,
     num_partitions: int | None = None,
+    bucket_of: Column | None = None,
 ) -> DataFrame:
     """Per-group running sum (inclusive of the current row) in
     ``order_col`` order, without ever placing a whole group in one task.
@@ -50,6 +101,13 @@ def grouped_running_sum(
     cluster where shuffle.partitions is ~8000, the range split must scale
     with the session, and the per-partition offset table stays
     metadata-sized — |partitions| x |groups| rows — either way).
+
+    ``bucket_of`` (r14): a deterministic chunk-id column, monotone
+    nondecreasing in ``order_col`` within each group (build it with
+    :func:`hex_prefix_bucket` for md5-style keys). When given, the
+    sampled range split AND its materialize seam are skipped entirely —
+    chunk assignment is a pure row function, so re-executions and
+    partition recomputes reproduce it exactly (module docstring).
     """
     if num_partitions is None:
         from ..session import shuffle_partitions
@@ -70,33 +128,39 @@ def grouped_running_sum(
         tmp("_ord"), tmp("_val"), tmp("_pid"), tmp("_goff"), tmp("_psum")
     )
     keyed = df.withColumn(c_ord, order_c).withColumn(c_val, value_c)
-    # Range partition on (group, order): each group's rows split across
-    # many partitions but stay contiguous-and-ordered across the split.
-    #
-    # DETERMINISM: correctness requires the offsets branch and the final
-    # join to observe the IDENTICAL partition assignment. A lost partition
-    # that recomputes through the range shuffle could re-split differently
-    # (boundary sampling over a nondeterministically-ordered upstream) and
-    # silently corrupt the sums. VERDICT r12 item 4: the previous
-    # MEMORY_AND_DISK_2 persist guarded that, but was UNRELEASABLE — not
-    # in cachereg, so release_pins() never saw it, and unpersisting would
-    # re-open the recompute hazard; each invocation pinned a fresh
-    # CacheManager entry for the session (the r11 GC-pressure class).
-    # The materialize seam freezes the partition assignment in immutable
-    # bytes (recompute is impossible, not merely replicated-against) AND
-    # the frame is reclaimed by the same release_scratch() hook the
-    # streaming drains use. r13: the seam is an eager DISK_ONLY local
-    # checkpoint (one job, no commit/re-read) instead of a parquet round
-    # trip — same guarantees, ~0.3-0.7 s per call cheaper at sf0.1 (see
-    # scratch.materialize). The range shuffle lives in the checkpoint
-    # job's plan; tests/test_plan_audit.py asserts it at the seam.
-    from ..streaming.scratch import materialize
+    if bucket_of is not None:
+        # Deterministic chunk id: no range sampling, no seam. The chunk
+        # exchange is the (c_pid, group) hash shuffle the local window
+        # itself requires; the offsets branch aggregates map-side first,
+        # so its extra pass over the upstream is partial-agg-sized.
+        ranged = keyed.withColumn(c_pid, bucket_of.cast("bigint"))
+    else:
+        # Range partition on (group, order): each group's rows split
+        # across many partitions but stay contiguous-and-ordered across
+        # the split.
+        #
+        # DETERMINISM: correctness requires the offsets branch and the
+        # final join to observe the IDENTICAL partition assignment.
+        # RangePartitioner's boundary sampler is seeded by the RDD id
+        # (sketch()), so ANY re-execution — the second branch of this
+        # plan, or a lost partition recomputing through the shuffle —
+        # can re-split differently and silently corrupt the sums, even
+        # over a deterministic scan (verified empirically, r14). VERDICT
+        # r12 item 4: the previous MEMORY_AND_DISK_2 persist guarded
+        # that but was unreleasable; the materialize seam freezes the
+        # assignment in immutable bytes (recompute impossible) AND is
+        # reclaimed by release_scratch(). r13: the seam is an eager
+        # DISK_ONLY local checkpoint (one job, no commit/re-read)
+        # instead of a parquet round trip — same guarantees, cheaper
+        # (see scratch.materialize; SPARK_GRAFT_SEAM=parquet restores
+        # the shared-storage form for multi-node deployments).
+        from ..streaming.scratch import materialize
 
-    ranged = materialize(
-        keyed.repartitionByRange(num_partitions, F.col(group_col), F.col(c_ord))
-        .withColumn(c_pid, F.spark_partition_id()),
-        "grsum_",
-    )
+        ranged = materialize(
+            keyed.repartitionByRange(num_partitions, F.col(group_col), F.col(c_ord))
+            .withColumn(c_pid, F.spark_partition_id()),
+            "grsum_",
+        )
     per = ranged.groupBy(c_pid, group_col).agg(F.sum(c_val).alias(c_psum))
     w_off = (
         Window.partitionBy(group_col)
@@ -142,19 +206,24 @@ class _RankedSplit:
 
 def _ranged_chunks(df, group_col, order_c, num_partitions, tmp):
     """Shared first phase: freeze the (group, order) range split and
-    return (ranged, chunk) where chunk is the metadata-sized per-chunk
-    table (_pid, group, n, _off, _cnt) — n the group total, _off the
-    rows of the group in earlier chunks, _cnt the rows here."""
+    return (ranged, chunk, c_ord, c_pid, c_off, c_cnt) where chunk is the
+    metadata-sized per-chunk table (_pid, group, n, _off, _cnt) — n the
+    group total, _off the rows of the group in earlier chunks, _cnt the
+    rows here. The internal chunk columns go through tmp() like every
+    other internal name (ADVICE r13: the fixed '_off'/'_cnt' collided
+    with caller columns and made grouped_rank_slice's edge join
+    ambiguous)."""
     from ..streaming.scratch import materialize
 
     c_ord, c_pid = tmp("_ord"), tmp("_pid")
+    c_off, c_cnt = tmp("_off"), tmp("_cnt")
     ranged = materialize(
         df.withColumn(c_ord, order_c)
         .repartitionByRange(num_partitions, F.col(group_col), F.col(c_ord))
         .withColumn(c_pid, F.spark_partition_id()),
         "grpick_",
     )
-    per = ranged.groupBy(c_pid, group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    per = ranged.groupBy(c_pid, group_col).agg(F.count(F.lit(1)).alias(c_cnt))
     w_off = (
         Window.partitionBy(group_col)
         .orderBy(c_pid)
@@ -163,11 +232,11 @@ def _ranged_chunks(df, group_col, order_c, num_partitions, tmp):
     chunk = per.select(
         c_pid,
         group_col,
-        F.sum("_cnt").over(Window.partitionBy(group_col)).alias("n"),
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        "_cnt",
+        F.sum(c_cnt).over(Window.partitionBy(group_col)).alias("n"),
+        F.coalesce(F.sum(c_cnt).over(w_off), F.lit(0)).alias(c_off),
+        c_cnt,
     )
-    return ranged, chunk, c_ord, c_pid
+    return ranged, chunk, c_ord, c_pid, c_off, c_cnt
 
 
 def grouped_rank_pick(
@@ -193,8 +262,11 @@ def grouped_rank_pick(
     and joins offsets onto EVERY row, this computes only per-chunk counts
     (one unsorted pass with map-side partials), locates each target's
     chunk from the broadcast prefix offsets, and sorts ONLY the chunks
-    that contain a target — per-task state bounded by one chunk, sort
-    work bounded by |targets| chunks per group instead of all of them.
+    that contain a target. r14 (ADVICE r13): the targets landing in one
+    chunk ride a single per-chunk LOCAL-RANK ARRAY, so the broadcast join
+    never replicates a chunk and each selected chunk sorts exactly ONCE
+    under a (pid, group) window (the r13 form exploded targets before the
+    join — a chunk holding t targets was replicated and sorted t times).
     Correctness is split-independent: ``order_col`` must be a total order
     (tie-broken), so the row at global rank t is the same row under any
     range split; the materialize seam (same guarantees as
@@ -215,33 +287,37 @@ def grouped_rank_pick(
             name = "_" + name
         return name
 
-    ranged, chunk, c_ord, c_pid = _ranged_chunks(
+    ranged, chunk, c_ord, c_pid, c_off, c_cnt = _ranged_chunks(
         df, group_col, order_c, num_partitions, tmp
     )
-    c_lt = tmp("_lt")
+    c_lts, c_lrn = tmp("_lts"), tmp("_lrn")
+    # One row per target-holding chunk, carrying the SORTED array of
+    # local ranks to keep (target - chunk offset); duplicate targets
+    # collapse via array_distinct before the explode.
     sel = (
         chunk.select(
             c_pid,
             group_col,
-            "_off",
-            "_cnt",
+            c_off,
+            c_cnt,
             F.explode(F.array_distinct(targets_of_n)).alias(rank_col),
         )
         .filter(
-            (F.col(rank_col) > F.col("_off"))
-            & (F.col(rank_col) <= F.col("_off") + F.col("_cnt"))
+            (F.col(rank_col) > F.col(c_off))
+            & (F.col(rank_col) <= F.col(c_off) + F.col(c_cnt))
         )
-        .select(
-            c_pid, group_col, (F.col(rank_col) - F.col("_off")).alias(c_lt), rank_col
+        .groupBy(c_pid, group_col, c_off)
+        .agg(
+            F.array_sort(F.collect_list(F.col(rank_col) - F.col(c_off))).alias(c_lts)
         )
     )
-    w_local = Window.partitionBy(c_pid, group_col, c_lt).orderBy(c_ord)
-    c_lrn = tmp("_lrn")
+    w_local = Window.partitionBy(c_pid, group_col).orderBy(c_ord)
     picked = (
         ranged.join(F.broadcast(sel), [c_pid, group_col])
-        .withColumn(c_lrn, F.row_number().over(w_local))
-        .filter(F.col(c_lrn) == F.col(c_lt))
-        .drop(c_lrn, c_lt, c_pid, c_ord)
+        .withColumn(c_lrn, F.row_number().over(w_local).cast("bigint"))
+        .filter(F.array_contains(F.col(c_lts), F.col(c_lrn)))
+        .withColumn(rank_col, F.col(c_off) + F.col(c_lrn))
+        .drop(c_lrn, c_lts, c_off, c_pid, c_ord)
     )
     counts = chunk.select(group_col, "n").dropDuplicates([group_col])
     return _RankedSplit(rows=ranged.drop(c_ord, c_pid), counts=counts, picked=picked)
@@ -281,25 +357,25 @@ def grouped_rank_slice(
             name = "_" + name
         return name
 
-    ranged, chunk, c_ord, c_pid = _ranged_chunks(
+    ranged, chunk, c_ord, c_pid, c_off, c_cnt = _ranged_chunks(
         df, group_col, order_c, num_partitions, tmp
     )
     c_lo, c_hi = tmp("_lo"), tmp("_hi")
     touched = chunk.select(
         c_pid,
         group_col,
-        "_off",
-        "_cnt",
+        c_off,
+        c_cnt,
         lo_of_n.alias(c_lo),
         hi_of_n.alias(c_hi),
     ).filter(
-        (F.col("_off") + F.col("_cnt") > F.col(c_lo)) & (F.col("_off") < F.col(c_hi))
+        (F.col(c_off) + F.col(c_cnt) > F.col(c_lo)) & (F.col(c_off) < F.col(c_hi))
     )
-    inside = (F.col("_off") >= F.col(c_lo)) & (
-        F.col("_off") + F.col("_cnt") <= F.col(c_hi)
+    inside = (F.col(c_off) >= F.col(c_lo)) & (
+        F.col(c_off) + F.col(c_cnt) <= F.col(c_hi)
     )
     interior = touched.filter(inside).select(c_pid, group_col)
-    edge = touched.filter(~inside).select(c_pid, group_col, "_off", c_lo, c_hi)
+    edge = touched.filter(~inside).select(c_pid, group_col, c_off, c_lo, c_hi)
     orig = [c for c in ranged.columns if c not in (c_ord, c_pid)]
     kept_i = ranged.join(F.broadcast(interior), [c_pid, group_col]).select(*orig)
     c_lrn = tmp("_lrn")
@@ -308,8 +384,8 @@ def grouped_rank_slice(
         ranged.join(F.broadcast(edge), [c_pid, group_col])
         .withColumn(c_lrn, F.row_number().over(w_local))
         .filter(
-            (F.col("_off") + F.col(c_lrn) > F.col(c_lo))
-            & (F.col("_off") + F.col(c_lrn) <= F.col(c_hi))
+            (F.col(c_off) + F.col(c_lrn) > F.col(c_lo))
+            & (F.col(c_off) + F.col(c_lrn) <= F.col(c_hi))
         )
         .select(*orig)
     )

@@ -262,8 +262,12 @@ def dup_pagerank(
 
 def dup_pagerank_oracle(tau: float = JACCARD_TAU, rounds: int = PR_ROUNDS) -> str:
     base = PR_SCALE * 15 // 100
+    # MATERIALIZED (r14): DuckDB inlines plain CTEs, so the unrolled
+    # round chain re-evaluated edges (and its jpairs subtree) once per
+    # round — materializing pins each round to one evaluation. Output
+    # identical (verified vs the plain form at sf0.001/sf0.01).
     step = """
-        r{i} AS (
+        r{i} AS MATERIALIZED (
           SELECT d.doc_id, d.deg,
                  CAST({base} + (85 * SUM(r.rank // r.deg)) // 100 AS BIGINT) AS rank
           FROM deg d

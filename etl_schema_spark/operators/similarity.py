@@ -1543,7 +1543,19 @@ def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.md5(F.concat(F.lit("tm:"), F.col("vec_id").cast("string"))).alias("_h"),
     )
-    ranked = grouped_running_sum(hashed, "label", F.col("_h"), F.lit(1), "_rk")
+    # r14: the ring order is an md5, so the rank's chunk id is its
+    # hex-prefix bucket — deterministic and uniform — instead of the
+    # sampled range split + materialize seam (guide §2.4; distributed.py
+    # "deterministic buckets"). Skips a checkpoint write+read per call.
+    from ..session import shuffle_partitions
+    from .distributed import BUCKETS_PER_PARTITION, hex_prefix_bucket
+
+    ranked = grouped_running_sum(
+        hashed, "label", F.col("_h"), F.lit(1), "_rk",
+        bucket_of=hex_prefix_bucket(
+            F.col("_h"), BUCKETS_PER_PARTITION * shuffle_partitions(spark)
+        ),
+    )
     sizes = ranked.groupBy("label").agg(F.count(F.lit(1)).alias("_size"))
     members = ranked.select(
         "label",
@@ -2312,7 +2324,18 @@ def label_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = emb.withColumn(
         "_h", F.md5(F.concat(F.lit("lb:"), F.col("vec_id").cast("string")))
     )
-    ranked = grouped_running_sum(hashed, "label", F.col("_h"), F.lit(1), "rk")
+    # r14: md5 order key → deterministic hex-prefix chunk id, no sampled
+    # range split, no materialize seam (guide §2.4; distributed.py
+    # "deterministic buckets").
+    from ..session import shuffle_partitions
+    from .distributed import BUCKETS_PER_PARTITION, hex_prefix_bucket
+
+    ranked = grouped_running_sum(
+        hashed, "label", F.col("_h"), F.lit(1), "rk",
+        bucket_of=hex_prefix_bucket(
+            F.col("_h"), BUCKETS_PER_PARTITION * shuffle_partitions(spark)
+        ),
+    )
     target = (
         ranked.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -1,3 +1,4 @@
+import os
 import sys
 
 import pytest
@@ -11,7 +12,28 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]")
+    # Test-session sizing (r14, VERDICT r13 item 1: the driver's pytest
+    # run must finish inside its budget). sf0.001 inputs are KBs, so the
+    # suite's cost is per-task scheduling + py4j latency, not data: a
+    # 32-partition shuffle ceiling spends 8 task waves per stage on a
+    # 4-core master for ~100-row frames. 8 partitions keeps every
+    # multi-partition code path (range splits, offsets, AQE coalescing)
+    # exercised at a quarter of the task count; tests that pin a specific
+    # split pass num_partitions explicitly and are unaffected. Both knobs
+    # stay env-overridable for A/B.
+    s = get_spark(
+        "tests",
+        master=os.environ.get("ETL_TEST_MASTER", "local[4]"),
+        extra_conf={
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "ETL_TEST_SHUFFLE", "8"
+            ),
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "ETL_TEST_AQE", "true"
+            ),
+            "spark.ui.enabled": "false",
+        },
+    )
     yield s
 
 

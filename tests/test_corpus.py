@@ -141,11 +141,15 @@ def test_epoch_shuffle_is_seeded_permutation(spark, sf_dir):
 
 
 def test_epoch_shuffle_rank_invariant_to_partitioning(spark, sf_dir, monkeypatch):
-    """The distributed rank equals the global rank no matter how many range
-    partitions carry it (offsets absorb the boundaries)."""
-    monkeypatch.setattr(corpus, "EPOCH_SHUFFLE_PARTITIONS", 3)
+    """The distributed rank equals the global rank no matter how many
+    deterministic chunks carry it (offsets absorb the boundaries) — r14:
+    the chunk count is BUCKETS_PER_PARTITION x shuffle partitions, so the
+    invariance axis is the bucket multiplier."""
+    from etl_schema_spark.operators import distributed
+
+    monkeypatch.setattr(distributed, "BUCKETS_PER_PARTITION", 1)
     few = {r["doc_id"]: r["position"] for r in corpus.epoch_shuffle(spark, sf_dir).collect()}
-    monkeypatch.setattr(corpus, "EPOCH_SHUFFLE_PARTITIONS", 17)
+    monkeypatch.setattr(distributed, "BUCKETS_PER_PARTITION", 13)
     many = {r["doc_id"]: r["position"] for r in corpus.epoch_shuffle(spark, sf_dir).collect()}
     assert few == many
 

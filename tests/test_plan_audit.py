@@ -106,16 +106,19 @@ def test_no_cartesian_or_rowudf(name, spark, sf_dir):
 @pytest.mark.parametrize("name", ["pack_sequences", "source_token_budget"])
 def test_no_single_reducer_source_window(name, spark, sf_dir, monkeypatch):
     """The per-source running sums must use the distributed two-phase
-    pattern: a range partition on (source, order) feeding a (pid, source)
+    pattern: a chunked split on (source, order) feeding a (chunk, source)
     local window — never a full-table window partitioned by `source`
     alone, which is a single task per source at 100 TB. (A source-only
-    window DOES remain over the per-(pid, source) offset table — that
+    window DOES remain over the per-(chunk, source) offset table — that
     input is metadata-sized by construction, so it is exempt.)
 
-    Since VERDICT r12 item 4 the ranged frame is scratch-materialized, so
-    the range shuffle lives in the WRITE job's plan — captured here at
-    the materialize seam — while the returned plan carries the
-    (pid, source)-local window over the immutable read-back."""
+    Two chunking modes exist (r14, distributed.py): pack_sequences orders
+    by doc_id, so it keeps the SAMPLED range split whose determinism
+    requires the materialize seam (the range shuffle lives in the seam's
+    write-job plan, captured by the spy); source_token_budget orders by
+    an md5 key, so its chunk id is the deterministic hex-prefix bucket —
+    no seam, the conv()-derived bucket feeds the local window directly in
+    the returned plan."""
     import re
 
     from etl_schema_spark.streaming import scratch
@@ -130,13 +133,22 @@ def test_no_single_reducer_source_window(name, spark, sf_dir, monkeypatch):
     monkeypatch.setattr(scratch, "materialize", spy)
     df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert write_plans, f"{name}: running sum no longer materializes"
-    assert any("rangepartitioning" in p for p in write_plans), (
-        f"{name}: no range partition in the materialized split\n"
-        + "\n".join(write_plans)
-    )
-    local = re.search(r"windowspecdefinition\(_+pid#\d+, source#\d+", plan)
-    assert local, f"{name}: no (pid, source)-local window\n{plan}"
+    if name == "pack_sequences":
+        assert write_plans, f"{name}: running sum no longer materializes"
+        assert any("rangepartitioning" in p for p in write_plans), (
+            f"{name}: no range partition in the materialized split\n"
+            + "\n".join(write_plans)
+        )
+    else:
+        # deterministic-bucket mode: no seam, no sampled range split;
+        # the chunk id comes from the md5 hex prefix (conv in the plan)
+        assert not write_plans, f"{name}: unexpected materialize seam"
+        assert "rangepartitioning" not in plan, f"{name}: sampled split returned\n{plan}"
+        assert re.search(r"conv\(substring\(", plan), (
+            f"{name}: no hex-prefix bucket in plan\n{plan}"
+        )
+    local = re.search(r"windowspecdefinition\(_+pid\w*#\d+L?, source#\d+", plan)
+    assert local, f"{name}: no (chunk, source)-local window\n{plan}"
 
 
 def test_scans_prune_columns(spark, sf_dir):

@@ -169,7 +169,7 @@ def test_grouped_running_sum_materializes_range_split(spark, monkeypatch):
         return real(df, prefix)
 
     monkeypatch.setattr(scratch, "materialize", spy)
-    before_rdds = list(scratch._LOCAL_CHECKPOINT_RDDS)
+    before_ids = set(scratch._LOCAL_CHECKPOINT_IDS)
     df = spark.range(0, 1000).select(
         (F.col("id") % 7).alias("g"), F.col("id").alias("o"), F.lit(1).alias("v")
     )
@@ -179,16 +179,18 @@ def test_grouped_running_sum_materializes_range_split(spark, monkeypatch):
     assert rows[(0, 0)] == 1 and rows[(0, 7)] == 2 and rows[(0, 700)] == 101
     assert captured and captured[0][0] == "grsum_"
     assert "rangepartitioning" in captured[0][1]
-    # the checkpoint is registered for release, its blocks live on disk
-    created = [r for r in scratch._LOCAL_CHECKPOINT_RDDS if r not in before_rdds]
-    assert created, "materialize registered no checkpoint RDD"
+    # the checkpoint is registered BY ID for release (r14, ADVICE r13:
+    # holding the py4j RDD handle pinned the JVM object and blocked
+    # ContextCleaner's fallback reclamation), its blocks live on disk
+    created = [i for i in scratch._LOCAL_CHECKPOINT_IDS if i not in before_ids]
+    assert created, "materialize registered no checkpoint RDD id"
     sc = spark.sparkContext._jsc.sc()
     live_ids = {i.id() for i in sc.getRDDStorageInfo()}
-    assert any(r.id() in live_ids for r in created)
+    assert any(i in live_ids for i in created)
     scratch.release_scratch()
     live_after = {i.id() for i in sc.getRDDStorageInfo()}
-    assert not any(r.id() in live_after for r in created)
-    assert not scratch._LOCAL_CHECKPOINT_RDDS
+    assert not any(i in live_after for i in created)
+    assert not scratch._LOCAL_CHECKPOINT_IDS
 
 
 def test_shuffle_partitions_tolerates_auto(spark):
