@@ -60,249 +60,236 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail will NOT be scored this round. Enforced by
     # tests/test_plan_audit.py::test_stale_entries_sort_into_scored_window.
     return {
-        # -- group 0: NEW this round (r13), never scored (1) -------------
-        # The streaming twin of ingest_front_door (VERDICT r12 items 5+6):
-        # per-micro-batch three-tier admission with admit-then-append
-        # index maintenance behind the batch-id-scoped overwrite ledger.
-        "streaming_ingest_front_door": streaming.streaming_ingest_front_door,
-        # -- group 1: implementation changed since the entry's last green
-        # verdict (29, tools/verdict_freshness.py): the r13 work set —
-        # grouped_running_sum's scratch-materialized range split (all its
-        # consumers re-rotate), the swap_pin bare-persist sweep (tfidf /
-        # domain_mix / seasonal / cross_source_overlap / kmv_set_ops),
-        # epoch_shuffle's materialized split, the band-index occupancy
-        # cap (neardup family + front doors), the batch-scoped idempotent
-        # sink rewrites (streaming dedup/neardup/drift-gate), the shared
-        # front_door_verdicts refactor, rare_shared_pairs' conf fallback
-        # (containment_dup + template_communities), topk_drift_weekly's
-        # truly K-bounded Arrow phase 1, and the r13 shuffle-removal
-        # rewrites (cross_lang_contamination's fused lang+shingle scan,
-        # dedup_impact_curve's broadcast, triplet_mining's shared-window
-        # occupancy, kmv_set_ops' and pmi's in-row pair expansion,
-        # perplexity_buckets' pinned token stream). --------------------
-        "ccnet_source_split": curation.ccnet_source_split,  # r12
-        "containment_dup": dedup.containment_dup,  # r12
-        "cross_lang_contamination": curation.cross_lang_contamination,  # r10
-        "cross_source_overlap": corpus.cross_source_overlap,  # r10
-        "dedup_impact_curve": dedup.dedup_impact_curve,  # r12
-        "domain_mix_weights": packing.domain_mix_weights,  # r11
-        "embedding_outliers": similarity.embedding_outliers,  # r12
-        "epoch_shuffle": corpus.epoch_shuffle,  # r09
-        "incremental_neardup": dedup.incremental_neardup,  # r12
-        "ingest_front_door": dedup.ingest_front_door,  # r12
-        "key_skew_profile": skew.key_skew_profile,  # r12
-        "kmv_set_ops": sketches.kmv_set_ops,  # r11
-        "label_balance_sample": similarity.label_balance_sample,  # r12
-        "mad_outliers": analytics.mad_outliers,  # r12
-        "pack_efficiency_sweep": packing.pack_efficiency_sweep,  # r12
-        "pack_fill_audit": packing.pack_fill_audit,  # r12
-        "pack_sequences": packing.pack_sequences,  # r12
-        "perplexity_buckets": text.perplexity_buckets,  # r12
-        "seasonal_baseline": analytics.seasonal_baseline,  # r07
-        "source_token_budget": corpus.source_token_budget,  # r12
-        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,  # r12
-        "streaming_neardup": streaming.streaming_neardup,  # r12
-        "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate,  # r12
-        "tail_latency_percentiles": analytics.tail_latency_percentiles,  # r12
-        "template_communities": graph.template_communities,  # r12
-        "tfidf_top_terms": text.tfidf_top_terms,  # r12
-        "topk_drift_weekly": drift.topk_drift_weekly,  # r11
-        "trimmed_mean_value": analytics.trimmed_mean_value,  # r12
-        "triplet_mining": similarity.triplet_mining,  # r12
-        "user_activity_gini": analytics.user_activity_gini,  # r12
-        "vocab_growth_curve": corpus.vocab_growth_curve,  # r12
-        # -- group 2: oldest-verdict rotation fill (18 of the 28-entry r7
-        # freshness tail; the remaining 10 — sidestream_view,
-        # skew_salted_daily_users (displaced just below the cap by the
-        # two r13 rewrites in group 1), sliding_window_stats,
-        # source_quality_profile, static_mapping, streaming_distinct_keys,
-        # substring_dup_spans, switch_utilization, tiered_views,
-        # top_clients_per_type — carry a fresh LOCAL sf0.01 gate this
-        # round (BENCH_NOTES r13) and rotate first in r14. --------------
-        "corr_value_hour": analytics.corr_value_hour,  # r07
-        "daily_deciles": rollups.daily_deciles,  # r07
-        "dedup_editdistance": dedup.dedup_editdistance,  # r07
-        "gapfill_interp": analytics.gapfill_interp,  # r07
-        "gapfill_locf": analytics.gapfill_locf,  # r07
-        "geomean_by_type": rollups.geomean_by_type,  # r07
-        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,  # r07
-        "image_ahash_dup": multimodal.image_ahash_dup,  # r07
-        "json_extract_props": corpus.json_extract_props,  # r07
-        "linear_trend": analytics.linear_trend,  # r07
-        "log_pdf_cdf": rollups.log_pdf_cdf,  # r07
-        "multigrain_stats": analytics.multigrain_stats,  # r07
-        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # r07
-        "multistream_throughput": rollups.multistream_throughput,  # r07
-        "pmi_cooccur_terms": text.pmi_cooccur_terms,  # r07
-        "reservoir_sample_per_key": corpus.reservoir_sample_per_key,  # r07
-        "rfm_features": analytics.rfm_features,  # r07
-        "rollup_revenue": analytics.rollup_revenue,  # r07
+        # -- group 1: implementation or oracle changed since the entry's
+        # last green verdict (24, tools/verdict_freshness.py): the r14
+        # work set — deterministic hex-prefix bucketing (epoch_shuffle /
+        # source_token_budget / triplet_mining / label_balance_sample and
+        # every other grouped_running_sum/rank consumer re-rotates via the
+        # distributed.py helper change), the rank-pick single-sort
+        # selection (mad / tail / trimmed / perplexity), and the oracle
+        # CTE rewrites (jpairs posting-intersection: dedup_ngram_jaccard +
+        # the dup-graph family; levenshtein-once: dedup_editdistance). ----
+        "ccnet_source_split": curation.ccnet_source_split,  # last green r13
+        "dedup_aware_split": graph.dedup_aware_split,  # last green r12
+        "dedup_editdistance": dedup.dedup_editdistance,  # last green r13
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,  # last green r12
+        "dup_cluster_stats": graph.dup_cluster_stats,  # last green r12
+        "dup_components": graph.dup_components,  # last green r12
+        "dup_pagerank": graph.dup_pagerank,  # last green r12
+        "embedding_outliers": similarity.embedding_outliers,  # last green r13
+        "epoch_shuffle": corpus.epoch_shuffle,  # last green r13
+        "key_skew_profile": skew.key_skew_profile,  # last green r13
+        "label_balance_sample": similarity.label_balance_sample,  # last green r13
+        "mad_outliers": analytics.mad_outliers,  # last green r13
+        "minhash_pr_eval": dedup.minhash_pr_eval,  # last green r12
+        "near_dup_keep_plan": graph.near_dup_keep_plan,  # last green r12
+        "pack_efficiency_sweep": packing.pack_efficiency_sweep,  # last green r13
+        "pack_fill_audit": packing.pack_fill_audit,  # last green r13
+        "pack_sequences": packing.pack_sequences,  # last green r13
+        "perplexity_buckets": text.perplexity_buckets,  # last green r13
+        "source_token_budget": corpus.source_token_budget,  # last green r13
+        "tail_latency_percentiles": analytics.tail_latency_percentiles,  # last green r13
+        "trimmed_mean_value": analytics.trimmed_mean_value,  # last green r13
+        "triplet_mining": similarity.triplet_mining,  # last green r13
+        "user_activity_gini": analytics.user_activity_gini,  # last green r13
+        "vocab_growth_curve": corpus.vocab_growth_curve,  # last green r13
+        # -- group 1b: own code changed but outside the freshness tool's
+        # in-package trace (sources.catalog.cpu_parallel's bytes-derived
+        # fan-out, r14): the two entries whose plans/timings moved most
+        # rotate in explicitly; the other ~28 cpu_parallel consumers carry
+        # the local 210/210 sf0.01 + sf0.001 oracle gates (BENCH_NOTES
+        # r14) and rotate by age like any helper-changed cohort. ---------
+        "multimodal_meta": multimodal.multimodal_meta,  # last green r12
+        "simhash_fingerprint": dedup.simhash_fingerprint,  # last green r10
+        # -- group 2: oldest-verdict rotation fill (24: the ten r7 tails
+        # deferred from r13 plus the oldest r8 cohort; streaming_topk_keys
+        # and unified_view_events are the two r8s displaced by group 1b
+        # and lead the below-cap region for the next rotation). ----------
+        "sidestream_view": rollups.sidestream_view,  # last green r07
+        "skew_salted_daily_users": skew.skew_salted_daily_users,  # last green r07
+        "sliding_window_stats": rollups.sliding_window_stats,  # last green r07
+        "source_quality_profile": curation.source_quality_profile,  # last green r07
+        "static_mapping": transforms.static_mapping,  # last green r07
+        "streaming_distinct_keys": streaming.streaming_distinct_keys,  # last green r07
+        "substring_dup_spans": dedup.substring_dup_spans,  # last green r07
+        "switch_utilization": rollups.switch_utilization,  # last green r07
+        "tiered_views": view_families.tiered_views,  # last green r07
+        "top_clients_per_type": sessions.top_clients_per_type,  # last green r07
+        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,  # last green r08
+        "cross_source_dup_leakage": corpus.cross_source_dup_leakage,  # last green r08
+        "dedup_best_per_user": rollups.dedup_best_per_user,  # last green r08
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # last green r08
+        "dedup_minhash_portable": dedup.dedup_minhash_portable,  # last green r08
+        "dsir_importance_weights": curation.dsir_importance_weights,  # last green r08
+        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean( s, d, direction="download", fleet="complete" ),  # last green r08
+        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf( s, d, direction="upload", fleet="2021" ),  # last green r08
+        "hourly_rollup": rollups.hourly_rollup,  # last green r08
+        "length_filter_sweep": curation.length_filter_sweep,  # last green r08
+        "new_vs_returning": analytics.new_vs_returning,  # last green r08
+        "restore_unique_docs": corpus.restore_unique_docs,  # last green r08
+        "streaming_hopping_counts": streaming.streaming_hopping_counts,  # last green r08
+        "streaming_hourly_counts": streaming.streaming_hourly_counts,  # last green r08
         # ---------------- 50-entry scoring cap lands here ----------------
-        # sidestream_view + skew_salted_daily_users rotate out to make
-        # room for the two r13-optimized entries above (cross_lang_
-        # contamination, dedup_impact_curve — "own function changed" must
-        # sort in-window); both displaced entries carry the judge's local
-        # r12 sf0.01 re-gate and lead the r14 rotation with the other r7s.
-        "sidestream_view": rollups.sidestream_view,  # r07
-        "skew_salted_daily_users": skew.skew_salted_daily_users,  # r07
-        "ann_graph_expand_eval": similarity.ann_graph_expand_eval,  # r12
-        "dedup_aware_split": graph.dedup_aware_split,  # r12
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,  # r12
-        "doc_length_drift": drift.doc_length_drift,  # r12
-        "dup_cluster_stats": graph.dup_cluster_stats,  # r12
-        "dup_components": graph.dup_components,  # r12
-        "dup_pagerank": graph.dup_pagerank,  # r12
-        "incremental_dedup": dedup.incremental_dedup,  # r12
-        "lsh_tuning_curve": dedup.lsh_tuning_curve,  # r12
-        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # r12
-        "minhash_pr_eval": dedup.minhash_pr_eval,  # r12
-        "near_dup_keep_plan": graph.near_dup_keep_plan,  # r12
-        "psi_value_drift": drift.psi_value_drift,  # r12
-        "quality_rule_drift": drift.quality_rule_drift,  # r12
-        "semdedup_clusters": similarity.semdedup_clusters,  # r12
-        "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,  # r12
-        "multimodal_meta": multimodal.multimodal_meta,  # r12
-        "multimodal_resize": multimodal.multimodal_resize,  # r12
-        "q12_shipmode": relational_ext.q12_shipmode,  # r12
-        "repetition_stats": curation.repetition_stats,  # r12
-        "stratified_sample": corpus.stratified_sample,  # r12
-        "streaming_attribution_join": streaming.streaming_attribution_join,  # r12
-        "substring_repeat_ladder": dedup.substring_repeat_ladder,  # r12
-        "text_quality": text.text_quality,  # r12
-        "annotate_renest": views_layer.annotate_renest,  # r12
-        "churned_users": analytics.churned_users,  # r12
-        "sliding_window_stats": rollups.sliding_window_stats,  # r07
-        "source_quality_profile": curation.source_quality_profile,  # r07
-        "static_mapping": transforms.static_mapping,  # r07
-        "streaming_distinct_keys": streaming.streaming_distinct_keys,  # r07
-        "substring_dup_spans": dedup.substring_dup_spans,  # r07
-        "switch_utilization": rollups.switch_utilization,  # r07
-        "tiered_views": view_families.tiered_views,  # r07
-        "top_clients_per_type": sessions.top_clients_per_type,  # r07
-        "autojoin_tiered_counts": view_families.autojoin_tiered_counts,  # r08
-        "cross_source_dup_leakage": corpus.cross_source_dup_leakage,  # r08
-        "dedup_best_per_user": rollups.dedup_best_per_user,  # r08
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,  # r08
-        "dedup_minhash_portable": dedup.dedup_minhash_portable,  # r08
-        "dsir_importance_weights": curation.dsir_importance_weights,  # r08
-        "fn_geomean_download_complete": lambda s, d: table_functions.metric_geomean( s, d, direction="download", fleet="complete" ),  # r08
-        "fn_pdf_upload_2021": lambda s, d: table_functions.metric_pdf( s, d, direction="upload", fleet="2021" ),  # r08
-        "hourly_rollup": rollups.hourly_rollup,  # r08
-        "length_filter_sweep": curation.length_filter_sweep,  # r08
-        "new_vs_returning": analytics.new_vs_returning,  # r08
-        "restore_unique_docs": corpus.restore_unique_docs,  # r08
-        "streaming_hopping_counts": streaming.streaming_hopping_counts,  # r08
-        "streaming_hourly_counts": streaming.streaming_hourly_counts,  # r08
-        "streaming_topk_keys": streaming.streaming_topk_keys,  # r08
-        "unified_view_events": views_layer.unified_view,  # r08
-        "unigram_lm_pieces": text.unigram_lm_pieces,  # r08
-        "user_transition_matrix": analytics.user_transition_matrix,  # r08
-        "weighted_sample_ares": corpus.weighted_sample_ares,  # r08
-        "zscore_outliers": analytics.zscore_outliers,  # r08
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,  # r09
-        "ann_ivf_topk": similarity.ann_ivf_topk,  # r09
-        "ann_lsh_topk": similarity.ann_lsh_topk,  # r09
-        "centroid_per_label": corpus.centroid_per_label,  # r09
-        "curation_pipeline": curation.curation_pipeline,  # r09
-        "embedding_domain_profile": similarity.embedding_domain_profile,  # r09
-        "embedding_quantize": similarity.embedding_quantize,  # r09
-        "hll_distinct_estimate": sketches.hll_distinct_estimate,  # r09
-        "ivf_recall_eval": similarity.ivf_recall_eval,  # r09
-        "jl_projection": similarity.jl_projection,  # r09
-        "kmeans_clusters": similarity.kmeans_clusters,  # r09
-        "knn_classify": similarity.knn_classify,  # r09
-        "ndcg_eval": similarity.ndcg_eval,  # r09
-        "pii_scrub": text.pii_scrub,  # r09
-        "q10_returned_items": relational.q10_returned_items,  # r09
-        "q11_important_stock": relational_ext.q11_important_stock,  # r09
-        "q13_customer_distribution": relational_ext.q13_customer_distribution,  # r09
-        "q14_promo_revenue": relational.q14_promo_revenue,  # r09
-        "q15_top_supplier": relational_ext.q15_top_supplier,  # r09
-        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,  # r09
-        "q1_pricing_summary": relational.q1_pricing_summary,  # r09
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,  # r09
-        "q3_shipping_priority": relational.q3_shipping_priority,  # r09
-        "q4_order_priority": relational.q4_order_priority,  # r09
-        "q5_local_supplier": relational.q5_local_supplier,  # r09
-        "q6_forecast_revenue": relational.q6_forecast_revenue,  # r09
-        "q7_volume_shipping": relational.q7_volume_shipping,  # r09
-        "q8_market_share": relational.q8_market_share,  # r09
-        "q9_product_type_profit": relational_ext.q9_product_type_profit,  # r09
-        "quality_expectation_report": quality.expectation_report,  # r09
-        "range_interval_join": rangejoin.range_interval_join,  # r09
-        "repeat_profile_automaton": dedup.repeat_profile_automaton,  # r09
-        "retention_cohorts": analytics.retention_cohorts,  # r09
-        "rolling_active_users": rollups.rolling_active_users,  # r09
-        "vocab_coverage": text.vocab_coverage,  # r09
-        "wildcard_union": rollups.wildcard_union,  # r09
-        "ann_pq_topk": similarity.ann_pq_topk,  # r10
-        "asof_attribution": asof.asof_attribution,  # r10
-        "asof_nearest": asof.asof_nearest,  # r10
-        "bm25_retrieval": text.bm25_retrieval,  # r10
-        "boundary_templates": dedup.boundary_templates,  # r10
-        "bpe_merge_candidates": text.bpe_merge_candidates,  # r10
-        "centroid_shift_drift": similarity.centroid_shift_drift,  # r10
-        "code_detect": text.code_detect,  # r10
-        "concurrency_peak": sessions.concurrency_peak,  # r10
-        "dedup_exact": dedup.dedup_exact,  # r10
-        "doc_fingerprint": text.doc_fingerprint,  # r10
-        "embedding_cosine_dup": similarity.embedding_cosine_dup,  # r10
-        "embedding_decontaminate": similarity.embedding_decontaminate,  # r10
-        "funnel_conversion": analytics.funnel_conversion,  # r10
-        "gopher_quality_flags": curation.gopher_quality_flags,  # r10
-        "joined_view_template": view_families.joined_view_template,  # r10
-        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,  # r10
-        "lm_domain_perplexity": curation.lm_domain_perplexity,  # r10
-        "mix_epoch_plan": packing.mix_epoch_plan,  # r10
-        "pii_risk_profile": text.pii_risk_profile,  # r10
-        "pivot_event_counts": analytics.pivot_event_counts,  # r10
-        "q16_parts_supplier": relational_ext.q16_parts_supplier,  # r10
-        "q17_small_quantity": relational_ext.q17_small_quantity,  # r10
-        "q18_big_orders": transforms.q18_big_orders,  # r10
-        "q20_potential_promotion": relational_ext.q20_potential_promotion,  # r10
-        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,  # r10
-        "q22_inactive_customers": transforms.q22_inactive_customers,  # r10
-        "quality_logreg_score": curation.quality_logreg_score,  # r10
-        "quality_score_calibration": curation.quality_score_calibration,  # r10
-        "raw_view_events": views_layer.raw_view,  # r10
-        "simhash_fingerprint": dedup.simhash_fingerprint,  # r10
-        "streaming_ingest_restore": streaming.streaming_ingest_restore,  # r10
-        "token_count": text.token_count,  # r10
-        "trailing_window_view": view_families.trailing_window_view,  # r10
-        "audio_vad_segments": multimodal.audio_vad_segments,  # r11
-        "bigram_surprisal": text.bigram_surprisal,  # r11
-        "bloom_membership": sketches.bloom_membership,  # r11
-        "canonical_pick": corpus.canonical_pick,  # r11
-        "chunk_dedup": packing.chunk_dedup,  # r11
-        "cms_frequency_estimate": sketches.cms_frequency_estimate,  # r11
-        "daily_modal_event": analytics.daily_modal_event,  # r11
-        "dataset_card": corpus.dataset_card,  # r11
-        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,  # r11
-        "doc_chunks": packing.doc_chunks,  # r11
-        "doc_entropy": text.doc_entropy,  # r11
-        "doremi_excess_reweight": curation.doremi_excess_reweight,  # r11
-        "extended_view_events": views_layer.extended_view,  # r11
-        "hashing_trick_features": text.hashing_trick_features,  # r11
-        "hll_daily_merge": sketches.hll_daily_merge,  # r11
-        "interval_coverage": sessions.interval_coverage,  # r11
-        "langid_heuristic": text.langid_heuristic,  # r11
-        "late_arrival_audit": analytics.late_arrival_audit,  # r11
-        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,  # r11
-        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # r11
-        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # r11
-        "ngram_novelty_score": curation.ngram_novelty_score,  # r11
-        "running_totals": sessions.running_totals,  # r11
-        "scd2_history": analytics.scd2_history,  # r11
-        "session_top_paths": sessions.session_top_paths,  # r11
-        "sessionized_events": sessions.sessionized_events,  # r11
-        "streaming_ewma_flags": streaming.streaming_ewma_flags,  # r11
-        "streaming_session_windows": streaming.streaming_session_windows,  # r11
-        "time_weighted_value": analytics.time_weighted_value,  # r11
-        "token_count_bpe": text.token_count_bpe,  # r11
-        "tokenizer_fertility": text.tokenizer_fertility,  # r11
-        "windowed_funnel": analytics.windowed_funnel,  # r11
-        "winnowing_fingerprint": dedup.winnowing_fingerprint,  # r11
-        "zipf_term_stats": corpus.zipf_term_stats,  # r11
+        "streaming_ingest_front_door": streaming.streaming_ingest_front_door,  # last green r13
+        "containment_dup": dedup.containment_dup,  # last green r13
+        "cross_lang_contamination": curation.cross_lang_contamination,  # last green r13
+        "cross_source_overlap": corpus.cross_source_overlap,  # last green r13
+        "dedup_impact_curve": dedup.dedup_impact_curve,  # last green r13
+        "domain_mix_weights": packing.domain_mix_weights,  # last green r13
+        "incremental_neardup": dedup.incremental_neardup,  # last green r13
+        "ingest_front_door": dedup.ingest_front_door,  # last green r13
+        "kmv_set_ops": sketches.kmv_set_ops,  # last green r13
+        "seasonal_baseline": analytics.seasonal_baseline,  # last green r13
+        "streaming_incremental_dedup": streaming.streaming_incremental_dedup,  # last green r13
+        "streaming_neardup": streaming.streaming_neardup,  # last green r13
+        "streaming_rule_drift_gate": streaming.streaming_rule_drift_gate,  # last green r13
+        "template_communities": graph.template_communities,  # last green r13
+        "tfidf_top_terms": text.tfidf_top_terms,  # last green r13
+        "topk_drift_weekly": drift.topk_drift_weekly,  # last green r13
+        "corr_value_hour": analytics.corr_value_hour,  # last green r13
+        "daily_deciles": rollups.daily_deciles,  # last green r13
+        "gapfill_interp": analytics.gapfill_interp,  # last green r13
+        "gapfill_locf": analytics.gapfill_locf,  # last green r13
+        "geomean_by_type": rollups.geomean_by_type,  # last green r13
+        "histogram_quantile_sketch": sketches.histogram_quantile_sketch,  # last green r13
+        "image_ahash_dup": multimodal.image_ahash_dup,  # last green r13
+        "json_extract_props": corpus.json_extract_props,  # last green r13
+        "linear_trend": analytics.linear_trend,  # last green r13
+        "log_pdf_cdf": rollups.log_pdf_cdf,  # last green r13
+        "multigrain_stats": analytics.multigrain_stats,  # last green r13
+        "multimodal_wav_energy": multimodal.multimodal_wav_energy,  # last green r13
+        "multistream_throughput": rollups.multistream_throughput,  # last green r13
+        "pmi_cooccur_terms": text.pmi_cooccur_terms,  # last green r13
+        "reservoir_sample_per_key": corpus.reservoir_sample_per_key,  # last green r13
+        "rfm_features": analytics.rfm_features,  # last green r13
+        "rollup_revenue": analytics.rollup_revenue,  # last green r13
+        "ann_graph_expand_eval": similarity.ann_graph_expand_eval,  # last green r12
+        "doc_length_drift": drift.doc_length_drift,  # last green r12
+        "incremental_dedup": dedup.incremental_dedup,  # last green r12
+        "lsh_tuning_curve": dedup.lsh_tuning_curve,  # last green r12
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,  # last green r12
+        "psi_value_drift": drift.psi_value_drift,  # last green r12
+        "quality_rule_drift": drift.quality_rule_drift,  # last green r12
+        "semdedup_clusters": similarity.semdedup_clusters,  # last green r12
+        "streaming_quality_gated_publish": streaming.streaming_quality_gated_publish,  # last green r12
+        "multimodal_resize": multimodal.multimodal_resize,  # last green r12
+        "q12_shipmode": relational_ext.q12_shipmode,  # last green r12
+        "repetition_stats": curation.repetition_stats,  # last green r12
+        "stratified_sample": corpus.stratified_sample,  # last green r12
+        "streaming_attribution_join": streaming.streaming_attribution_join,  # last green r12
+        "substring_repeat_ladder": dedup.substring_repeat_ladder,  # last green r12
+        "text_quality": text.text_quality,  # last green r12
+        "annotate_renest": views_layer.annotate_renest,  # last green r12
+        "churned_users": analytics.churned_users,  # last green r12
+        "streaming_topk_keys": streaming.streaming_topk_keys,  # last green r08
+        "unified_view_events": views_layer.unified_view,  # last green r08
+        "unigram_lm_pieces": text.unigram_lm_pieces,  # last green r08
+        "user_transition_matrix": analytics.user_transition_matrix,  # last green r08
+        "weighted_sample_ares": corpus.weighted_sample_ares,  # last green r08
+        "zscore_outliers": analytics.zscore_outliers,  # last green r08
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,  # last green r09
+        "ann_ivf_topk": similarity.ann_ivf_topk,  # last green r09
+        "ann_lsh_topk": similarity.ann_lsh_topk,  # last green r09
+        "centroid_per_label": corpus.centroid_per_label,  # last green r09
+        "curation_pipeline": curation.curation_pipeline,  # last green r09
+        "embedding_domain_profile": similarity.embedding_domain_profile,  # last green r09
+        "embedding_quantize": similarity.embedding_quantize,  # last green r09
+        "hll_distinct_estimate": sketches.hll_distinct_estimate,  # last green r09
+        "ivf_recall_eval": similarity.ivf_recall_eval,  # last green r09
+        "jl_projection": similarity.jl_projection,  # last green r09
+        "kmeans_clusters": similarity.kmeans_clusters,  # last green r09
+        "knn_classify": similarity.knn_classify,  # last green r09
+        "ndcg_eval": similarity.ndcg_eval,  # last green r09
+        "pii_scrub": text.pii_scrub,  # last green r09
+        "q10_returned_items": relational.q10_returned_items,  # last green r09
+        "q11_important_stock": relational_ext.q11_important_stock,  # last green r09
+        "q13_customer_distribution": relational_ext.q13_customer_distribution,  # last green r09
+        "q14_promo_revenue": relational.q14_promo_revenue,  # last green r09
+        "q15_top_supplier": relational_ext.q15_top_supplier,  # last green r09
+        "q19_disjunctive_predicate": relational.q19_disjunctive_predicate,  # last green r09
+        "q1_pricing_summary": relational.q1_pricing_summary,  # last green r09
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,  # last green r09
+        "q3_shipping_priority": relational.q3_shipping_priority,  # last green r09
+        "q4_order_priority": relational.q4_order_priority,  # last green r09
+        "q5_local_supplier": relational.q5_local_supplier,  # last green r09
+        "q6_forecast_revenue": relational.q6_forecast_revenue,  # last green r09
+        "q7_volume_shipping": relational.q7_volume_shipping,  # last green r09
+        "q8_market_share": relational.q8_market_share,  # last green r09
+        "q9_product_type_profit": relational_ext.q9_product_type_profit,  # last green r09
+        "quality_expectation_report": quality.expectation_report,  # last green r09
+        "range_interval_join": rangejoin.range_interval_join,  # last green r09
+        "repeat_profile_automaton": dedup.repeat_profile_automaton,  # last green r09
+        "retention_cohorts": analytics.retention_cohorts,  # last green r09
+        "rolling_active_users": rollups.rolling_active_users,  # last green r09
+        "vocab_coverage": text.vocab_coverage,  # last green r09
+        "wildcard_union": rollups.wildcard_union,  # last green r09
+        "ann_pq_topk": similarity.ann_pq_topk,  # last green r10
+        "asof_attribution": asof.asof_attribution,  # last green r10
+        "asof_nearest": asof.asof_nearest,  # last green r10
+        "bm25_retrieval": text.bm25_retrieval,  # last green r10
+        "boundary_templates": dedup.boundary_templates,  # last green r10
+        "bpe_merge_candidates": text.bpe_merge_candidates,  # last green r10
+        "centroid_shift_drift": similarity.centroid_shift_drift,  # last green r10
+        "code_detect": text.code_detect,  # last green r10
+        "concurrency_peak": sessions.concurrency_peak,  # last green r10
+        "dedup_exact": dedup.dedup_exact,  # last green r10
+        "doc_fingerprint": text.doc_fingerprint,  # last green r10
+        "embedding_cosine_dup": similarity.embedding_cosine_dup,  # last green r10
+        "embedding_decontaminate": similarity.embedding_decontaminate,  # last green r10
+        "funnel_conversion": analytics.funnel_conversion,  # last green r10
+        "gopher_quality_flags": curation.gopher_quality_flags,  # last green r10
+        "joined_view_template": view_families.joined_view_template,  # last green r10
+        "kmv_distinct_estimate": sketches.kmv_distinct_estimate,  # last green r10
+        "lm_domain_perplexity": curation.lm_domain_perplexity,  # last green r10
+        "mix_epoch_plan": packing.mix_epoch_plan,  # last green r10
+        "pii_risk_profile": text.pii_risk_profile,  # last green r10
+        "pivot_event_counts": analytics.pivot_event_counts,  # last green r10
+        "q16_parts_supplier": relational_ext.q16_parts_supplier,  # last green r10
+        "q17_small_quantity": relational_ext.q17_small_quantity,  # last green r10
+        "q18_big_orders": transforms.q18_big_orders,  # last green r10
+        "q20_potential_promotion": relational_ext.q20_potential_promotion,  # last green r10
+        "q21_suppliers_kept_waiting": relational_ext.q21_suppliers_kept_waiting,  # last green r10
+        "q22_inactive_customers": transforms.q22_inactive_customers,  # last green r10
+        "quality_logreg_score": curation.quality_logreg_score,  # last green r10
+        "quality_score_calibration": curation.quality_score_calibration,  # last green r10
+        "raw_view_events": views_layer.raw_view,  # last green r10
+        "streaming_ingest_restore": streaming.streaming_ingest_restore,  # last green r10
+        "token_count": text.token_count,  # last green r10
+        "trailing_window_view": view_families.trailing_window_view,  # last green r10
+        "audio_vad_segments": multimodal.audio_vad_segments,  # last green r11
+        "bigram_surprisal": text.bigram_surprisal,  # last green r11
+        "bloom_membership": sketches.bloom_membership,  # last green r11
+        "canonical_pick": corpus.canonical_pick,  # last green r11
+        "chunk_dedup": packing.chunk_dedup,  # last green r11
+        "cms_frequency_estimate": sketches.cms_frequency_estimate,  # last green r11
+        "daily_modal_event": analytics.daily_modal_event,  # last green r11
+        "dataset_card": corpus.dataset_card,  # last green r11
+        "decontaminate_ngram_overlap": curation.decontaminate_ngram_overlap,  # last green r11
+        "doc_chunks": packing.doc_chunks,  # last green r11
+        "doc_entropy": text.doc_entropy,  # last green r11
+        "doremi_excess_reweight": curation.doremi_excess_reweight,  # last green r11
+        "extended_view_events": views_layer.extended_view,  # last green r11
+        "hashing_trick_features": text.hashing_trick_features,  # last green r11
+        "hll_daily_merge": sketches.hll_daily_merge,  # last green r11
+        "interval_coverage": sessions.interval_coverage,  # last green r11
+        "langid_heuristic": text.langid_heuristic,  # last green r11
+        "late_arrival_audit": analytics.late_arrival_audit,  # last green r11
+        "multimodal_bmp_meta": multimodal.multimodal_bmp_meta,  # last green r11
+        "multimodal_decode_ppm": multimodal.multimodal_decode_ppm,  # last green r11
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,  # last green r11
+        "ngram_novelty_score": curation.ngram_novelty_score,  # last green r11
+        "running_totals": sessions.running_totals,  # last green r11
+        "scd2_history": analytics.scd2_history,  # last green r11
+        "session_top_paths": sessions.session_top_paths,  # last green r11
+        "sessionized_events": sessions.sessionized_events,  # last green r11
+        "streaming_ewma_flags": streaming.streaming_ewma_flags,  # last green r11
+        "streaming_session_windows": streaming.streaming_session_windows,  # last green r11
+        "time_weighted_value": analytics.time_weighted_value,  # last green r11
+        "token_count_bpe": text.token_count_bpe,  # last green r11
+        "tokenizer_fertility": text.tokenizer_fertility,  # last green r11
+        "windowed_funnel": analytics.windowed_funnel,  # last green r11
+        "winnowing_fingerprint": dedup.winnowing_fingerprint,  # last green r11
+        "zipf_term_stats": corpus.zipf_term_stats,  # last green r11
     }
 
 

@@ -99,6 +99,18 @@ def cpu_parallel(df: DataFrame) -> DataFrame:
     only on single-file local scans. Default ``auto`` = probe on local[...]
     masters only; ``on``/``off`` force either way, so cluster plans never
     touch ``df.rdd`` unless explicitly asked to.
+
+    Fan-out sizing (r14, guide §2.2/§2.5 scale-adaptive partitioning): the
+    target is no longer a flat ``defaultParallelism`` — on a tiny input
+    that pays the keyless repartition's local sort + one task wave per
+    core for nothing (measured: the fan-out alone cost +0.18 s at 32
+    cores vs +0.04 s at 8 on a 600 KB scan, and the Arrow-codec
+    consumers ran SLOWER at 32 cores than at 8). The partition count is
+    derived from the scan's input bytes
+    (``spark.etlSchemaSpark.cpuParallelTargetBytes`` per partition,
+    default 64 KiB of parquet) and capped at defaultParallelism, so
+    production-sized inputs still fan out to every core while KB-scale
+    local scans keep a handful of tasks.
     """
     sess = df.sparkSession
     mode = sess.conf.get("spark.etlSchemaSpark.cpuParallel", "auto")
@@ -107,7 +119,24 @@ def cpu_parallel(df: DataFrame) -> DataFrame:
     if mode == "auto" and not sess.conf.get("spark.master", "").startswith("local"):
         return df
     n = sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    cur = df.rdd.getNumPartitions()
+    if cur >= n:
+        return df
+    try:
+        target = int(
+            sess.conf.get(
+                "spark.etlSchemaSpark.cpuParallelTargetBytes", str(64 * 1024)
+            )
+        )
+        total = sum(
+            os.path.getsize(p[len("file:"):] if p.startswith("file:") else p)
+            for p in df.inputFiles()
+        )
+        if total and target > 0:
+            n = min(n, max(cur, -(-total // target)))
+    except Exception:
+        pass  # unknown input size: keep the defaultParallelism target
+    if cur < n:
         return df.repartition(n)
     return df
 
