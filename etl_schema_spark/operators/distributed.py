@@ -246,6 +246,7 @@ def grouped_rank_pick(
     targets_of_n: Column,
     rank_col: str = "rk",
     num_partitions: int | None = None,
+    single_target: bool = False,
 ) -> _RankedSplit:
     """Rows at specific per-group GLOBAL ranks (1-based, in ``order_col``
     order) without ranking every row — the selection pushdown of
@@ -290,11 +291,9 @@ def grouped_rank_pick(
     ranged, chunk, c_ord, c_pid, c_off, c_cnt = _ranged_chunks(
         df, group_col, order_c, num_partitions, tmp
     )
-    c_lts, c_lrn = tmp("_lts"), tmp("_lrn")
-    # One row per target-holding chunk, carrying the SORTED array of
-    # local ranks to keep (target - chunk offset); duplicate targets
-    # collapse via array_distinct before the explode.
-    sel = (
+    c_lrn = tmp("_lrn")
+    w_local = Window.partitionBy(c_pid, group_col).orderBy(c_ord)
+    targets = (
         chunk.select(
             c_pid,
             group_col,
@@ -306,19 +305,43 @@ def grouped_rank_pick(
             (F.col(rank_col) > F.col(c_off))
             & (F.col(rank_col) <= F.col(c_off) + F.col(c_cnt))
         )
-        .groupBy(c_pid, group_col, c_off)
-        .agg(
+    )
+    if single_target:
+        # CALLER CONTRACT: targets_of_n yields exactly ONE rank per group
+        # (e.g. the median), so at most one sel row exists per chunk —
+        # the broadcast join cannot replicate a chunk and the plain
+        # (pid, group) window needs no target-array bookkeeping. Skips
+        # the per-chunk collect_list aggregate, which measured ~0.2-0.4 s
+        # of extra stage latency per pass on mad_outliers at sf0.1 while
+        # buying nothing for single-target selections (a lone target
+        # cannot collide with itself).
+        c_lt = tmp("_lt")
+        sel = targets.select(
+            c_pid, group_col, (F.col(rank_col) - F.col(c_off)).alias(c_lt), rank_col
+        )
+        picked = (
+            ranged.join(F.broadcast(sel), [c_pid, group_col])
+            .withColumn(c_lrn, F.row_number().over(w_local))
+            .filter(F.col(c_lrn) == F.col(c_lt))
+            .drop(c_lrn, c_lt, c_pid, c_ord)
+        )
+    else:
+        # One row per target-holding chunk, carrying the SORTED array of
+        # local ranks to keep (target - chunk offset); duplicate targets
+        # collapse via array_distinct before the explode, and a chunk
+        # holding several targets joins ONCE and sorts ONCE (ADVICE r13:
+        # the r13 form replicated the chunk per target).
+        c_lts = tmp("_lts")
+        sel = targets.groupBy(c_pid, group_col, c_off).agg(
             F.array_sort(F.collect_list(F.col(rank_col) - F.col(c_off))).alias(c_lts)
         )
-    )
-    w_local = Window.partitionBy(c_pid, group_col).orderBy(c_ord)
-    picked = (
-        ranged.join(F.broadcast(sel), [c_pid, group_col])
-        .withColumn(c_lrn, F.row_number().over(w_local).cast("bigint"))
-        .filter(F.array_contains(F.col(c_lts), F.col(c_lrn)))
-        .withColumn(rank_col, F.col(c_off) + F.col(c_lrn))
-        .drop(c_lrn, c_lts, c_off, c_pid, c_ord)
-    )
+        picked = (
+            ranged.join(F.broadcast(sel), [c_pid, group_col])
+            .withColumn(c_lrn, F.row_number().over(w_local).cast("bigint"))
+            .filter(F.array_contains(F.col(c_lts), F.col(c_lrn)))
+            .withColumn(rank_col, F.col(c_off) + F.col(c_lrn))
+            .drop(c_lrn, c_lts, c_off, c_pid, c_ord)
+        )
     counts = chunk.select(group_col, "n").dropDuplicates([group_col])
     return _RankedSplit(rows=ranged.drop(c_ord, c_pid), counts=counts, picked=picked)
 

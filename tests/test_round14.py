@@ -119,6 +119,42 @@ def test_grouped_rank_pick_multiple_targets_one_chunk(spark):
     assert "array_contains" in plan
 
 
+def test_grouped_rank_pick_single_target_path(spark):
+    """single_target=True (the mad_outliers median shape) skips the
+    per-chunk target-array aggregate and must match the full ranking and
+    the default path exactly."""
+    from etl_schema_spark.operators.distributed import grouped_rank_pick
+
+    df = spark.range(0, 900).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 13) % 900).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    targets = F.expr("array((n + 1) div 2)")
+    p1 = grouped_rank_pick(
+        df, "g", F.struct("v", "tie"), targets, num_partitions=8,
+        single_target=True,
+    )
+    p2 = grouped_rank_pick(
+        df, "g", F.struct("v", "tie"), targets, num_partitions=8,
+    )
+    got1 = {(r.g, r.rk): (r.v, r.tie) for r in p1.picked.collect()}
+    got2 = {(r.g, r.rk): (r.v, r.tie) for r in p2.picked.collect()}
+    assert got1 == got2
+    w = Window.partitionBy("g").orderBy("v", "tie")
+    full = df.withColumn("rk", F.row_number().over(w))
+    n_by_g = {r.g: r.n for r in p1.counts.collect()}
+    want = {
+        (r.g, r.rk): (r.v, r.tie)
+        for r in full.collect()
+        if r.rk == (n_by_g[r.g] + 1) // 2
+    }
+    assert got1 == want
+    # the fast path has no target-array aggregate in its plan
+    plan = p1.picked._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
 def test_grouped_rank_slice_tolerates_off_cnt_columns(spark):
     """ADVICE r13: caller columns named _off/_cnt must not make the edge
     join ambiguous — internal chunk columns go through tmp() now."""
